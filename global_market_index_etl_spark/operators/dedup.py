@@ -1,0 +1,330 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash (driver north star, SURVEY.md §7 step 6).
+
+Scale ladder (why all four exist):
+- ``exact_dedup`` — hash-groupBy on a fingerprint: one shuffle, linear.
+- ``ngram_jaccard_pairs`` — exact pairwise similarity via a shingle
+  self-join: precise, but the join fans out on shared shingles; right answer
+  up to ~10^6 docs or as the *verify* stage after LSH candidates.
+- ``minhash_lsh_pairs`` — shingle→minhash→band→bucket-join: candidate
+  generation cost is linear in docs × bands, independent of pair count; the
+  100 TB path. Banding math: P(candidate) = 1-(1-s^r)^b.
+- ``simhash64`` — one 64-bit signature per doc; near-dup = small Hamming
+  distance; cheapest, coarsest.
+
+All signature math uses ``xxhash64`` — Spark-internal (not portable to the
+DuckDB oracle), so MinHash/SimHash queries are declared rows-only while the
+exact Jaccard verifier has a full SQL oracle (plans/textdata.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .text import fingerprint_md5, word_shingles
+
+# Mersenne prime 2^61-1: universal-hash family h_i(x) = (a_i*x + b_i) mod p
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint; survivor = min id.
+
+    One partial-aggregated shuffle on the 128-bit fingerprint — the baseline
+    every fancier dedup is measured against.
+    """
+    return (
+        df.withColumn("fingerprint", fingerprint_md5(text_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the common input of Jaccard and
+    MinHash. Explode is a narrow op; distinct shuffles once on the pair."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| ≥ threshold.
+
+    Intersections come from a self-equi-join on shingle (only co-occurring
+    shingles produce join rows — no quadratic blowup when shingles are
+    discriminative); sizes join back broadcast-ably. Integer counts divide
+    once ⇒ engine-portable values.
+    """
+    d = shingle_table(df, id_col, text_col, n)
+    sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(
+        F.col(id_col).alias("id_1"), F.col("n_shingles").alias("n_1")
+    )
+    s2 = sizes.select(
+        F.col(id_col).alias("id_2"), F.col("n_shingles").alias("n_2")
+    )
+    return (
+        inter.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            * F.lit(1.0)
+            / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of k universal hashes.
+
+    The k hash functions are lifted into an array expression so one explode
+    row yields all k hashed values — a single groupBy(min per slot) computes
+    the whole signature (one shuffle, map-side combine on min).
+    """
+    coeffs = _hash_coefficients(num_hashes, seed)
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    hashed = F.array(
+        *[
+            F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))
+            for a, b in coeffs
+        ]
+    )
+    return (
+        shingles.withColumn("__h", hashed)
+        .groupBy(id_col)
+        .agg(
+            F.array(
+                *[F.min(F.col("__h")[i]) for i in range(num_hashes)]
+            ).alias("signature")
+        )
+    )
+
+
+def _hash_coefficients(k: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family (driver-side
+    LCG — no RNG state, reproducible across runs/clusters)."""
+    coeffs = []
+    state = seed
+    for _ in range(k):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingles → signatures → band buckets (bands × rows/band
+    slices, bucket key = hash of the slice) → self-join per (band, bucket)
+    for candidates → exact Jaccard on candidates only. With b=8, r=4:
+    s=0.8 ⇒ P(candidate) ≈ 0.986; s=0.4 ⇒ ≈ 0.19 — the filter does the work,
+    the verify keeps precision at 1.
+    """
+    rows_per_band = num_hashes // bands
+    shingles = shingle_table(df, id_col, text_col, n)
+    sigs = minhash_signatures(shingles, id_col, num_hashes, seed)
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("signature"),
+                                band * rows_per_band + 1,
+                                rows_per_band,
+                            )
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+        )
+        .distinct()
+    )
+    # exact-Jaccard verify restricted to candidate pairs
+    d = shingles
+    sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    da = d.alias("da")
+    db = d.alias("db")
+    inter = (
+        candidates.join(da, candidates.id_1 == F.col(f"da.{id_col}"))
+        .join(
+            db,
+            (candidates.id_2 == F.col(f"db.{id_col}"))
+            & (F.col("da.shingle") == F.col("db.shingle")),
+        )
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n_shingles").alias("n_1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n_shingles").alias("n_2"))
+    return (
+        inter.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            * F.lit(1.0)
+            / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over word hashes.
+
+    Implemented as 64 conditional sums in one aggregation — all JVM-side,
+    single shuffle on the doc id. Fingerprint reassembled with bit ops.
+    """
+    from .text import words
+
+    tokens = df.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("w")
+    )
+    h = F.xxhash64("w")
+    votes = tokens.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit signature into ``blocks`` 16-bit
+    blocks; any pair within distance ≤ blocks-1 shares at least one exact
+    block ⇒ self-join per (block index, block value) instead of all-pairs.
+    """
+    sigs = simhash64(df, id_col, text_col)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    blocked = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("blk_val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.blk_val")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            F.col("a.simhash").alias("sig_1"),
+            F.col("b.simhash").alias("sig_2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_1").bitwiseXOR(F.col("sig_2")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )

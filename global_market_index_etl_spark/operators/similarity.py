@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (driver north star).
+
+Two tiers:
+- ``cosine_topk`` — exact brute force: probes × corpus with higher-order
+  array functions (zip_with/aggregate — JVM codegen, no Python). Correctness
+  baseline; cost O(|probes|·|corpus|·dim). Fine for ≤ ~10^4 probes against
+  ~10^7 vectors per batch on a cluster; beyond that, bucket first.
+- ``lsh_cosine_topk`` — random-hyperplane LSH: sign-bit signatures bucket
+  the corpus, probes only score their own bucket(s). Recall is tunable via
+  bits/tables; candidate scoring reuses the exact kernel, so precision is 1.
+
+Hyperplanes are generated driver-side from a seeded LCG (deterministic,
+cluster-reproducible) and shipped as literal arrays — dimension-bounded, so
+the plan stays data-independent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _dot(a: str, b: str) -> Column:
+    """Exact double dot product of two array<float> columns, JVM-side."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the squared L2 norm (computed once per vector, reused per pair)."""
+    return df.withColumn("norm_sq", _dot(vec_col, vec_col))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each probe (self excluded).
+
+    The probe side is broadcast (it is the small side by contract) so the
+    corpus never shuffles; ranking windows partition by probe. Similarities
+    are rounded before ranking with an id tie-break, making the top-k set
+    deterministic and engine-portable.
+    """
+    p = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_vec")
+    )
+    pairs = c.join(F.broadcast(p), F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot("__q_vec", "__c_vec") / (
+        F.sqrt(_dot("__q_vec", "__q_vec")) * F.sqrt(_dot("__c_vec", "__c_vec"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos, round_digits).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes (sum of 4 uniforms, CLT-ish)."""
+    state = seed & 0x7FFFFFFF
+
+    def nxt() -> float:
+        nonlocal state
+        total = 0.0
+        for _ in range(4):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            total += state / float(1 << 31)
+        return total - 2.0
+
+    return [[nxt() for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_signature(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i = 1 iff vec · plane_i > 0 (packed to long)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                lit_plane,
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseXOR(F.shiftleft(bit, i))
+    return sig
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 6,
+    tables: int = 16,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k: multi-table random-hyperplane bucketing + exact re-rank.
+
+    One table of b sign bits has candidate probability cos-angle^b — far
+    too selective for moderate-similarity neighbors (for sim≈0.35, 8 bits ⇒
+    P≈0.02: near-zero recall, observed). Standard fix: ``tables``
+    independent signatures; a pair is a candidate if it collides in ANY
+    table — P = 1-(1-p^b)^T. With b=6, T=16 @ sim 0.35: ≈0.61; @ sim 0.6:
+    ≈0.97. Cost: corpus signed T times (narrow), candidate set is the
+    per-table bucket join union, deduped before the exact kernel.
+
+    At cluster scale the bucket join replaces |probes|×|corpus| with
+    Σ_table |probes|×bucket_size; tune (bits↑, tables↑) together to hold
+    recall while shrinking buckets.
+    """
+    c_base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_vec")
+    )
+    p_base = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
+    )
+    # one signature struct per table, exploded so the equi-join key is
+    # (table, signature) — a single join handles all tables at once
+    def signed(df, vec, prefix):
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_signature(
+                        vec, _hyperplanes(dim, bits, seed + 7919 * t)
+                    ).alias("sig"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            "*", F.explode(sigs).alias("__ts")
+        ).select(*df.columns, F.col("__ts.tbl").alias("__tbl"), F.col("__ts.sig").alias("__sig"))
+
+    c = signed(c_base, "__c_vec", "c")
+    p = signed(p_base, "__q_vec", "p")
+    pairs = (
+        c.join(F.broadcast(p), on=["__tbl", "__sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__q_vec", "__c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot("__q_vec", "__c_vec") / (
+        F.sqrt(_dot("__q_vec", "__q_vec")) * F.sqrt(_dot("__c_vec", "__c_vec"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos, round_digits).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold), exact.
+
+    All-pairs form for oracle-checkable correctness; the LSH variant above is
+    the scale path (same verify kernel).
+    """
+    a = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"))
+    b = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"))
+    pairs = a.join(b, F.col("id_1") < F.col("id_2"))
+    cos = _dot("__v1", "__v2") / (
+        F.sqrt(_dot("__v1", "__v1")) * F.sqrt(_dot("__v2", "__v2"))
+    )
+    return (
+        pairs.select("id_1", "id_2", F.round(cos, round_digits).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

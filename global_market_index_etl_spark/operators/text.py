@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines (driver north star;
+beyond the reference surface, SURVEY.md §7 step 6).
+
+Everything here is built-in ``pyspark.sql.functions`` expressions — JVM-side,
+whole-stage-codegen, zero Python in the hot path — so a 100 TB documents
+table processes at scan speed. Each operator has an exact ANSI-SQL twin
+(plans/textdata.py) for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+WS = r"\s+"
+
+# Marker-word profiles for the n-gram/stopword language heuristic. The CJK
+# check uses a literal char range so the same pattern string compiles under
+# both Java regex (Spark) and RE2 (DuckDB).
+CJK_PATTERN = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|a)\b",
+    "fr": r"\b(le|la|les|et|un|une|est|dans)\b",
+    "es": r"\b(el|los|las|y|que|es|en|un)\b",
+    "de": r"\b(der|die|das|und|ist|ein|nicht)\b",
+}
+
+STOPWORDS_EN = r"\b(the|a|an|and|of|to|in|is|for|on|with)\b"
+# BPE-ish token pieces: letter runs, single digits, single punctuation marks
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT = r"[.,;:!?]"
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization; empty text → empty array (not [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, WS)
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (int)."""
+    return F.size(words(col)).cast("int")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token estimate via regexp match count (int)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH)).cast("int")
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), WS, " ")
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    Portable across engines (DuckDB ``md5`` produces the same hex), unlike
+    Spark-internal hashes (xxhash64/murmur3) which are Spark-specific.
+    """
+    return F.md5(normalize_text(col))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals, one pass.
+
+    Per-row double arithmetic only — deterministic on any engine and
+    embarrassingly parallel at any scale.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t).cast("int")
+    n_punct = F.regexp_count(t, F.lit(PUNCT)).cast("int")
+    n_stop = F.regexp_count(F.lower(t), F.lit(STOPWORDS_EN)).cast("int")
+    denom_tok = F.nullif(n_tok.cast("double"), F.lit(0.0))
+    denom_chars = F.nullif(n_chars.cast("double"), F.lit(0.0))
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_m": n_chars,
+            "punct_ratio": n_punct.cast("double") / denom_chars,
+            "stopword_ratio": n_stop.cast("double") / denom_tok,
+            "avg_token_len": n_chars.cast("double") / denom_tok,
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the features (heuristic weights)."""
+    feat = quality_features(df, text_col)
+    clipped_len = F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_component = F.least(
+        F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * F.lit(2.5), F.lit(1.0)
+    )
+    punct_penalty = F.least(
+        F.coalesce(F.col("punct_ratio"), F.lit(0.0)) * F.lit(5.0), F.lit(1.0)
+    )
+    return feat.withColumn(
+        "quality_score",
+        F.lit(0.5) * clipped_len
+        + F.lit(0.3) * stop_component
+        + F.lit(0.2) * (F.lit(1.0) - punct_penalty),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/marker-word language heuristic → ``lang_pred``.
+
+    CJK characters short-circuit to 'zh'; otherwise argmax of marker-word
+    counts with a fixed deterministic tie order (en > fr > es > de).
+    """
+    lowered = F.lower(F.col(text_col))
+    counts = {
+        lang: F.regexp_count(lowered, F.lit(pat)) for lang, pat in LANG_MARKERS.items()
+    }
+    has_cjk = F.regexp_count(F.col(text_col), F.lit(CJK_PATTERN)) > 0
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(
+            (counts["en"] >= counts["fr"])
+            & (counts["en"] >= counts["es"])
+            & (counts["en"] >= counts["de"]),
+            F.lit("en"),
+        )
+        .when(
+            (counts["fr"] >= counts["es"]) & (counts["fr"] >= counts["de"]),
+            F.lit("fr"),
+        )
+        .when(counts["es"] >= counts["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (lowercased). Sequence indices are handled
+    0-based here / 1-based in the SQL twin — same shingle set either way."""
+    arr = words(F.lower(F.col(col) if isinstance(col, str) else col))
+    idx = F.sequence(F.lit(0), F.size(arr) - n)
+    parts = lambda i: [arr[i + j] for j in range(n)]  # noqa: E731
+    return F.when(F.size(arr) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    )

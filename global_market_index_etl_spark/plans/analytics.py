@@ -1,0 +1,309 @@
+"""Analytic queries — the query surface the reference's stored data is
+*designed for* but never computes (SURVEY.md §2.11: window functions, grouped
+aggregation, top-k) plus TPC-H-style multi-join aggregates that serve as the
+engine's benchmark headliners (bench.py).
+
+Determinism: every multi-row float SUM uses the integer-scaled exact form
+(functions/exact.py); every ranking window carries a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..functions.exact import cents, exact_money_sum, sql_exact_money_sum
+from ..sources import load_table
+from .registry import query
+
+REVENUE = "l_extendedprice * (1.0 - l_discount)"
+
+
+@query(
+    "flagship_regional_revenue",
+    """
+    SELECT r_name, n_name,
+           {rev} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """.format(rev=sql_exact_money_sum(REVENUE, 10_000)),
+    doc="Flagship (TPC-H Q5 shape) — discounted revenue by region/nation. "
+    "Physical plan at scale: one shuffle join lineitem⨝orders on orderkey "
+    "(the two big tables), every dimension broadcast, partial aggregation "
+    "down to 25 output rows. AQE handles orderkey skew.",
+)
+def flagship_regional_revenue(spark, sf):
+    lineitem = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_money_sum(revenue, 10_000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           {sum_base} AS sum_base_price,
+           {sum_disc} AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             / CAST(count(*) AS BIGINT) AS avg_qty,
+           {sum_base} / CAST(count(*) AS BIGINT) AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_base=sql_exact_money_sum("l_extendedprice"),
+        sum_disc=sql_exact_money_sum(REVENUE, 10_000),
+    ),
+    doc="TPC-H Q1 shape — grouped pricing summary. Map-side partial "
+    "aggregation reduces the shuffle to |groups| rows per task; quantities "
+    "sum as exact integers, money as exact cents.",
+)
+def tpch_q1_pricing_summary(spark, sf):
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    qty_sum = F.sum(F.col("l_quantity").cast("long"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qty_sum.alias("sum_qty"),
+        exact_money_sum("l_extendedprice").alias("sum_base_price"),
+        exact_money_sum(revenue, 10_000).alias("sum_disc_price"),
+        (qty_sum / n).alias("avg_qty"),
+        (exact_money_sum("l_extendedprice") / n).alias("avg_price"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3_top_revenue_orders",
+    """
+    SELECT l_orderkey, {rev} AS revenue, o_orderdate, o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus <> 'F'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """.format(rev=sql_exact_money_sum(REVENUE, 10_000)),
+    doc="TPC-H Q3 shape — top-10 orders by revenue: join + group + top-k. "
+    "TakeOrderedAndProject keeps only 10 rows per task after the aggregate.",
+)
+def tpch_q3_top_revenue_orders(spark, sf):
+    lineitem = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") != "F")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_money_sum(revenue, 10_000).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "w_moving_avg",
+    """
+    SELECT event_id, user_id, ts,
+           (CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+              / 100.0)
+             / (COUNT(value) OVER w) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Rolling mean over a row frame — the moving-average query the "
+    "reference's README positions the data for (§2.11). Window sums use "
+    "exact integer cents so frame-accumulation order is irrelevant.",
+)
+def w_moving_avg(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            (F.sum(cents("value")).over(w) / F.lit(100.0))
+            / F.count("value").over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@query(
+    "w_lag_pct_change",
+    """
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           (value - lag(value) OVER w) / nullif(lag(value) OVER w, 0)
+             AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/pct_change — per-key return series (§2.11). Per-row arithmetic "
+    "on identical doubles is bit-deterministic; nullif guards zero "
+    "denominators identically in both engines.",
+)
+def w_lag_pct_change(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        ((F.col("value") - prev) / F.nullif(prev, F.lit(0.0))).alias("pct_change"),
+    )
+
+
+@query(
+    "w_rank_in_group",
+    """
+    SELECT n_name, c_custkey, spend, rnk FROM (
+      SELECT n_name, c_custkey,
+             {spend} AS spend,
+             CAST(rank() OVER (PARTITION BY n_name
+                               ORDER BY {spend} DESC, c_custkey) AS INTEGER)
+               AS rnk
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, c_custkey)
+    WHERE rnk <= 3
+    """.format(spend=sql_exact_money_sum("o_totalprice")),
+    doc="rank() over grouped aggregate — top spenders per nation. Aggregate "
+    "shuffle on (nation, customer), then a window shuffle on nation only; "
+    "tie-broken on the key for determinism.",
+)
+def w_rank_in_group(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    spend = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(exact_money_sum("o_totalprice").alias("spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "spend", "rnk")
+    )
+
+
+@query(
+    "w_sessionize",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ), flags AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM t)
+    SELECT user_id, event_id,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+    FROM flags
+    """,
+    doc="Gap-based sessionization (30-min inactivity) via lag + running sum "
+    "— the batch twin of Structured Streaming session windows "
+    "(streaming/incremental.py). Single shuffle on user_id shared by both "
+    "windows; integer microsecond math, no float drift.",
+)
+def w_sessionize(spark, sf):
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_id", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_us").isNull()
+                | ((F.col("us") - F.col("prev_us")) > 1_800_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("new_sess").over(cum).alias("session_id"),
+        )
+    )
+
+
+@query(
+    "g_rollup_priority",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {total} AS total_value
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """.format(total=sql_exact_money_sum("o_totalprice")),
+    doc="ROLLUP grouping sets — subtotal/grand-total lattice in one pass "
+    "(Expand + single aggregate exchange), beyond the reference's surface "
+    "(§2.11).",
+)
+def g_rollup_priority(spark, sf):
+    return (
+        load_table(spark, sf, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_money_sum("o_totalprice").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "set_ops_high_value",
+    """
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="Set operation (INTERSECT) — §2.11 gap filled; Spark plans it as a "
+    "left-semi join over distinct inputs.",
+)
+def set_ops_high_value(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    high = orders.filter(F.col("o_totalprice") > 300_000).select("o_custkey")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return high.intersect(open_)

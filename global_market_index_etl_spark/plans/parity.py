@@ -1,0 +1,486 @@
+"""Parity queries — every operator of the reference's surface (SURVEY.md §2)
+mapped onto the driver's star schema, each with its DuckDB oracle.
+
+Scale notes apply throughout: dimension joins are explicit broadcasts (no
+fact shuffle), aggregations rely on partial (map-side) combine, filters and
+projections sit directly above the parquet scan so Catalyst pushes them into
+the reader, and float sums use the exact integer-scaled form
+(functions/exact.py) so results are partitioning-independent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..functions.exact import exact_money_sum, sql_exact_money_sum
+from ..operators.quality import key_ranges, null_counts
+from ..operators.reshape import unpivot
+from ..operators.upsert import changed_rows, dedup_keyed, fk_violations, upsert
+from ..sources import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Q1-Q4 — the reference's documented SQL query surface (README.md:316-357,
+# postgres_writer.py:371-377)
+
+
+@query(
+    "q1_top5_recent",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders WHERE o_custkey = 42
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5
+    """,
+    doc="Q1 — 5 most recent rows for one key (README.md:322-331). Catalyst "
+    "plans TakeOrderedAndProject: per-partition top-5 then a 5-row driver "
+    "merge — no global sort at any scale.",
+)
+def q1_top5_recent(spark, sf):
+    return (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_custkey") == 42)
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(5)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "q2_day_slice",
+    """
+    SELECT event_id, ts, event_type, value
+    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+    """,
+    doc="Q2 — one-day slice via date-function predicate (README.md:336-345). "
+    "On a date-partitioned table this prunes to one partition.",
+)
+def q2_day_slice(spark, sf):
+    return (
+        load_table(spark, sf, "events")
+        .filter(F.to_date("ts") == F.lit("2024-01-02").cast("date"))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "q3_catalog",
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY n_name
+    """,
+    doc="Q3 — dimension catalog scan + order (README.md:350-357), with the "
+    "region lookup as a broadcast join.",
+)
+def q3_catalog(spark, sf):
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .orderBy("n_name")
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "q4_per_key_topn",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS INTEGER) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Q4 generalized — latest-N per key via ranking window "
+    "(postgres_writer.py:371-377). One hash shuffle on the key; at scale "
+    "this beats a global sort+limit by never materializing a total order.",
+)
+def q4_per_key_topn(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY.md §2.6)
+
+
+@query(
+    "j1_enrich_broadcast",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, n_name, r_name
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+    doc="J1 — fact⟕dim metadata enrichment (standardizer.py:150-186) as "
+    "chained broadcast hash joins; the fact side never shuffles.",
+)
+def j1_enrich_broadcast(spark, sf):
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+            "left",
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select("c_custkey", "c_name", "c_mktsegment", "n_name", "r_name")
+    )
+
+
+@query(
+    "j2_rate_lookup_join",
+    """
+    WITH rates AS (
+      SELECT event_type,
+             {rate_sum} / CAST(count(*) AS BIGINT) AS rate
+      FROM events WHERE event_type <> 'click' GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.event_type = 'click' THEN 1.0 ELSE r.rate END AS rate,
+           e.value * (CASE WHEN e.event_type = 'click' THEN 1.0 ELSE r.rate END)
+             AS value_conv
+    FROM events e LEFT JOIN rates r ON e.event_type = r.event_type
+    """.format(rate_sum=sql_exact_money_sum("value")),
+    doc="J2+F1 — the reference's per-row dict rate lookup "
+    "(currency_converter.py:156-168) as a broadcast left join against a "
+    "derived rates dimension, with the same-currency identity shortcut as "
+    "when/otherwise. Replaces O(rows) Python with one hash join.",
+)
+def j2_rate_lookup_join(spark, sf):
+    events = load_table(spark, sf, "events")
+    rates = (
+        events.filter(F.col("event_type") != "click")
+        .groupBy("event_type")
+        .agg((exact_money_sum("value") / F.count(F.lit(1))).alias("rate"))
+    )
+    rate = F.when(F.col("event_type") == "click", F.lit(1.0)).otherwise(
+        F.col("rate")
+    )
+    return (
+        events.join(F.broadcast(rates), on="event_type", how="left")
+        .withColumn("rate", rate)
+        .withColumn("value_conv", F.col("value") * F.col("rate"))
+        .select("event_id", "event_type", "value", "rate", "value_conv")
+    )
+
+
+@query(
+    "j3_anti_fk_check",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.event_type = 'purchase' AND e.user_id = c.c_custkey)
+    """,
+    doc="J3 — referential/coverage check as a left anti join "
+    "(postgres_writer.py:87-91 FK, enforced relationally): keys on the left "
+    "with no match on the right. Broadcast anti join ⇒ no fact shuffle.",
+)
+def j3_anti_fk_check(spark, sf):
+    customer = load_table(spark, sf, "customer")
+    purchasers = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_custkey"))
+        .distinct()
+    )
+    return fk_violations(
+        customer, purchasers, "c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Dedup / upsert (SURVEY.md §2.2, §2.7)
+
+
+@query(
+    "d1_distinct_pairs",
+    """
+    SELECT DISTINCT event_type,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS rate_date
+    FROM events
+    """,
+    doc="D1 — distinct (key, date) pairs below an expensive operator "
+    "(currency_converter.py:149-154). Partial-aggregate distinct: map-side "
+    "combine shrinks the shuffle to the pair cardinality.",
+)
+def d1_distinct_pairs(spark, sf):
+    return (
+        load_table(spark, sf, "events")
+        # date rendered as ISO string: engine-neutral key representation
+        .select("event_type", F.to_date("ts").cast("string").alias("rate_date"))
+        .distinct()
+    )
+
+
+@query(
+    "d2_dedup_latest",
+    """
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    doc="D2 — deterministic keyed dedup (main.py:117) via row_number with a "
+    "total-order tie-break, replacing pandas' arbitrary-survivor "
+    "drop_duplicates.",
+)
+def d2_dedup_latest(spark, sf):
+    return dedup_keyed(
+        load_table(spark, sf, "events"),
+        ["user_id"],
+        [F.desc("ts"), F.desc("event_id")],
+    ).select("user_id", "event_id", "ts", "event_type")
+
+
+@query(
+    "d3_upsert_lww",
+    """
+    WITH unioned AS (
+      SELECT *, 0 AS src FROM events WHERE event_id < 7000
+      UNION ALL
+      SELECT *, 1 AS src FROM events WHERE event_id >= 5000
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, src DESC) AS rn
+      FROM unioned)
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM ranked WHERE rn = 1
+    """,
+    doc="D3/K3 — idempotent last-write-wins upsert of an overlapping batch "
+    "(postgres_writer.py:234-259 ON CONFLICT DO UPDATE) as the window-dedup "
+    "rewrite: one shuffle on the upsert key; overlapping rows resolve "
+    "identically on re-run.",
+)
+def d3_upsert_lww(spark, sf):
+    events = load_table(spark, sf, "events")
+    target = events.filter(F.col("event_id") < 7000)
+    updates = events.filter(F.col("event_id") >= 5000)
+    return upsert(
+        target, updates, ["user_id", "event_type"], order_column="ts"
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "k4_changed_rows",
+    """
+    WITH cur AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ), incoming AS (
+      SELECT o_orderkey, round(o_totalprice) AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT i.o_orderkey, i.o_totalprice, i.o_orderstatus
+    FROM incoming i JOIN cur c ON i.o_orderkey = c.o_orderkey
+    WHERE i.o_totalprice IS DISTINCT FROM c.o_totalprice
+       OR i.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+    """,
+    doc="K4 — changed-row detection (the IS DISTINCT FROM update trigger, "
+    "postgres_writer.py:52-73) as a null-safe join predicate; drives "
+    "updated_at maintenance in a MERGE.",
+)
+def k4_changed_rows(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    cur = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    incoming = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.round("o_totalprice").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return changed_rows(cur, incoming, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Reshape / projection / cast (SURVEY.md §2.3, §2.4)
+
+
+@query(
+    "r1_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS field, l_quantity AS value
+      FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    doc="R1 — wide→long unpivot (the pandas stack at standardizer.py:50-75) "
+    "via DataFrame.unpivot: a narrow generator projection, one scan, no "
+    "shuffle (the UNION ALL oracle form would scan 4×).",
+)
+def r1_unpivot_measures(spark, sf):
+    return unpivot(
+        load_table(spark, sf, "lineitem"),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "field",
+        "value",
+    )
+
+
+@query(
+    "p3_cast_coerce",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_value,
+           TRY_CAST(event_type AS DOUBLE) AS bad_cast,
+           CAST(value AS VARCHAR) AS value_str
+    FROM events
+    """,
+    doc="P3 — coercing casts (pd.to_numeric(errors='coerce'), "
+    "standardizer.py:188-221): non-ANSI cast maps unparseable → NULL, "
+    "matching TRY_CAST; plus regexp field extraction kept JVM-side.",
+)
+def p3_cast_coerce(spark, sf):
+    return load_table(spark, sf, "events").select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k_value"),
+        F.col("event_type").cast("double").alias("bad_cast"),
+        F.col("value").cast("string").alias("value_str"),
+    )
+
+
+@query(
+    "p_string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS upper_name,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           substr(c_name, 1, 5) AS name_prefix,
+           c_mktsegment || ':' || c_name AS seg_name
+    FROM customer
+    """,
+    doc="String scalar functions (the reference's implicit string ops, "
+    "SURVEY.md §2.11) — all whole-stage-codegen expressions.",
+)
+def p_string_funcs(spark, sf):
+    return load_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("seg_name"),
+    )
+
+
+@query(
+    "p_date_funcs",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {total} AS total_value
+    FROM orders GROUP BY 1, 2
+    """.format(total=sql_exact_money_sum("o_totalprice")),
+    doc="Date-part functions + grouped aggregate (strftime at "
+    "currency_converter.py:41 → date_format/extract). Partial aggregation "
+    "keeps the shuffle at group-cardinality rows.",
+)
+def p_date_funcs(spark, sf):
+    return (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_money_sum("o_totalprice").alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters (SURVEY.md §2.5)
+
+
+@query(
+    "f5_in_list_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_shipdate >= TIMESTAMP '2021-06-01'
+    """,
+    doc="F3-F5 — equality/IN/range predicates (README.md:329-344, "
+    "postgres_writer.py:373). All push down into the parquet scan "
+    "(PushedFilters) — at 100 TB this is the difference between reading "
+    "row groups and reading the lake.",
+)
+def f5_in_list_filter(spark, sf):
+    return (
+        load_table(spark, sf, "lineitem")
+        .filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("2021-06-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# QC aggregates (SURVEY.md §2.9)
+
+
+@query(
+    "a1_null_counts",
+    """
+    SELECT CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS text_nulls,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS lang_nulls,
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS source_nulls,
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_chars_nulls
+    FROM documents
+    """,
+    doc="A1 — per-column null counts in a single pass "
+    "(standardizer.py:253-258): one scan, scalar shuffle.",
+)
+def a1_null_counts(spark, sf):
+    return null_counts(
+        load_table(spark, sf, "documents"),
+        ["text", "lang", "source", "n_chars"],
+    )
+
+
+@query(
+    "a3_key_ranges",
+    """
+    SELECT event_type, min(ts) AS min_ts, max(ts) AS max_ts,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+    doc="A3 — per-key time-range probe (notebook data-range check): min/max "
+    "are exact under any execution order.",
+)
+def a3_key_ranges(spark, sf):
+    return key_ranges(load_table(spark, sf, "events"), "event_type", "ts")
+
+
+@query(
+    "a4_distinct_values",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    doc="A4 — unique-value scan of one column (standardizer.py:304-312).",
+)
+def a4_distinct_values(spark, sf):
+    return load_table(spark, sf, "customer").select("c_mktsegment").distinct()

@@ -1,0 +1,325 @@
+"""Training-data extension queries: text analysis, dedup, similarity search
+(driver north star; first-class alongside SURVEY.md §2).
+
+Oracle strategy: operators built from portable primitives (regexp, md5,
+integer counts, double arithmetic) carry full DuckDB SQL oracles. Operators
+whose signatures depend on Spark-internal hashing (MinHash/SimHash via
+xxhash64) or on sampled hyperplanes (LSH ANN) are declared rows-only —
+their *verify* stages (exact Jaccard, exact cosine) are the oracle-checked
+queries, so the approximate paths are validated against the exact ones in
+tests instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..operators import text as T
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..operators.similarity import cosine_topk, embedding_neardup_pairs, lsh_cosine_topk
+from ..sources import load_table
+from .registry import query
+
+_SQL_WORDS = (
+    "CASE WHEN length(trim({col})) = 0 THEN [] "
+    "ELSE string_split_regex(trim({col}), '\\s+') END"
+)
+
+
+@query(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_WORDS.format(col="text")}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
+             AS n_bpe_ish
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex pieces. Pure "
+    "codegen expressions — scan-speed at any scale.",
+)
+def text_token_count(spark, sf):
+    return load_table(spark, sf, "documents").select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len({_SQL_WORDS.format(col="text")}) AS INTEGER) AS n_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars_m,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER)
+               AS n_punct,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\\b(the|a|an|and|of|to|in|is|for|on|with)\\b')) AS INTEGER)
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars_m AS DOUBLE), 0.0)
+             AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0)
+             AS stopword_ratio,
+           0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * least(coalesce(CAST(n_stop AS DOUBLE)
+                 / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0) * 2.5, 1.0)
+           + 0.2 * (1.0 - least(coalesce(CAST(n_punct AS DOUBLE)
+                 / nullif(CAST(n_chars_m AS DOUBLE), 0.0), 0.0) * 5.0, 1.0))
+             AS quality_score
+    FROM feat
+    """,
+    doc="Quality scoring from length/punctuation/stopword ratios — per-row "
+    "double arithmetic, engine-portable bit-for-bit.",
+)
+def text_quality_score(spark, sf):
+    from ..operators.text import quality_score
+
+    return quality_score(load_table(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+@query(
+    "text_language_id",
+    """
+    WITH c AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b'))
+          AS c_en,
+        len(regexp_extract_all(lower(text),
+            '\\b(le|la|les|et|un|une|est|dans)\\b')) AS c_fr,
+        len(regexp_extract_all(lower(text),
+            '\\b(el|los|las|y|que|es|en|un)\\b')) AS c_es,
+        len(regexp_extract_all(lower(text),
+            '\\b(der|die|das|und|ist|ein|nicht)\\b')) AS c_de,
+        len(regexp_extract_all(text, '[{cjk_lo}-{cjk_hi}]')) AS c_zh
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN c_zh > 0 THEN 'zh'
+           WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+           WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+           WHEN c_es >= c_de THEN 'es'
+           ELSE 'de' END AS lang_pred
+    FROM c
+    """.format(cjk_lo=chr(0x4E00), cjk_hi=chr(0x9FFF)),
+    doc="Language-ID heuristic: CJK short-circuit then marker-word argmax "
+    "with a fixed tie order. (Fixture text is synthetic English-vocabulary "
+    "salad, so 'en' dominates — the operator, not label recovery, is under "
+    "test.)",
+)
+def text_language_id(spark, sf):
+    return T.language_id(load_table(spark, sf, "documents")).select(
+        "doc_id", "lang_pred"
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 of lowercased, whitespace-collapsed "
+    "text — portable (same hex in DuckDB), unlike Spark-internal hashes.",
+)
+def doc_fingerprint(spark, sf):
+    return load_table(spark, sf, "documents").select(
+        "doc_id", T.fingerprint_md5("text").alias("fingerprint")
+    )
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on the fingerprint, min-id survivor. One "
+    "partial-aggregated shuffle; the baseline for every near-dup method.",
+)
+def dedup_exact(spark, sf):
+    return exact_dedup(load_table(spark, sf, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM pos a
+      JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_1, id_2, n_common,
+           n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
+                             - n_common) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id_1 = s1.doc_id
+    JOIN sizes s2 ON id_2 = s2.doc_id
+    WHERE n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
+                            - n_common) >= 0.8
+    """,
+    doc="n-gram Jaccard near-dup pairs (exact): 3-word shingles, self-join "
+    "on shingle (co-occurrence only — no quadratic pair blowup), integer "
+    "set sizes ⇒ portable values. The verify stage of MinHash-LSH reuses "
+    "this kernel.",
+)
+def dedup_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), n=3, threshold=0.8
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    None,  # xxhash64 signatures are Spark-internal — verified in tests
+    doc="MinHash+LSH near-dup: shingle→32 minhashes→8 bands→bucket join→"
+    "exact-Jaccard verify. Candidate generation is linear in docs×bands — "
+    "the 100 TB dedup path. Tests assert pair-set equality with the exact "
+    "Jaccard oracle query at threshold 0.8.",
+)
+def dedup_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), n=3, threshold=0.8
+    )
+
+
+@query(
+    "dedup_simhash",
+    None,  # xxhash64-based signature — validated in tests
+    doc="SimHash near-dup: 64-bit per-doc signature (per-bit majority over "
+    "word hashes), pigeonhole-blocked Hamming join (dist ≤ 3 ⇒ one of 4 "
+    "16-bit blocks matches exactly). Cheapest near-dup tier.",
+)
+def dedup_simhash(spark, sf):
+    return simhash_near_pairs(load_table(spark, sf, "documents"), max_hamming=3)
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             unnest(q.embedding) AS qv, unnest(e.embedding) AS ev
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.vec_id
+    ), dots AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dot,
+             SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq,
+             SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ne
+      FROM pairs GROUP BY 1, 2
+    ), sims AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cos_sim
+      FROM dots
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+      FROM sims)
+    SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
+    """,
+    doc="Brute-force cosine top-k (exact ANN baseline): probes broadcast "
+    "against the corpus, dot products via zip_with/aggregate (JVM, no "
+    "Python), rank on rounded similarity + id tie-break for deterministic "
+    "top-k sets. The LSH variant (ann_lsh_topk) is the scale path.",
+)
+def ann_cosine_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, probes, k=5)
+
+
+@query(
+    "ann_lsh_topk",
+    None,  # hyperplane sampling is engine-side — recall checked in tests
+    doc="ANN top-k via multi-table random-hyperplane LSH (16 tables × 6 "
+    "bits): probes score only colliding buckets with the exact kernel. "
+    "Tests measure recall against ann_cosine_topk.",
+)
+def ann_lsh_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, probes, k=5, bits=6, tables=16)
+
+
+@query(
+    "emb_neardup_cosine",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+             unnest(a.embedding) AS va, unnest(b.embedding) AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ), dots AS (
+      SELECT id_1, id_2,
+             SUM(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)) AS dot,
+             SUM(CAST(va AS DOUBLE) * CAST(va AS DOUBLE)) AS na,
+             SUM(CAST(vb AS DOUBLE) * CAST(vb AS DOUBLE)) AS nb
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT id_1, id_2, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+    FROM dots
+    WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.95
+    """,
+    doc="Embedding-cosine near-duplicate pairs (cos ≥ 0.95), exact "
+    "all-pairs form. At scale the same kernel runs behind LSH candidate "
+    "buckets (operators/similarity.py).",
+)
+def emb_neardup_cosine(spark, sf):
+    return embedding_neardup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.95
+    )
+
+
+@query(
+    "mm_binary_stats",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+    doc="Multimodal plumbing, SQL-checkable slice: opaque payloads as "
+    "binary with typed metadata — byte length + content hash. The decode/"
+    "feature-extract stages are mapInPandas stubs (operators/multimodal.py) "
+    "exercised in tests.",
+)
+def mm_binary_stats(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_hash"),
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+Session-level invariants required for parity with the reference
+(/root/reference, see SURVEY.md §1.2, §7 step 0):
+
+- ``spark.sql.session.timeZone=UTC``: the reference normalizes every
+  timestamp to UTC (standardizer.py:125-138) and stores TIMESTAMPTZ; pinning
+  the session tz makes Spark timestamps compare as UTC instants.
+- ``spark.sql.ansi.enabled=false``: the reference casts with
+  ``pd.to_numeric(errors="coerce")`` (standardizer.py:188-221) — bad values
+  become NULL, not errors. Non-ANSI Spark casts have the same
+  coerce-to-null semantics.
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver's test parquet
+  stores TIMESTAMP(NANOS) which Spark has no native type for; read as long
+  and convert in the source layer (sources/tables.py).
+
+Scale posture (tested on local[N], designed for a 1000-executor cluster):
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting,
+  dynamic broadcast conversion) so plans re-optimize at real data sizes.
+- Arrow execution on, so any Pandas-UDF fallback path is batch-vectorized.
+- ``shuffle.partitions`` defaults to a small local value but is an env knob
+  (SPARK_GRAFT_SHUFFLE_PARTITIONS); on a real cluster set ≈ 2-3× total cores
+  or rely on AQE coalescing from a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "gmie-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession with the invariant config."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # correctness invariants
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # scale posture
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
