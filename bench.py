@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "headline_suite_wall", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is materialized through the `noop` sink — full execution of the
+physical plan (scan→shuffle→agg) with no driver-side collect cost, i.e. the
+number a cluster job would see. A small warm-up query first absorbs one-time
+JVM/codegen startup so per-query numbers measure the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from global_market_index_etl_spark.plans import REGISTRY  # noqa: E402
+from global_market_index_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the queries a user of the reference would actually run
+# (ETL-shaped joins/aggregates, its documented query surface) plus the
+# training-data operators — weighted toward plans that stress shuffle/join
+# strategy rather than trivial scans.
+HEADLINE = [
+    "flagship_regional_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_revenue_orders",
+    "q1_top5_recent",
+    "q4_per_key_topn",
+    "j1_enrich_broadcast",
+    "j2_rate_lookup_join",
+    "d3_upsert_lww",
+    "w_sessionize",
+    "w_moving_avg",
+    "g_rollup_priority",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_cosine_topk",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="gmie-bench")
+    # warm-up: one tiny end-to-end job (session init, codegen, parquet footer)
+    REGISTRY["q3_catalog"].spark(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = REGISTRY[name]
+        t0 = time.perf_counter()
+        qd.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

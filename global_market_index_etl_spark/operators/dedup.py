@@ -276,15 +276,18 @@ def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 3,
-    blocks: int = 4,
+    max_hamming: int = 7,
+    blocks: int = 8,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole blocking: split the 64-bit signature into ``blocks`` 16-bit
+    Pigeonhole blocking: split the 64-bit signature into ``blocks`` equal
     blocks; any pair within distance ≤ blocks-1 shares at least one exact
     block ⇒ self-join per (block index, block value) instead of all-pairs.
+    ``max_hamming`` must stay < ``blocks`` for the blocking to be lossless.
     """
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole blocking requires max_hamming < blocks")
     sigs = simhash64(df, id_col, text_col)
     width = 64 // blocks
     mask = (1 << width) - 1

@@ -1,0 +1,190 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines (driver north star).
+
+Design: payloads are opaque ``binary`` columns + typed metadata columns
+(media_type, width/height/duration, codec). All Spark-side plumbing —
+schemas, partitioning, Arrow batch shape, UDF signatures — is real and
+tested; the actual codec work is stubbed because decode libraries
+(PIL/ffmpeg/torchaudio) are not in this container:
+
+- ``decode_stub=False`` paths raise ``NotImplementedError`` with the exact
+  library call they would make — drop-in replacement point.
+- ``decode_stub=True`` paths run a deterministic fake decode (byte
+  histogram as "pixels") so the batch plumbing is exercisable end-to-end.
+
+Everything runs through ``mapInPandas``: Arrow-batched, streaming per
+partition (never materializes a partition in memory), and the iterator
+signature lets one input row yield many output rows (frame sampling).
+At 100 TB: binary payloads dominate partition size — repartition by a
+size-aware key first (``repartition_for_payloads``) so one Arrow batch of
+videos does not blow executor memory; metadata-only predicates are pushed
+down *before* payload bytes are ever read (parquet column pruning keeps the
+binary column unscanned for filtered-out rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", StringType(), True),  # hex-encoded feature vec
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def as_media_table(
+    df: DataFrame, id_col: str, payload_col: str, media_type: str
+) -> DataFrame:
+    """Lift any (id, binary) pair into the canonical media schema."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("duration_s"),
+    )
+
+
+def repartition_for_payloads(
+    df: DataFrame, target_bytes_per_partition: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Size-aware repartition: binary rows are huge; row-count-based
+    partitioning makes skewed Arrow batches. Uses octet_length to salt into
+    byte-balanced partitions (cheap: length only, payload not decoded)."""
+    with_sz = df.withColumn("__sz", F.octet_length("payload").cast("long"))
+    # bucket id ≈ running size / target is not expressible without a global
+    # scan; hash-salt proportional to size class instead (log2 size buckets)
+    return (
+        with_sz.withColumn(
+            "__size_class", F.ceil(F.log2(F.greatest(F.col("__sz"), F.lit(1))))
+        )
+        .repartition(F.col("__size_class"), F.col("media_id"))
+        .drop("__sz", "__size_class")
+    )
+
+
+def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    Stub feature: 16-bin byte histogram, hex-encoded — deterministic, so
+    tests can assert exact values. Real implementation point: replace
+    ``_fake_decode`` with PIL/librosa calls (signature unchanged).
+    """
+
+    def _fake_decode(payload: bytes) -> str:
+        hist = [0] * 16
+        for b in payload:
+            hist[b >> 4] += 1
+        return "".join(f"{min(h, 255):02x}" for h in hist)
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real decode path: PIL.Image.open(io.BytesIO(payload)) / "
+                    "soundfile.read(...) — codec libs not in this container"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(
+                        lambda p: len(p) if p is not None else None
+                    ),
+                    "feature": payloads.map(
+                        lambda p: _fake_decode(p) if p is not None else None
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling: one input row → many frame rows (iterator shape).
+
+    Stub "frames" are byte slices at a fixed stride — the row-expansion
+    plumbing (the part Spark cares about) is identical to real video
+    decoding with a frame stride.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real path: ffmpeg/pyav keyframe iterator per payload"
+                )
+            out_ids, out_idx, out_payload = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_payload.append(
+                        bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "frame_idx": out_idx,
+                    "frame_payload": out_payload,
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_images(df: DataFrame) -> DataFrame:
+    """Image resize — pure stub: requires PIL, not present. The signature
+    and schema are the contract; calling it raises with the exact
+    replacement recipe."""
+    raise NotImplementedError(
+        "resize_images requires PIL: mapInPandas batch of "
+        "Image.open(io.BytesIO(p)).resize((w, h)).tobytes() over MEDIA_SCHEMA "
+        "→ same schema with width/height updated"
+    )

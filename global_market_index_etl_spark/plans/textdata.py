@@ -216,11 +216,11 @@ def dedup_minhash_lsh(spark, sf):
     "dedup_simhash",
     None,  # xxhash64-based signature — validated in tests
     doc="SimHash near-dup: 64-bit per-doc signature (per-bit majority over "
-    "word hashes), pigeonhole-blocked Hamming join (dist ≤ 3 ⇒ one of 4 "
-    "16-bit blocks matches exactly). Cheapest near-dup tier.",
+    "word hashes), pigeonhole-blocked Hamming join (dist ≤ 7 ⇒ one of 8 "
+    "8-bit blocks matches exactly). Cheapest near-dup tier.",
 )
 def dedup_simhash(spark, sf):
-    return simhash_near_pairs(load_table(spark, sf, "documents"), max_hamming=3)
+    return simhash_near_pairs(load_table(spark, sf, "documents"), max_hamming=7)
 
 
 @query(

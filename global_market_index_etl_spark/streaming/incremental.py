@@ -1,0 +1,104 @@
+"""Incremental/scheduled ingest as Structured Streaming (SURVEY.md §7 step 5).
+
+The reference's production mode is an Airflow cron every 6 h re-fetching an
+overlapping 2-day window and upserting (market_data_dag.py:15, README.md:166)
+— a micro-batch incremental ingest. The Spark-native re-expression:
+
+    readStream(source dir) → transforms → writeStream(
+        trigger=availableNow, foreachBatch=upsert)
+
+``Trigger.AvailableNow`` drains everything new since the last checkpoint and
+exits — exactly one cron tick, but with exactly-once bookkeeping from the
+checkpoint instead of the reference's "re-fetch a window and hope the upsert
+dedups" (which the upsert still guarantees as defense in depth).
+
+Watermarked windowed aggregation is included for late-data handling the
+reference never had: with ``withWatermark``, state for windows older than
+the watermark is dropped, bounding memory at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..operators.upsert import upsert
+
+
+def available_now_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    target_read: Callable[[], DataFrame | None],
+    target_write: Callable[[DataFrame], None],
+    key_columns: list[str],
+    order_column: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """One incremental tick: drain new files, transform, upsert into target.
+
+    ``target_read``/``target_write`` abstract the table storage (parquet
+    dir, Delta table, in-memory for tests). The foreachBatch body is the
+    same window-dedup upsert as the batch path — one code path for both
+    modes, the property the reference approximates with its cron+PK-upsert.
+    """
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+        current = target_read()
+        if current is None:
+            from ..operators.upsert import dedup_keyed
+
+            order = [F.col(order_column).desc()] if order_column else None
+            merged = dedup_keyed(batch, key_columns, order)
+        else:
+            merged = upsert(current, batch, key_columns, order_column)
+        target_write(merged)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle_batch)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str | None = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the watermark
+    are dropped and window state is garbage-collected (bounded memory).
+
+    Works on both batch and streaming DataFrames (same plan), which is how
+    tests validate the streaming semantics deterministically.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    df = events.withColumn("__ts", ts).withWatermark("__ts", watermark)
+    keys = [F.window("__ts", window_duration).alias("win")]
+    if key_col:
+        keys.append(F.col(key_col))
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *([F.col(key_col)] if key_col else []),
+            "n_events",
+        )
+    )

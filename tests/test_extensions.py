@@ -1,0 +1,184 @@
+"""Tests for the training-data extension operators: approximate methods
+validated against their exact counterparts, multimodal plumbing, streaming
+semantics."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from global_market_index_etl_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from global_market_index_etl_spark.operators.multimodal import (
+    as_media_table,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from global_market_index_etl_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from global_market_index_etl_spark.operators.text import language_id, quality_score
+from global_market_index_etl_spark.sources import load_table
+from global_market_index_etl_spark.streaming.incremental import (
+    available_now_upsert,
+    windowed_event_counts,
+)
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    """At threshold 0.8 with b=8,r=4 (P(candidate|s=0.8)≈0.986) the LSH
+    pipeline must recover exactly the exact-Jaccard pair set on this data."""
+    exact = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    approx = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert set(approx) == set(exact)
+    for pair, j in approx.items():
+        assert j == exact[pair]  # verify stage recomputes the exact value
+
+
+def test_simhash_finds_planted_neardups(spark, docs):
+    pairs = simhash_near_pairs(docs, max_hamming=7)
+    exact = {
+        (r.id_1, r.id_2)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    got = {(r.id_1, r.id_2) for r in pairs.collect()}
+    # SimHash is coarse; it must still see the overwhelming majority of
+    # ≥0.9-Jaccard planted duplicates
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_ann_lsh_recall(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_cosine_topk(emb, probes, k=5, bits=6, tables=16).collect()
+    }
+    # random embeddings ⇒ top-5 sims ≈0.35-0.5; multi-table LSH theory gives
+    # ~0.6 candidate prob there — require a sane floor, not perfection
+    assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_language_id_deterministic_and_total(spark, docs):
+    out = language_id(docs).select("doc_id", "lang_pred")
+    assert out.filter(F.col("lang_pred").isNull()).count() == 0
+    assert out.count() == docs.count()
+
+
+def test_quality_score_bounded(spark, docs):
+    out = quality_score(docs)
+    bad = out.filter(
+        (F.col("quality_score") < 0.0) | (F.col("quality_score") > 1.0)
+    )
+    assert bad.count() == 0
+
+
+def test_multimodal_feature_extraction_plumbing(spark, docs):
+    media = as_media_table(
+        docs.withColumn("payload", F.encode("text", "UTF-8")),
+        "doc_id",
+        "payload",
+        "image",
+    )
+    feats = extract_features(media, decode_stub=True)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r = rows[0]
+    assert r.n_bytes > 0 and len(r.feature) == 32  # 16 bins × 2 hex chars
+    # determinism: same input ⇒ same feature
+    again = {x.media_id: x.feature for x in extract_features(media).collect()}
+    assert all(again[x.media_id] == x.feature for x in rows)
+
+
+def test_multimodal_frame_sampling_expands_rows(spark, docs):
+    media = as_media_table(
+        docs.withColumn("payload", F.encode("text", "UTF-8")),
+        "doc_id",
+        "payload",
+        "video",
+    )
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    per_doc = frames.groupBy("media_id").count()
+    assert per_doc.filter(F.col("count") > 1).count() > 0  # 1→N expansion
+    assert frames.filter(F.col("frame_idx") >= 4).count() == 0
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        resize_images(None)
+
+
+def test_windowed_counts_batch_equivalence(spark):
+    events = load_table(spark, SF_SMALL, "events")
+    out = windowed_event_counts(events, window_duration="6 hours")
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == events.count()  # batch mode: nothing late, all counted
+    assert out.filter(
+        F.col("window_end") <= F.col("window_start")
+    ).count() == 0
+
+
+def test_available_now_streaming_upsert(spark):
+    """One AvailableNow tick over a parquet source dir upserts into the
+    target exactly like the batch path (same code path by construction)."""
+    events = load_table(spark, SF_SMALL, "events").limit(200).cache()
+    state: dict[str, object] = {"df": None}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        events.write.parquet(src)
+        schema = events.schema
+
+        q = available_now_upsert(
+            spark,
+            src,
+            schema,
+            ckpt,
+            target_read=lambda: state["df"],
+            target_write=lambda df: state.__setitem__(
+                "df", spark.createDataFrame(df.collect(), df.schema)
+            ),
+            key_columns=["user_id", "event_type"],
+            order_column="ts",
+        )
+        q.awaitTermination(120)
+        merged = state["df"]
+        assert merged is not None
+        # one survivor per key, and it is the latest ts in the batch
+        expected = (
+            events.groupBy("user_id", "event_type")
+            .agg(F.max("ts").alias("ts"))
+            .count()
+        )
+        assert merged.count() == expected
