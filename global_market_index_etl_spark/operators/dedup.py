@@ -20,12 +20,47 @@ exact Jaccard verifier has a full SQL oracle (plans/textdata.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-from .text import fingerprint_md5, word_shingles
+from .text import fingerprint_md5, shingles_from_words, words
 
 # Mersenne prime 2^61-1: universal-hash family h_i(x) = (a_i*x + b_i) mod p
 _MERSENNE = (1 << 61) - 1
+
+
+def _parallelize_small(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across all cores before explode-heavy work.
+
+    A small table arrives as one or two input splits (single parquet file ⇒
+    single task), so the expensive tokenize/explode stage runs on one core.
+    Repartition up to ``defaultParallelism`` — one cheap shuffle of (id, text)
+    amortized over ~50 exploded rows per doc. At real scale the scan already
+    has ≥ defaultParallelism splits and this is a no-op (no shuffle added).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly compute a subtree that several downstream branches reuse.
+
+    Self-join + size-join consumers re-derive the shingle/signature table
+    once per branch — Catalyst's ReuseExchange does NOT fire across the
+    distinct/join partitioning mix (measured: 8 parquet scans, 22 exchanges,
+    0 reuses in the exact-Jaccard plan). One MEMORY_AND_DISK persist turns
+    that into a single computation; at cluster scale the same role is played
+    by persisting or checkpointing the shingle table before the pair join —
+    standard practice in production dedup pipelines (spills to disk, never
+    OOMs). The eager count avoids concurrent branch stages double-computing
+    a cold cache.
+    """
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
 
 
 def exact_dedup(
@@ -50,10 +85,20 @@ def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the common input of Jaccard and
-    MinHash. Explode is a narrow op; distinct shuffles once on the pair."""
+    MinHash. Explode is a narrow op; distinct shuffles once on the pair.
+
+    The word array is materialized in its own projection so the tokenizing
+    regex split runs once per row, not once per element_at (see
+    ``text.shingles_from_words``), and small scans are spread across cores
+    first (``_parallelize_small``).
+    """
+    prepared = _parallelize_small(df.select(id_col, text_col)).withColumn(
+        "__words", words(F.lower(F.col(text_col)))
+    )
     return (
-        df.select(
-            F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+        prepared.select(
+            F.col(id_col),
+            F.explode(shingles_from_words(F.col("__words"), n)).alias("shingle"),
         )
         .distinct()
     )
@@ -73,7 +118,7 @@ def ngram_jaccard_pairs(
     discriminative); sizes join back broadcast-ably. Integer counts divide
     once ⇒ engine-portable values.
     """
-    d = shingle_table(df, id_col, text_col, n)
+    d = _materialize(shingle_table(df, id_col, text_col, n))
     sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = d.alias("a")
     b = d.alias("b")
@@ -172,7 +217,7 @@ def minhash_lsh_pairs(
     the verify keeps precision at 1.
     """
     rows_per_band = num_hashes // bands
-    shingles = shingle_table(df, id_col, text_col, n)
+    shingles = _materialize(shingle_table(df, id_col, text_col, n))
     sigs = minhash_signatures(shingles, id_col, num_hashes, seed)
     band_rows = sigs.select(
         F.col(id_col),
@@ -194,6 +239,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    band_rows = _materialize(band_rows)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     candidates = (
@@ -248,9 +294,7 @@ def simhash64(
     Implemented as 64 conditional sums in one aggregation — all JVM-side,
     single shuffle on the doc id. Fingerprint reassembled with bit ops.
     """
-    from .text import words
-
-    tokens = df.select(
+    tokens = _parallelize_small(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("w")
     )
     h = F.xxhash64("w")
@@ -288,7 +332,7 @@ def simhash_near_pairs(
     """
     if max_hamming >= blocks:
         raise ValueError("pigeonhole blocking requires max_hamming < blocks")
-    sigs = simhash64(df, id_col, text_col)
+    sigs = _materialize(simhash64(df, id_col, text_col))
     width = 64 // blocks
     mask = (1 << width) - 1
     blocked = sigs.select(

@@ -137,12 +137,30 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Array of n-word shingles (lowercased). Sequence indices are handled
-    0-based here / 1-based in the SQL twin — same shingle set either way."""
-    arr = words(F.lower(F.col(col) if isinstance(col, str) else col))
+def shingles_from_words(arr: Column, n: int = 3) -> Column:
+    """Array of n-word shingles from an ALREADY-MATERIALIZED word-array column.
+
+    ``arr`` must be a plain column reference (e.g. produced by a prior
+    ``withColumn``), not an inline ``split(...)`` expression: the transform
+    references the array 3n+2 times, and Catalyst's CollapseProject happily
+    inlines the split into every ``element_at`` — re-running the regex split
+    per array element (measured 16× slower at sf0.1). Materializing the
+    array in its own projection makes the split evaluate once per row.
+    """
     idx = F.sequence(F.lit(0), F.size(arr) - n)
     parts = lambda i: [arr[i + j] for j in range(n)]  # noqa: E731
     return F.when(F.size(arr) < n, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (lowercased). Sequence indices are handled
+    0-based here / 1-based in the SQL twin — same shingle set either way.
+
+    Prefer ``shingles_from_words`` over a materialized word-array column in
+    hot paths (see its docstring for why); this inline form re-evaluates the
+    tokenizing split per element.
+    """
+    arr = words(F.lower(F.col(col) if isinstance(col, str) else col))
+    return shingles_from_words(arr, n)
