@@ -20,47 +20,14 @@ exact Jaccard verifier has a full SQL oracle (plans/textdata.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 from .text import fingerprint_md5, shingles_from_words, words
+from .util import materialize as _materialize
+from .util import parallelize_small as _parallelize_small
 
 # Mersenne prime 2^61-1: universal-hash family h_i(x) = (a_i*x + b_i) mod p
 _MERSENNE = (1 << 61) - 1
-
-
-def _parallelize_small(df: DataFrame) -> DataFrame:
-    """Spread a narrow scan across all cores before explode-heavy work.
-
-    A small table arrives as one or two input splits (single parquet file ⇒
-    single task), so the expensive tokenize/explode stage runs on one core.
-    Repartition up to ``defaultParallelism`` — one cheap shuffle of (id, text)
-    amortized over ~50 exploded rows per doc. At real scale the scan already
-    has ≥ defaultParallelism splits and this is a no-op (no shuffle added).
-    """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df
-
-
-def _materialize(df: DataFrame) -> DataFrame:
-    """Eagerly compute a subtree that several downstream branches reuse.
-
-    Self-join + size-join consumers re-derive the shingle/signature table
-    once per branch — Catalyst's ReuseExchange does NOT fire across the
-    distinct/join partitioning mix (measured: 8 parquet scans, 22 exchanges,
-    0 reuses in the exact-Jaccard plan). One MEMORY_AND_DISK persist turns
-    that into a single computation; at cluster scale the same role is played
-    by persisting or checkpointing the shingle table before the pair join —
-    standard practice in production dedup pipelines (spills to disk, never
-    OOMs). The eager count avoids concurrent branch stages double-computing
-    a cold cache.
-    """
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    return df
 
 
 def exact_dedup(
