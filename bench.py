@@ -58,12 +58,22 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+# Representative warm-up plans at the smallest SF: same schemas ⇒ same
+# generated code ⇒ the codegen cache is hot when the timed sf0.1 runs start.
+# Covers the three execution paths: join+agg codegen (flagship), the
+# explode/shingle path (ngram dedup), and Python-worker/Arrow startup (LSH).
+WARMUP = ["flagship_regional_revenue", "dedup_ngram_jaccard", "ann_lsh_topk"]
+
+
 def main() -> None:
     spark = get_spark(app_name="gmie-bench")
-    # warm-up: one tiny end-to-end job (session init, codegen, parquet footer)
-    REGISTRY["q3_catalog"].spark(spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm-up: absorb one-time JVM/codegen/Python-worker startup so timed
+    # numbers measure the plan in steady state, as on a long-lived cluster
+    for name in WARMUP:
+        REGISTRY[name].spark(spark, WARMUP_SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
