@@ -484,3 +484,108 @@ def a3_key_ranges(spark, sf):
 )
 def a4_distinct_values(spark, sf):
     return load_table(spark, sf, "customer").select("c_mktsegment").distinct()
+
+
+# --------------------------------------------------------------------------
+# Sources (SURVEY.md §2.1) and the as-of FX generalization (§2.6)
+
+
+@query(
+    "s1_market_bars",
+    None,  # the Python DataSource is not reachable from DuckDB — rows-only
+    doc="S1 — the reference's yfinance batch scan (yf_collector.py:11-99) "
+    "as a Spark 4 Python DataSource with one input partition per ticker: "
+    "1000 tickers fetch as 1000 parallel tasks, per-ticker retry isolation. "
+    "HTTP stubbed with a seeded deterministic OHLCV walk (no network here); "
+    "partition planning / option / schema / iterator protocol are real. "
+    "Determinism and per-ticker partitioning are asserted in tests.",
+)
+def s1_market_bars(spark, sf):
+    from ..sources.market_source import read_market_bars
+
+    return read_market_bars(spark, bars=48, seed=42)
+
+
+@query(
+    "fx_asof_rate_fill",
+    """
+    WITH observed AS (
+      SELECT event_type, CAST(ts AS DATE) AS rate_date,
+             {rate_sum} / CAST(count(*) AS BIGINT) AS rate
+      FROM events GROUP BY 1, 2 HAVING count(*) % 2 = 0
+    ), cal AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS rate_date FROM events
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), dense AS (
+      SELECT t.event_type, c.rate_date, o.rate
+      FROM types t CROSS JOIN cal c
+      LEFT JOIN observed o
+        ON o.event_type = t.event_type AND o.rate_date = c.rate_date
+    ), filled AS (
+      SELECT event_type, rate_date,
+             last_value(rate IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY rate_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate
+      FROM dense)
+    SELECT event_type, rate_date, rate FROM filled WHERE rate IS NOT NULL
+    """.format(rate_sum=sql_exact_money_sum("value")),
+    doc="J2 as-of generalization (README.md:381 'last available rate'): "
+    "sparse per-(key, date) rates densified by carrying the last prior rate "
+    "forward — last(ignoreNulls) over an unbounded-preceding window per "
+    "key. Only the dimension-sized rates/calendar relations ever shuffle; "
+    "the fact side would join the densified dim broadcast.",
+)
+def fx_asof_rate_fill(spark, sf):
+    from ..operators.fx import as_of_fill
+
+    events = load_table(spark, sf, "events")
+    observed = (
+        events.groupBy(
+            F.col("event_type"), F.to_date("ts").alias("rate_date")
+        )
+        .agg(
+            (exact_money_sum("value") / F.count(F.lit(1))).alias("rate"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") % 2 == 0)
+        .select(
+            F.col("event_type").alias("base_currency"),
+            F.lit("USD").alias("target_currency"),
+            "rate_date",
+            "rate",
+        )
+    )
+    calendar = events.select(F.to_date("ts").alias("rate_date")).distinct()
+    # keys with zero observed rates are absent from the grid here and
+    # all-NULL→filtered in the oracle — same result either way
+    filled = as_of_fill(observed, calendar)
+    return filled.select(
+        F.col("base_currency").alias("event_type"), "rate_date", "rate"
+    )
+
+
+@query(
+    "a2_row_counts",
+    """
+    SELECT 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n FROM lineitem
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
+    """,
+    doc="A2 — stage-boundary row counts (main.py:76,83,93) as one unioned "
+    "count plan: each leg is a metadata-cheap scan + partial count.",
+)
+def a2_row_counts(spark, sf):
+    legs = []
+    for name in ["lineitem", "orders", "customer"]:
+        legs.append(
+            load_table(spark, sf, name).agg(
+                F.count(F.lit(1)).alias("n")
+            ).select(F.lit(name).alias("table_name"), "n")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

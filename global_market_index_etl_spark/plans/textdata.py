@@ -323,3 +323,40 @@ def mm_binary_stats(spark, sf):
         F.octet_length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("content_hash"),
     )
+
+
+@query(
+    "mm_feature_extract",
+    None,  # mapInPandas decode stage — not expressible in the SQL oracle
+    doc="Multimodal decode + feature-extract over mapInPandas: opaque "
+    "binary payloads (UTF-8 doc bytes standing in for image data) → "
+    "deterministic 16-bin byte-histogram features, Arrow-batched with a "
+    "streaming per-partition iterator. The codec call is the stubbed "
+    "replacement point (operators/multimodal.py); batch shape, schema, and "
+    "determinism are asserted in tests.",
+)
+def mm_feature_extract(spark, sf):
+    from ..operators.multimodal import as_media_table, extract_features
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    media = as_media_table(docs, "doc_id", "payload", "image")
+    return extract_features(media, decode_stub=True)
+
+
+@query(
+    "mm_frame_sample",
+    None,  # one-row→many-rows mapInPandas expansion — rows-only check
+    doc="Multimodal frame sampling: one payload row → ≤8 frame rows via the "
+    "mapInPandas iterator (the same row-expansion shape as real video "
+    "keyframe extraction; stride slices stand in for codec output).",
+)
+def mm_frame_sample(spark, sf):
+    from ..operators.multimodal import as_media_table, sample_frames
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    media = as_media_table(docs, "doc_id", "payload", "video")
+    return sample_frames(media, every_n_bytes=64, max_frames=8)

@@ -1,0 +1,61 @@
+"""S1 Python DataSource: partition planning, determinism, schema contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from global_market_index_etl_spark.sources.market_source import (
+    DEFAULT_TICKERS,
+    read_market_bars,
+)
+
+
+def test_one_partition_per_ticker(spark):
+    df = read_market_bars(spark, tickers="^GSPC,^FTSE,^N225", bars=8)
+    assert df.rdd.getNumPartitions() == 3
+    per_part = df.withColumn("pid", F.spark_partition_id())
+    counts = {
+        (r.ticker, r.pid): r.n
+        for r in per_part.groupBy("ticker", "pid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # each ticker lives wholly in one partition (per-ticker fetch isolation)
+    assert len(counts) == 3
+    assert all(n == 8 for n in counts.values())
+
+
+def test_deterministic_across_reads(spark):
+    a = read_market_bars(spark, bars=12, seed=7).collect()
+    b = read_market_bars(spark, bars=12, seed=7).collect()
+    assert sorted(a) == sorted(b)
+    c = read_market_bars(spark, bars=12, seed=8).collect()
+    assert sorted(a) != sorted(c)
+
+
+def test_schema_and_bar_invariants(spark):
+    df = read_market_bars(spark, bars=48)
+    assert [f.name for f in df.schema.fields] == [
+        "ticker", "timestamp_utc", "open", "high", "low", "close",
+        "adjusted_close", "volume",
+    ]
+    n_tickers = len(DEFAULT_TICKERS.split(","))
+    assert df.count() == 48 * n_tickers
+    bad = df.filter(
+        (F.col("high") < F.col("low"))
+        | (F.col("high") < F.col("open"))
+        | (F.col("high") < F.col("close"))
+        | (F.col("low") > F.col("open"))
+        | (F.col("low") > F.col("close"))
+        | (F.col("volume") < 0)
+    )
+    assert bad.count() == 0
+    # hourly bars: timestamps advance by exactly 3600s within each ticker
+    ts = (
+        df.filter(F.col("ticker") == "^GSPC")
+        .orderBy("timestamp_utc")
+        .select(F.col("timestamp_utc").cast("long").alias("t"))
+        .collect()
+    )
+    diffs = {b.t - a.t for a, b in zip(ts, ts[1:])}
+    assert diffs == {3600}
