@@ -589,3 +589,41 @@ def a2_row_counts(spark, sf):
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+@query(
+    "e1_pipeline_market_bars",
+    None,  # consumes the Python DataSource — not reachable from DuckDB
+    doc="E1 — the reference's whole ETL (main.py:9-141) as ONE lazy Spark "
+    "plan over the market_bars DataSource: per-ticker-partitioned scan → "
+    "rename → UTC → broadcast indices join → coerce casts → broadcast FX "
+    "join with identity-rate/null-propagation → 5× _usd projections → "
+    "last-write-wins key dedup. The only wide exchange is the upsert key "
+    "shuffle; pipeline invariants (idempotency, FK, identity conversion, "
+    "null propagation) are asserted in tests/test_domain_pipeline.py.",
+)
+def e1_pipeline_market_bars(spark, sf):
+    import datetime as dt
+
+    from ..pipeline import load_batch, run_batch
+    from ..sources.fixtures import fx_rates_df, indices_df
+    from ..sources.market_source import read_market_bars
+
+    bars = read_market_bars(spark, bars=48, seed=42)
+    raw_long = bars.select(
+        F.col("timestamp_utc").alias("timestamp"),
+        "ticker",
+        F.col("open").alias("Open"),
+        F.col("high").alias("High"),
+        F.col("low").alias("Low"),
+        F.col("close").alias("Close"),
+        F.col("adjusted_close").alias("Adj Close"),
+        F.col("volume").cast("double").alias("Volume"),
+    )
+    rates = fx_rates_df(
+        spark, dates=[dt.date(2024, 1, 1), dt.date(2024, 1, 2)]
+    )
+    batch = run_batch(raw_long, indices_df(spark), fx_rates=rates).withColumn(
+        "batch_ts", F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    return load_batch(None, batch, ["ticker", "timestamp_utc"], "batch_ts")
