@@ -63,7 +63,12 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 # generated code ⇒ the codegen cache is hot when the timed sf0.1 runs start.
 # Covers the three execution paths: join+agg codegen (flagship), the
 # explode/shingle path (ngram dedup), and Python-worker/Arrow startup (LSH).
-WARMUP = ["flagship_regional_revenue", "dedup_ngram_jaccard", "ann_lsh_topk"]
+WARMUP = [
+    "flagship_regional_revenue",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
+]
 
 
 def main() -> None:

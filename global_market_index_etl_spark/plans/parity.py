@@ -52,15 +52,18 @@ def q1_top5_recent(spark, sf):
     SELECT event_id, ts, event_type, value
     FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'
     """,
-    doc="Q2 — one-day slice via date-function predicate (README.md:336-345). "
-    "On a date-partitioned table this prunes to one partition.",
+    doc="Q2 — one-day slice (README.md:336-345). The date-function predicate "
+    "is rewritten to a half-open timestamp range applied in the raw nanos "
+    "domain (sources.load_events_ts_range) so it reaches the parquet reader: "
+    "row-group min/max pruning here, partition pruning on a date-partitioned "
+    "table. Same rows as CAST(ts AS DATE) = const.",
 )
 def q2_day_slice(spark, sf):
-    return (
-        load_table(spark, sf, "events")
-        .filter(F.to_date("ts") == F.lit("2024-01-02").cast("date"))
-        .select("event_id", "ts", "event_type", "value")
-    )
+    from ..sources import load_events_ts_range
+
+    return load_events_ts_range(
+        spark, sf, "2024-01-02T00:00:00", "2024-01-03T00:00:00"
+    ).select("event_id", "ts", "event_type", "value")
 
 
 @query(

@@ -1,3 +1,3 @@
-from .tables import load_table, register_views, TABLES
+from .tables import TABLES, load_events_ts_range, load_table, register_views
 
-__all__ = ["load_table", "register_views", "TABLES"]
+__all__ = ["TABLES", "load_events_ts_range", "load_table", "register_views"]

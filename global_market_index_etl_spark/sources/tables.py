@@ -53,6 +53,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_ts_range(
+    spark: SparkSession, sf_dir: str, lo_iso: str, hi_iso: str
+) -> DataFrame:
+    """Events with ``lo <= ts < hi``, filtered in the RAW nanos domain.
+
+    The ts column is rebuilt from INT64 nanos by a projection, so a
+    predicate on the converted timestamp cannot reach the parquet reader
+    (only IsNotNull pushes). Translating the bounds to epoch-nanos and
+    filtering the long column BEFORE conversion turns the day slice into a
+    scan-level range predicate — parquet row-group min/max stats prune
+    whole row groups, and on a date-partitioned table, whole partitions.
+    Identical results to filtering the converted column; only the physical
+    plan differs.
+    """
+    import datetime as dt
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def _nanos(iso: str) -> int:
+        d = dt.datetime.fromisoformat(iso).replace(tzinfo=dt.timezone.utc)
+        return int(d.timestamp()) * 1_000_000_000
+
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.filter(
+            (F.col("ts") >= F.lit(_nanos(lo_iso)))
+            & (F.col("ts") < F.lit(_nanos(hi_iso)))
+        ).withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("`ts` div 1000")).cast("timestamp_ntz"),
+        )
+    else:
+        raw = raw.filter(
+            (F.col("ts") >= F.lit(lo_iso).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi_iso).cast("timestamp_ntz"))
+        )
+    return raw
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLES:
