@@ -307,3 +307,57 @@ def set_ops_high_value(spark, sf):
     high = orders.filter(F.col("o_totalprice") > 300_000).select("o_custkey")
     open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return high.intersect(open_)
+
+
+@query(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew mitigation — two-stage salted aggregation "
+    "(operators/skew.py): 5 event types over the whole fact would hash to "
+    "≤5 reducers; pre-aggregating on (key, salt16) fans partials across "
+    "16×5 reducers, final combine touches ≤16 rows/key. Integer partials "
+    "⇒ result bit-identical to the plain GROUP BY oracle.",
+)
+def skew_salted_agg(spark, sf):
+    from ..operators.skew import salted_sum_count
+
+    events = load_table(spark, sf, "events")
+    return salted_sum_count(
+        events,
+        ["event_type"],
+        {"sum_value_cents": cents("value")},
+        n_salts=16,
+    )
+
+
+@query(
+    "skew_salted_join",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    doc="Skew mitigation — salted equi-join (operators/skew.py): big side "
+    "salted with a deterministic row hash mod 16, small side exploded 16 "
+    "ways, join on (key, salt) splits any hot orderkey across 16 tasks. "
+    "Result-identical to the plain join (each big row meets exactly its "
+    "one small-side replica); the unsalted form is preferred until the "
+    "key histogram says otherwise — this is the explicit fallback when "
+    "AQE's runtime skew split cannot help (e.g. aggregation-free "
+    "pipelines with downstream key partitioning requirements).",
+)
+def skew_salted_join(spark, sf):
+    from ..operators.skew import salted_join
+
+    lineitem = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    return salted_join(lineitem, orders, "l_orderkey", n_salts=16)

@@ -360,3 +360,21 @@ def mm_frame_sample(spark, sf):
     )
     media = as_media_table(docs, "doc_id", "payload", "video")
     return sample_frames(media, every_n_bytes=64, max_frames=8)
+
+
+@query(
+    "ann_ivf_topk",
+    None,  # centroid sampling is engine-side — recall checked in tests
+    doc="ANN top-k via IVF coarse quantization (32 lists, nprobe=4): "
+    "corpus vectors bucket into their nearest-centroid list (one "
+    "Arrow-batched matmul), probes scan only their nprobe nearest lists, "
+    "exact cosine re-rank inside. nprobe=n_lists degenerates to exact "
+    "brute force (recall 1.0, asserted in tests) — the tunable "
+    "recall/cost dial of the similarity tier.",
+)
+def ann_ivf_topk(spark, sf):
+    from ..operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, probes, k=5, n_lists=32, nprobe=4)

@@ -182,3 +182,79 @@ def test_available_now_streaming_upsert(spark):
             .count()
         )
         assert merged.count() == expected
+
+
+def test_salted_agg_matches_plain(spark):
+    from global_market_index_etl_spark.functions.exact import cents
+    from global_market_index_etl_spark.operators.skew import salted_sum_count
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    salted = {
+        r.event_type: (r.sum_value_cents, r.n_rows)
+        for r in salted_sum_count(
+            events, ["event_type"], {"sum_value_cents": cents("value")}, n_salts=16
+        ).collect()
+    }
+    plain = {
+        r.event_type: (r.s, r.n)
+        for r in events.groupBy("event_type")
+        .agg(F.sum(cents("value")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    from global_market_index_etl_spark.operators.skew import salted_join
+
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    a = salted_join(lineitem, orders, "l_orderkey", n_salts=8)
+    b = lineitem.join(orders, "l_orderkey")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivf_topk_exact_when_probing_all_lists(spark):
+    from global_market_index_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    ivf_all = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+        for r in ivf_cosine_topk(emb, probes, k=5, n_lists=8, nprobe=8).collect()
+    }
+    assert ivf_all == exact
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    from global_market_index_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    part = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_cosine_topk(emb, probes, k=5, n_lists=8, nprobe=2).collect()
+    }
+    # every probe still returns a full (if approximate) top-5
+    assert len(part) == len(exact)
+    # scanning 1/4 of the corpus must find a nonzero share of true neighbors
+    assert len(exact & part) / len(exact) > 0.1
