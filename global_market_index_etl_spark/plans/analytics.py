@@ -361,3 +361,31 @@ def skew_salted_join(spark, sf):
         F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
     )
     return salted_join(lineitem, orders, "l_orderkey", n_salts=16)
+
+
+@query(
+    "stream_windowed_counts",
+    """
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+           CAST(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS TIMESTAMP)
+             AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="Watermarked tumbling-window aggregation "
+    "(streaming/incremental.py:windowed_event_counts) — the identical plan "
+    "runs under Structured Streaming with late-data state eviction "
+    "(withWatermark bounds memory); here executed in batch mode against "
+    "the SQL time-bucket oracle. Streaming-mode semantics (availableNow "
+    "drain + foreachBatch upsert) are covered in tests.",
+)
+def stream_windowed_counts(spark, sf):
+    from ..streaming.incremental import windowed_event_counts
+
+    return windowed_event_counts(
+        load_table(spark, sf, "events"),
+        window_duration="1 hour",
+        watermark="2 hours",
+        key_col="event_type",
+    )
