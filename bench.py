@@ -47,6 +47,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "ann_cosine_topk",
+    "fx_asof_rate_fill",
+    "skew_salted_agg",
+    "stream_windowed_counts",
+    "mm_feature_extract",
+    "ann_ivf_topk",
+    "e1_pipeline_market_bars",
 ]
 
 
@@ -68,6 +74,7 @@ WARMUP = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_lsh_topk",
+    "s1_market_bars",  # Python DataSource runner init (~8 s first read)
 ]
 
 
