@@ -32,6 +32,32 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Engine-contract confs that are runtime-settable: applied defensively by
+# the source layer so declared queries behave identically under an
+# externally-provided SparkSession (e.g. the correctness driver's) that was
+# built without them. All three are part of the engine's documented
+# semantics, not tuning knobs.
+_RUNTIME_INVARIANTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_invariants(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable invariant confs to ``spark``.
+
+    Idempotent and safe mid-session (verified: a session created without
+    ``nanosAsLong`` reads TIMESTAMP(NANOS) parquet fine after a runtime
+    ``conf.set``). Called from the source layer so every declared query is
+    self-sufficient regardless of who built the session.
+    """
+    for k, v in _RUNTIME_INVARIANTS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in some deployments — keep going, reads may still work
+
 
 def get_spark(
     app_name: str = "gmie-spark",

@@ -39,6 +39,9 @@ _NANOS_TS_COLUMNS: dict[str, list[str]] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing nano-timestamps to timestamp_ntz."""
+    from ..session import ensure_session_invariants
+
+    ensure_session_invariants(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
@@ -69,6 +72,9 @@ def load_events_ts_range(
     """
     import datetime as dt
 
+    from ..session import ensure_session_invariants
+
+    ensure_session_invariants(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     def _nanos(iso: str) -> int:
