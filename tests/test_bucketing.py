@@ -78,3 +78,32 @@ def test_mismatched_buckets_fall_back_to_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bm_a")
         spark.sql("DROP TABLE IF EXISTS bm_b")
+
+
+def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned layout: a date predicate prunes to one partition
+    directory — the 100 TB answer to q2-style day slices."""
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
+        "event_date", F.to_date(F.timestamp_micros(F.expr("`ts` div 1000")))
+    )
+    path = str(tmp_path / "events_by_date")
+    events.write.partitionBy("event_date").mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("event_date") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the predicate lands in PartitionFilters (directory pruning), not as a
+    # row-level data filter — the scan never lists the other days' files
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "event_date" in pf and "2024-01-02" in pf, pf
+    assert one_day.count() == events.filter(
+        F.col("event_date") == "2024-01-02"
+    ).count()
+    assert events.select("event_date").distinct().count() > 1
