@@ -389,3 +389,63 @@ def stream_windowed_counts(spark, sf):
         watermark="2 hours",
         key_col="event_type",
     )
+
+
+@query(
+    "tpch_q4_exists_semi",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape — correlated EXISTS decorrelated to a LEFT SEMI "
+    "join: the lineitem side reduces to distinct qualifying orderkeys "
+    "before the join, the semi join emits each order at most once, then a "
+    "5-group aggregate. No row explosion at any scale.",
+)
+def tpch_q4_exists_semi(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    late = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            late, orders.o_orderkey == late.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape — customer order-count distribution: LEFT OUTER "
+    "join keeps zero-order customers (count(o_orderkey) ignores the null "
+    "match), then a second aggregate over the first's output. Two "
+    "shuffles total; the second input is already tiny (|customers| rows).",
+)
+def tpch_q13_custdist(spark, sf):
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
