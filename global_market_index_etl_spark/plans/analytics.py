@@ -449,3 +449,24 @@ def tpch_q13_custdist(spark, sf):
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@query(
+    "sketch_event_profile",
+    None,  # HLL/KLL sketch values are engine-specific — accuracy tested
+    doc="Sketch aggregates per event_type: HyperLogLog++ distinct users "
+    "(approx_count_distinct, rsd 2%) and KLL-style value quantiles "
+    "(percentile_approx p50/p95/p99). Both are mergeable partial "
+    "aggregates — constant memory per partition at any scale, one "
+    "shuffle of sketch buffers, no exact-distinct row explosion. Tests "
+    "bound approx error against exact answers.",
+)
+def sketch_event_profile(spark, sf):
+    events = load_table(spark, sf, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+            "value_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

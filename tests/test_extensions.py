@@ -258,3 +258,28 @@ def test_ivf_topk_partial_probe_recall(spark):
     assert len(part) == len(exact)
     # scanning 1/4 of the corpus must find a nonzero share of true neighbors
     assert len(exact & part) / len(exact) > 0.1
+
+
+def test_sketch_profile_error_bounds(spark):
+    from global_market_index_etl_spark.plans import REGISTRY
+
+    prof = {
+        r.event_type: r
+        for r in REGISTRY["sketch_event_profile"].spark(spark, SF_SMALL).collect()
+    }
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    exact = {
+        r.event_type: (r.users, r.med)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    for etype, (users, med) in exact.items():
+        row = prof[etype]
+        assert abs(row.approx_users - users) / users < 0.10  # HLL rsd 2%
+        q50 = row.value_quantiles[0]
+        assert abs(q50 - med) <= abs(med) * 0.05 + 1e-6
+        assert row.value_quantiles[0] <= row.value_quantiles[1] <= row.value_quantiles[2]
