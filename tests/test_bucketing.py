@@ -107,3 +107,28 @@ def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
         F.col("event_date") == "2024-01-02"
     ).count()
     assert events.select("event_date").distinct().count() > 1
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from global_market_index_etl_spark.operators.compaction import (
+        compact_parquet,
+        planned_file_count,
+    )
+
+    src = str(tmp_path / "fragmented")
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    # simulate months of incremental ticks: 40 tiny appended files
+    events.repartition(40).write.mode("overwrite").parquet(src)
+    frag = spark.read.parquet(src)
+    assert len(frag.inputFiles()) >= 40
+
+    out = str(tmp_path / "compacted")
+    compacted = compact_parquet(spark, src, out, target_bytes=10 * 1024 * 1024)
+    assert len(compacted.inputFiles()) == planned_file_count(
+        spark, src, 10 * 1024 * 1024
+    )
+    assert len(compacted.inputFiles()) < len(frag.inputFiles())
+    # content identical row-for-row
+    assert compacted.count() == events.count()
+    assert compacted.exceptAll(frag).count() == 0
+    assert frag.exceptAll(compacted).count() == 0
