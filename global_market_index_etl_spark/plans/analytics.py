@@ -470,3 +470,61 @@ def sketch_event_profile(spark, sf):
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "w_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           {cum} AS cum_spend
+    FROM orders
+    """.format(
+        cum="CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0"
+    ),
+    doc="Running per-customer spend: cumulative window sum with a total "
+    "order (date, orderkey tie-break) so every prefix is deterministic; "
+    "integer cents inside the frame keep the running double exact. One "
+    "hash shuffle on the partition key.",
+)
+def w_running_total(spark, sf):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(cents("o_totalprice")).over(w) / F.lit(100.0)).alias(
+            "cum_spend"
+        ),
+    )
+
+
+@query(
+    "w_ntile_deciles",
+    """
+    SELECT event_id, event_type, value,
+           CAST(ntile(10) OVER (PARTITION BY event_type
+                ORDER BY value, event_id) AS INTEGER) AS decile
+    FROM events WHERE value IS NOT NULL
+    """,
+    doc="Per-key decile assignment via ntile(10) with an id tie-break "
+    "(equal values land deterministically). The building block for "
+    "quality-score stratified sampling of training data.",
+)
+def w_ntile_deciles(spark, sf):
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.ntile(10).over(w).alias("decile"),
+        )
+    )
