@@ -164,3 +164,35 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """
     arr = words(F.lower(F.col(col) if isinstance(col, str) else col))
     return shingles_from_words(arr, n)
+
+
+# polynomial rolling-hash parameters. The modulus must be small enough
+# that acc*B + x stays inside signed 64-bit: p ≈ 2^42, B ≈ 2^20 ⇒ the
+# intermediate is < 2^62 — every step is exact long arithmetic, no wrap.
+_ROLL_PRIME = 4398046511093  # largest prime < 2^42
+_ROLL_BASE = 1_000_003
+
+
+def rolling_fingerprint(col: Column | str, n: int | None = None) -> Column:
+    """Order-sensitive polynomial rolling hash over the word sequence:
+    ``h = (h * B + hash(word)) mod p`` folded left across tokens.
+
+    Unlike the set-style md5 fingerprint, this is SEQUENCE-sensitive —
+    permuting words changes the value — which is what near-duplicate
+    *chunking* pipelines (content-defined chunk ids, shingle anchors)
+    need. All JVM expression arithmetic (aggregate over the word array),
+    deterministic across partitionings/cluster sizes; not portable to the
+    SQL oracle (xxhash64 is Spark-internal), so declared rows-only with a
+    pure-Python twin asserted in tests.
+    """
+    arr = words(F.lower(F.col(col) if isinstance(col, str) else col))
+    if n is not None:
+        arr = F.slice(arr, 1, n)
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(
+            acc * F.lit(_ROLL_BASE) + F.pmod(F.xxhash64(w), F.lit(_ROLL_PRIME)),
+            F.lit(_ROLL_PRIME),
+        ),
+    )

@@ -378,3 +378,19 @@ def ann_ivf_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return ivf_cosine_topk(emb, probes, k=5, n_lists=32, nprobe=4)
+
+
+@query(
+    "doc_rolling_fingerprint",
+    None,  # xxhash64-based token hashes — Spark-internal, rows-only
+    doc="Sequence-sensitive polynomial rolling hash over the word stream "
+    "(h = h*B + hash(w) mod 2^61-1, folded left as a JVM aggregate "
+    "expression): the chunk-anchor fingerprint near-dup chunking needs, "
+    "complementing the order-insensitive md5 fingerprint. Permutation "
+    "sensitivity and partitioning-independence asserted in tests.",
+)
+def doc_rolling_fingerprint(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", T.rolling_fingerprint("text").alias("rolling_fp")
+    )

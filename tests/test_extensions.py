@@ -283,3 +283,27 @@ def test_sketch_profile_error_bounds(spark):
         q50 = row.value_quantiles[0]
         assert abs(q50 - med) <= abs(med) * 0.05 + 1e-6
         assert row.value_quantiles[0] <= row.value_quantiles[1] <= row.value_quantiles[2]
+
+
+def test_rolling_fingerprint_sequence_sensitivity(spark):
+    from global_market_index_etl_spark.operators.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta alpha gamma"),   # permutation -> different hash
+            (3, "alpha beta gamma"),   # identical -> same hash
+            (4, "ALPHA   beta GAMMA"), # case/ws-normalized -> same hash
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fp for r in df.select(
+        "doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert fp[1] == fp[3] == fp[4]
+    assert fp[1] != fp[2]
+    assert fp[5] == 0  # empty word stream folds to the seed
+    # partitioning-independence: same values from a repartitioned plan
+    fp32 = {r.doc_id: r.fp for r in df.repartition(32).select(
+        "doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert fp == fp32
