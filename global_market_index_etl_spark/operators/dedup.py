@@ -222,31 +222,38 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact-Jaccard verify restricted to candidate pairs
-    d = shingles
-    sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    da = d.alias("da")
-    db = d.alias("db")
-    inter = (
-        candidates.join(da, candidates.id_1 == F.col(f"da.{id_col}"))
-        .join(
-            db,
-            (candidates.id_2 == F.col(f"db.{id_col}"))
-            & (F.col("da.shingle") == F.col("db.shingle")),
-        )
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact-Jaccard verify on candidates via per-doc HASHED shingle arrays:
+    # |A∩B| = size(array_intersect) — a map-side operation per candidate
+    # instead of a candidates×shingles shuffle join + groupBy (which
+    # produces |pairs|·|shingles/doc| rows; measured dominant at 10^6 true
+    # pairs). Hashing shingles to longs shrinks each doc to ~8B/shingle so
+    # the array table broadcasts far longer (40 MB at 10^5 docs); Jaccard
+    # over hashed shingles equals Jaccard over strings up to 2^-64
+    # collisions. Beyond broadcast size, flip the joins to shuffle joins —
+    # semantics unchanged.
+    doc_arrays = shingles.groupBy(id_col).agg(
+        F.collect_list(F.xxhash64("shingle")).alias("__sh")
     )
-    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n_shingles").alias("n_1"))
-    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n_shingles").alias("n_2"))
+    a1 = doc_arrays.select(
+        F.col(id_col).alias("id_1"),
+        F.col("__sh").alias("__sh1"),
+        F.size("__sh").alias("n_1"),
+    )
+    a2 = doc_arrays.select(
+        F.col(id_col).alias("id_2"),
+        F.col("__sh").alias("__sh2"),
+        F.size("__sh").alias("n_2"),
+    )
+    n_common = F.size(F.array_intersect("__sh1", "__sh2"))
     return (
-        inter.join(s1, "id_1")
-        .join(s2, "id_2")
+        candidates.join(F.broadcast(a1), "id_1")
+        .join(F.broadcast(a2), "id_2")
+        .withColumn("__nc", n_common)
         .withColumn(
             "jaccard",
-            F.col("n_common")
+            F.col("__nc")
             * F.lit(1.0)
-            / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+            / (F.col("n_1") + F.col("n_2") - F.col("__nc")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
