@@ -328,24 +328,26 @@ def simhash_near_pairs(
     ).select(id_col, "simhash", "bb.blk", "bb.blk_val")
     a = blocked.alias("a")
     b = blocked.alias("b")
-    pairs = (
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    # Hamming filter BEFORE the distinct: a pair colliding in k blocks
+    # appears k times, but false block-collisions (the vast majority at
+    # dense-duplicate scale) die in the per-row filter instead of being
+    # shuffled into the dedup — distinct then touches only true near-dups.
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.blk_val") == F.col("b.blk_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_1"),
             F.col(f"b.{id_col}").alias("id_2"),
-            F.col("a.simhash").alias("sig_1"),
-            F.col("b.simhash").alias("sig_2"),
+            "hamming",
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_1").bitwiseXOR(F.col("sig_2")))
-    return (
-        pairs.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_1", "id_2", "hamming")
     )
