@@ -351,3 +351,60 @@ def simhash_near_pairs(
         )
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, canonical_id).
+
+    The survivor-selection step every dedup pipeline needs after pair
+    generation: docs linked (transitively) through near-dup pairs form one
+    component; the canonical/survivor id is the component minimum.
+    Singletons map to themselves.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup components are shallow (duplicates of a
+    common source), so a handful of rounds suffices at any corpus size.
+    Each round is one join + one aggregate on the edge list;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. The loop exits early on a converged
+    round (no label changed).
+    """
+    edges = (
+        pairs.select(F.col("id_1").alias("u"), F.col("id_2").alias("v"))
+        .unionAll(pairs.select(F.col("id_2").alias("u"), F.col("id_1").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.u, "inner")
+            .groupBy(edges.u)
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("u").alias("nu"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.u == F.col("nu"), "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias(id_col), F.col("label").alias("canonical_id")
+    )

@@ -394,3 +394,59 @@ def doc_rolling_fingerprint(spark, sf):
     return docs.select(
         "doc_id", T.rolling_fingerprint("text").alias("rolling_fp")
     )
+
+
+@query(
+    "dedup_cluster_survivors",
+    """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM pos a
+      JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_1, id_2 FROM inter
+      JOIN sizes s1 ON id_1 = s1.doc_id
+      JOIN sizes s2 ON id_2 = s2.doc_id
+      WHERE n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
+                              - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_1 AS u, id_2 AS v FROM pairs
+      UNION ALL SELECT id_2, id_1 FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
+             AS canonical_id
+    FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="Near-dup clustering + survivor selection: connected components "
+    "over the exact-Jaccard pair graph via iterative min-label propagation "
+    "(operators/dedup.connected_components — O(diameter) joined rounds, "
+    "localCheckpoint-truncated lineage, early exit on convergence). "
+    "canonical_id = component minimum; singletons map to themselves. "
+    "Oracle: recursive-CTE transitive closure over the same pair SQL.",
+)
+def dedup_cluster_survivors(spark, sf):
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return connected_components(pairs, docs, "doc_id")

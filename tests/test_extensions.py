@@ -307,3 +307,21 @@ def test_rolling_fingerprint_sequence_sensitivity(spark):
     fp32 = {r.doc_id: r.fp for r in df.repartition(32).select(
         "doc_id", rolling_fingerprint("text").alias("fp")).collect()}
     assert fp == fp32
+
+
+def test_connected_components_transitive_chain(spark):
+    from global_market_index_etl_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    # pair (10,11), singleton 20
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_1 long, id_2 long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.canonical_id
+        for r in connected_components(pairs, docs, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
