@@ -450,3 +450,27 @@ def dedup_cluster_survivors(spark, sf):
     docs = load_table(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     return connected_components(pairs, docs, "doc_id")
+
+
+@query(
+    "samp_train_split",
+    """
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by md5-hash bucket of "
+    "the stable doc id (operators/sampling.py): reproducible on any "
+    "engine/partitioning/cluster size, and a doc's split never changes as "
+    "the corpus grows — the anti-leakage property RNG sampling lacks. The "
+    "oracle computes the identical buckets in DuckDB.",
+)
+def samp_train_split(spark, sf):
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf, "documents")
+    return train_val_test_split(docs, "doc_id").select("doc_id", "split")

@@ -325,3 +325,32 @@ def test_connected_components_transitive_chain(spark):
         for r in connected_components(pairs, docs, "doc_id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_deterministic_split_is_partitioning_independent(spark):
+    from global_market_index_etl_spark.operators.sampling import (
+        deterministic_sample,
+        train_val_test_split,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    s1 = {r.doc_id: r.split for r in train_val_test_split(docs, "doc_id").collect()}
+    s2 = {
+        r.doc_id: r.split
+        for r in train_val_test_split(docs.repartition(17), "doc_id").collect()
+    }
+    assert s1 == s2
+    # roughly the requested proportions
+    from collections import Counter
+
+    c = Counter(s1.values())
+    n = len(s1)
+    assert abs(c["train"] / n - 0.8) < 0.06
+    assert abs(c["val"] / n - 0.1) < 0.05
+    # split stability under corpus growth: subset's splits unchanged
+    sub = {r.doc_id: r.split for r in train_val_test_split(
+        docs.filter(F.col("doc_id") < 100), "doc_id").collect()}
+    assert all(s1[k] == v for k, v in sub.items())
+    # deterministic_sample keeps the hash-stable subset
+    frac = deterministic_sample(docs, "doc_id", 0.25).count() / docs.count()
+    assert abs(frac - 0.25) < 0.06
