@@ -630,3 +630,36 @@ def e1_pipeline_market_bars(spark, sf):
         "batch_ts", F.lit("2024-01-03 00:00:00").cast("timestamp")
     )
     return load_batch(None, batch, ["ticker", "timestamp_utc"], "batch_ts")
+
+
+@query(
+    "p_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS max_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="JSON scalar extraction (§2.11 gap): parse the props payload with "
+    "a typed from_json schema (single parse, columnar access, malformed "
+    "input coerces to NULL) and aggregate the extracted field. At scale "
+    "prefer from_json-with-schema over repeated get_json_object calls — "
+    "one parse per row regardless of fields read.",
+)
+def p_json_extract(spark, sf):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    props_schema = StructType([StructField("k", LongType(), True)])
+    events = load_table(spark, sf, "events").filter(
+        F.col("props").isNotNull()
+    )
+    parsed = events.withColumn("__p", F.from_json("props", props_schema))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("__p.k")).alias("sum_k"),
+        F.max(F.col("__p.k")).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
