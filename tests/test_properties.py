@@ -99,3 +99,43 @@ def test_dedup_keyed_one_survivor_per_key(spark, rows):
     keys = [(r.k, r.t) for r in out.collect()]
     assert len(keys) == len(set(keys))
     assert set(keys) == {(k, t) for k, t, _ in rows}
+
+
+# vocabulary for generated corpora: enough words that random docs are
+# dissimilar, few enough that mutated copies stay similar
+_VOCAB = [f"w{i}" for i in range(40)]
+_DOC_STRAT = st.lists(st.sampled_from(_VOCAB), min_size=8, max_size=16)
+
+
+@given(
+    base_docs=st.lists(_DOC_STRAT, min_size=2, max_size=5),
+    dup_of=st.integers(0, 4),
+)
+@PROP_SETTINGS
+def test_minhash_lsh_precision_and_duplicate_recall(spark, base_docs, dup_of):
+    """The two MinHash-LSH properties that are DETERMINISTIC (banding
+    recall on borderline-jaccard pairs is probabilistic by design — a
+    pair at exactly J=0.8 has a 1.4% miss chance per the b=8,r=4 math,
+    so equality with the exact pair set cannot be asserted on arbitrary
+    corpora):
+    1. precision is exact — every emitted pair passes the exact-Jaccard
+       verify, so approx ⊆ exact on ANY corpus;
+    2. identical docs (J=1.0 ⇒ identical signatures ⇒ identical buckets
+       in every band) are ALWAYS found."""
+    from global_market_index_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(base_docs)]
+    copy_id = len(docs)
+    docs.append((copy_id, " ".join(base_docs[dup_of % len(base_docs)])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r.id_1, r.id_2) for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    approx = {
+        (r.id_1, r.id_2) for r in minhash_lsh_pairs(df, threshold=0.8).collect()
+    }
+    assert approx <= exact  # precision 1 (exact verify)
+    assert (dup_of % len(base_docs), copy_id) in approx  # J=1.0 always found
