@@ -13,6 +13,7 @@ tests instead.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window as W
 
 from ..operators import text as T
 from ..operators.dedup import (
@@ -474,3 +475,102 @@ def samp_train_split(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     return train_val_test_split(docs, "doc_id").select("doc_id", "split")
+
+
+@query(
+    "dedup_best_quality_survivor",
+    """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM pos a
+      JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_1, id_2 FROM inter
+      JOIN sizes s1 ON id_1 = s1.doc_id
+      JOIN sizes s2 ON id_2 = s2.doc_id
+      WHERE n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
+                              - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_1 AS u, id_2 AS v FROM pairs
+      UNION ALL SELECT id_2, id_1 FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT d.doc_id,
+             CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
+               AS canonical_id
+      FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      GROUP BY d.doc_id
+    ), q AS (
+      SELECT doc_id,
+             0.5 * least(CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+                   ELSE string_split_regex(trim(text), '\\s+') END) AS DOUBLE)
+                   / 100.0, 1.0)
+             + 0.3 * least(coalesce(
+                   CAST(len(regexp_extract_all(lower(text),
+                     '\\b(the|a|an|and|of|to|in|is|for|on|with)\\b')) AS DOUBLE)
+                   / nullif(CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+                     ELSE string_split_regex(trim(text), '\\s+') END) AS DOUBLE),
+                     0.0), 0.0) * 2.5, 1.0)
+             + 0.2 * (1.0 - least(coalesce(
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                   / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 5.0, 1.0))
+               AS quality_score
+      FROM documents
+    ), ranked AS (
+      SELECT c.canonical_id, c.doc_id,
+             row_number() OVER (PARTITION BY c.canonical_id
+                ORDER BY q.quality_score DESC, c.doc_id) AS rn
+      FROM comp c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT canonical_id,
+           CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS survivor_id,
+           CAST(count(*) AS BIGINT) AS cluster_size
+    FROM ranked GROUP BY canonical_id
+    """,
+    doc="Best-quality survivor per near-dup cluster — the production dedup "
+    "policy (keep the highest-quality member, not an arbitrary one): "
+    "connected components over the exact-Jaccard pair graph, quality "
+    "scores per doc, rank within each cluster by (quality DESC, doc_id). "
+    "Composition of three declared operators in one lazy plan; oracle is "
+    "the recursive-CTE closure + the same quality formula + min_by.",
+)
+def dedup_best_quality_survivor(spark, sf):
+    from ..operators.dedup import connected_components
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    comp = connected_components(pairs, docs, "doc_id")
+    q = quality_score(docs).select("doc_id", "quality_score")
+    joined = comp.join(q, "doc_id")
+    w = W.partitionBy("canonical_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .groupBy("canonical_id")
+        .agg(
+            F.min(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias(
+                "survivor_id"
+            ),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    )
