@@ -574,3 +574,63 @@ def dedup_best_quality_survivor(spark, sf):
             F.count(F.lit(1)).alias("cluster_size"),
         )
     )
+
+
+@query(
+    "curation_pipeline",
+    """
+    WITH q AS (
+      SELECT doc_id, text,
+             0.5 * least(CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+                   ELSE string_split_regex(trim(text), '\\s+') END) AS DOUBLE)
+                   / 100.0, 1.0)
+             + 0.3 * least(coalesce(
+                   CAST(len(regexp_extract_all(lower(text),
+                     '\\b(the|a|an|and|of|to|in|is|for|on|with)\\b')) AS DOUBLE)
+                   / nullif(CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+                     ELSE string_split_regex(trim(text), '\\s+') END) AS DOUBLE),
+                     0.0), 0.0) * 2.5, 1.0)
+             + 0.2 * (1.0 - least(coalesce(
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                   / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 5.0, 1.0))
+               AS quality_score
+      FROM documents
+    ), kept AS (
+      SELECT * FROM q WHERE quality_score >= 0.5
+    ), surv AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept
+      GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    )
+    SELECT k.doc_id,
+           round(k.quality_score, 6) AS quality_score,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept k JOIN surv USING (doc_id)
+    """,
+    doc="End-to-end training-data curation as ONE lazy plan: quality "
+    "scoring (per-row codegen) → threshold filter → exact-dedup survivor "
+    "selection (min-id per fingerprint, one shuffle) → deterministic "
+    "hash-bucket train/val/test assignment. The flagship composition of "
+    "the text/dedup/sampling tiers; every stage individually oracle-"
+    "checked, and the composition itself matched value-for-value here.",
+)
+def curation_pipeline(spark, sf):
+    from ..operators.sampling import train_val_test_split
+    from ..operators.text import fingerprint_md5, quality_score
+
+    docs = load_table(spark, sf, "documents")
+    kept = quality_score(docs).filter(F.col("quality_score") >= 0.5)
+    survivors = (
+        kept.withColumn("fingerprint", fingerprint_md5("text"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    out = kept.join(survivors, "doc_id")
+    return train_val_test_split(out, "doc_id").select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score"), "split"
+    )
