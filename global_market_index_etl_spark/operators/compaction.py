@@ -20,8 +20,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -35,13 +33,28 @@ def planned_file_count(
 
 
 def _total_bytes(df: DataFrame) -> int:
+    """On-disk bytes of the table via the Hadoop FileSystem API — works
+    for any URI scheme (file:, hdfs:, s3a:, abfs:), not just local paths.
+    Raises rather than returning 0 if every stat fails: a silent 0 would
+    make compaction funnel the whole table into one file."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    files = df.inputFiles()
     total = 0
-    for f in df.inputFiles():
-        local = f.removeprefix("file:")
+    errors = 0
+    for f in files:
         try:
-            total += os.path.getsize(local)
-        except OSError:
-            pass
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            fs = path.getFileSystem(hconf)
+            total += fs.getFileStatus(path).getLen()
+        except Exception:
+            errors += 1
+    if files and errors == len(files):
+        raise IOError(
+            f"could not stat any of the {len(files)} input files — refusing "
+            "to plan a compaction from a zero size estimate"
+        )
     return total
 
 

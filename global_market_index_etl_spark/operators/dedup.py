@@ -183,6 +183,13 @@ def minhash_lsh_pairs(
     s=0.8 ⇒ P(candidate) ≈ 0.986; s=0.4 ⇒ ≈ 0.19 — the filter does the work,
     the verify keeps precision at 1.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}); rows_per_band=0 degenerates every band to "
+            "one bucket (all-pairs join) and a remainder silently drops "
+            "hash slots, changing the banding probability"
+        )
     rows_per_band = num_hashes // bands
     shingles = _materialize(shingle_table(df, id_col, text_col, n))
     sigs = minhash_signatures(shingles, id_col, num_hashes, seed)
@@ -223,14 +230,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact-Jaccard verify on candidates via per-doc HASHED shingle arrays:
-    # |A∩B| = size(array_intersect) — a map-side operation per candidate
-    # instead of a candidates×shingles shuffle join + groupBy (which
-    # produces |pairs|·|shingles/doc| rows; measured dominant at 10^6 true
-    # pairs). Hashing shingles to longs shrinks each doc to ~8B/shingle so
-    # the array table broadcasts far longer (40 MB at 10^5 docs); Jaccard
-    # over hashed shingles equals Jaccard over strings up to 2^-64
-    # collisions. Beyond broadcast size, flip the joins to shuffle joins —
-    # semantics unchanged.
+    # |A∩B| = size(array_intersect) — a per-candidate operation instead of
+    # a candidates×shingles shuffle join + groupBy (which produces
+    # |pairs|·|shingles/doc| rows; measured dominant at 10^6 true pairs).
+    # Hashing shingles to longs shrinks each doc to ~8B/shingle (40 MB at
+    # 10^5 docs); Jaccard over hashed shingles equals Jaccard over strings
+    # up to 2^-64 collisions. The join strategy is left to AQE: it
+    # broadcasts the array table while it fits (runtime size, not a guess)
+    # and degrades to a shuffle join beyond that — no hard broadcast hint,
+    # so the same code runs at any corpus size.
     doc_arrays = shingles.groupBy(id_col).agg(
         F.collect_list(F.xxhash64("shingle")).alias("__sh")
     )
@@ -246,8 +254,8 @@ def minhash_lsh_pairs(
     )
     n_common = F.size(F.array_intersect("__sh1", "__sh2"))
     return (
-        candidates.join(F.broadcast(a1), "id_1")
-        .join(F.broadcast(a2), "id_2")
+        candidates.join(a1, "id_1")
+        .join(a2, "id_2")
         .withColumn("__nc", n_common)
         .withColumn(
             "jaccard",
@@ -357,7 +365,7 @@ def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 20,
+    max_iter: int = 100,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, canonical_id).
 
@@ -372,9 +380,13 @@ def connected_components(
     common source), so a handful of rounds suffices at any corpus size.
     Each round is one join + one aggregate on the edge list;
     ``localCheckpoint`` truncates the growing lineage so round N's plan
-    does not replay rounds 1..N-1. The loop exits early on a converged
-    round (no label changed).
+    does not replay rounds 1..N-1. The loop exits on a converged round (no
+    label changed); a component whose diameter exceeds ``max_iter`` raises
+    instead of silently returning split components (a 100-round diameter
+    implies a pathological chain, not a duplicate cluster — raise and let
+    the caller choose a bigger budget).
     """
+    converged = False
     edges = (
         pairs.select(F.col("id_1").alias("u"), F.col("id_2").alias("v"))
         .unionAll(pairs.select(F.col("id_2").alias("u"), F.col("id_1").alias("v")))
@@ -404,7 +416,13 @@ def connected_components(
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the budget) — raise max_iter"
+        )
     return labels.select(
         F.col("u").alias(id_col), F.col("label").alias("canonical_id")
     )

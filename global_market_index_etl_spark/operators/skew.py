@@ -71,12 +71,24 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the hot-key split: big side salted, small side
-    replicated n_salts ways. Result-identical to ``big.join(small, on)``.
+    replicated n_salts ways. Result-identical to ``big.join(small, on)``
+    for the join types where every output row is anchored to exactly one
+    big-side row (inner/left/semi/anti). Right/full outer would emit each
+    UNMATCHED small-side row once per salt replica — rejected explicitly
+    rather than silently multiplied.
 
     Use when the small side is too big to broadcast and the key histogram
     is spiky; otherwise prefer broadcast (no shuffle at all) or AQE's
     runtime skew split.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched "
+            "small-side rows would be duplicated once per salt replica "
+            "(use the plain join for right/full outer)"
+        )
     big_s = big.withColumn(SALT, _salt_col(big, n_salts))
     small_s = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

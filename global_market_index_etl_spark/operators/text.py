@@ -52,9 +52,12 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace,
+    trimmed. Collapse BEFORE trim: ``trim`` strips only spaces, so a
+    trailing tab would survive trim-first and leave a padding-dependent
+    fingerprint — a silently-missed exact duplicate."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(c), WS, " ")
+    return F.trim(F.regexp_replace(F.lower(c), WS, " "))
 
 
 def fingerprint_md5(col: Column | str) -> Column:

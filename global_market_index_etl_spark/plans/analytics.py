@@ -231,7 +231,8 @@ def w_rank_in_group(spark, sf):
                   THEN 1 ELSE 0 END AS new_sess
       FROM t)
     SELECT user_id, event_id,
-           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
              AS session_id
     FROM flags
@@ -244,9 +245,11 @@ def w_rank_in_group(spark, sf):
 def w_sessionize(spark, sf):
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # event_id tie-break: same-timestamp events otherwise make the running
+    # sum (and thus session_id) order-ambiguous run-to-run
     cum = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -130,7 +130,7 @@ def text_language_id(spark, sf):
     "doc_fingerprint",
     """
     SELECT doc_id,
-           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
     FROM documents
     """,
     doc="Document fingerprinting: md5 of lowercased, whitespace-collapsed "
@@ -145,7 +145,7 @@ def doc_fingerprint(spark, sf):
 @query(
     "dedup_exact",
     """
-    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
            min(doc_id) AS doc_id,
            CAST(count(*) AS BIGINT) AS n_copies
     FROM documents GROUP BY 1
@@ -600,7 +600,7 @@ def dedup_best_quality_survivor(spark, sf):
     ), surv AS (
       SELECT min(doc_id) AS doc_id
       FROM kept
-      GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
     )
     SELECT k.doc_id,
            round(k.quality_score, 6) AS quality_score,

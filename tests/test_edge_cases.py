@@ -50,7 +50,8 @@ def test_dedup_on_short_and_null_texts(spark):
     )
     # shorter than the shingle width n=3 ⇒ empty shingle sets, no pairs
     assert ngram_jaccard_pairs(oddballs).count() == 0
-    assert exact_dedup(oddballs).count() >= 3  # "" and "   " normalize equal
+    # "" and "   " trim+collapse to the same normal form ⇒ one fingerprint
+    assert exact_dedup(oddballs).count() == 3
 
 
 def test_connected_components_with_no_edges(spark):
@@ -91,3 +92,28 @@ def test_skew_ops_empty(spark):
     assert salted_sum_count(empty, ["k"], {"s": F.col("v")}).count() == 0
     small = spark.createDataFrame([("a", 1)], schema)
     assert salted_join(empty, small.select("k"), "k").count() == 0
+
+
+def test_whitespace_padded_duplicate_is_found(spark):
+    pad = _docs(spark, [(1, "same text here"), (2, "  same   text here \t")])
+    groups = exact_dedup(pad).collect()
+    assert len(groups) == 1 and groups[0].n_copies == 2
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    schema = "k string, v long"
+    df = spark.createDataFrame([("a", 1)], schema)
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(df, df.select("k"), "k", how="full")
+
+
+def test_minhash_rejects_bad_banding(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "a b c d e")])
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_lsh_pairs(df, num_hashes=32, bands=5)
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_lsh_pairs(df, num_hashes=32, bands=64)
