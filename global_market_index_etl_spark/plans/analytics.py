@@ -531,3 +531,25 @@ def w_ntile_deciles(spark, sf):
             F.ntile(10).over(w).alias("decile"),
         )
     )
+
+
+@query(
+    "g_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {total} AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """.format(total=sql_exact_money_sum("o_totalprice")),
+    doc="CUBE over (status, priority): all four grouping sets in ONE "
+    "aggregation pass (Spark expands the grouping sets in the same "
+    "hash-aggregate, partial-combined). NULL marks the rolled-up "
+    "dimensions, matching ANSI semantics on both engines.",
+)
+def g_cube_status_priority(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_money_sum("o_totalprice").alias("total_value"),
+    )
