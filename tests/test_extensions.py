@@ -354,3 +354,23 @@ def test_deterministic_split_is_partitioning_independent(spark):
     # deterministic_sample keeps the hash-stable subset
     frac = deterministic_sample(docs, "doc_id", 0.25).count() / docs.count()
     assert abs(frac - 0.25) < 0.06
+
+
+def test_events_ts_range_matches_converted_filter(spark):
+    from global_market_index_etl_spark.sources import (
+        load_events_ts_range,
+        load_table,
+    )
+
+    lo, hi = "2024-01-02T00:00:00", "2024-01-03T00:00:00"
+    fast = load_events_ts_range(spark, SF_SMALL, lo, hi)
+    slow = load_table(spark, SF_SMALL, "events").filter(
+        (F.col("ts") >= F.lit(lo.replace("T", " ")).cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit(hi.replace("T", " ")).cast("timestamp_ntz"))
+    )
+    assert fast.count() == slow.count()
+    a = {r.event_id for r in fast.select("event_id").collect()}
+    b = {r.event_id for r in slow.select("event_id").collect()}
+    assert a == b
+    # the converted column type matches the standard loader's
+    assert dict(fast.dtypes)["ts"] == dict(slow.dtypes)["ts"]
