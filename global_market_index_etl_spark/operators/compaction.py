@@ -35,26 +35,35 @@ def planned_file_count(
 def _total_bytes(df: DataFrame) -> int:
     """On-disk bytes of the table via the Hadoop FileSystem API — works
     for any URI scheme (file:, hdfs:, s3a:, abfs:), not just local paths.
-    Raises rather than returning 0 if every stat fails: a silent 0 would
-    make compaction funnel the whole table into one file."""
+
+    Partial stat failures EXTRAPOLATE (statted mean × total file count)
+    instead of silently under-counting — an under-count would shrink the
+    planned file count and produce oversized output files; all-fail raises
+    rather than planning from a zero estimate. The FileSystem handle is
+    resolved once (all files of one table share a scheme), so the loop is
+    one py4j call per file, not three."""
     spark = df.sparkSession
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     files = df.inputFiles()
+    if not files:
+        return 0
+    fs = jvm.org.apache.hadoop.fs.Path(files[0]).getFileSystem(hconf)
     total = 0
-    errors = 0
+    statted = 0
     for f in files:
         try:
-            path = jvm.org.apache.hadoop.fs.Path(f)
-            fs = path.getFileSystem(hconf)
-            total += fs.getFileStatus(path).getLen()
+            total += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+            statted += 1
         except Exception:
-            errors += 1
-    if files and errors == len(files):
+            pass
+    if statted == 0:
         raise IOError(
             f"could not stat any of the {len(files)} input files — refusing "
             "to plan a compaction from a zero size estimate"
         )
+    if statted < len(files):
+        total = int(total * len(files) / statted)
     return total
 
 

@@ -183,7 +183,7 @@ def minhash_lsh_pairs(
     s=0.8 ⇒ P(candidate) ≈ 0.986; s=0.4 ⇒ ≈ 0.19 — the filter does the work,
     the verify keeps precision at 1.
     """
-    if bands <= 0 or num_hashes % bands != 0:
+    if num_hashes <= 0 or bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple of "
             f"bands ({bands}); rows_per_band=0 degenerates every band to "

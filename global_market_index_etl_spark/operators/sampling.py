@@ -51,6 +51,12 @@ def train_val_test_split(
 
     Percentages are integer bucket counts out of 100; test gets the rest.
     """
+    if train_pct < 0 or val_pct < 0 or train_pct + val_pct > 100:
+        raise ValueError(
+            f"invalid split: train_pct={train_pct}, val_pct={val_pct} — "
+            "need 0 <= train, 0 <= val, train + val <= 100 (test gets the "
+            "remainder); out-of-range values silently empty a split"
+        )
     b = hash_bucket(id_col, 100)
     return df.withColumn(
         "split",

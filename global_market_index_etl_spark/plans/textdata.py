@@ -32,6 +32,39 @@ _SQL_WORDS = (
 )
 
 
+# Shared oracle fragments — single sources of truth so a future tweak to
+# the Spark-side formula updates every dependent oracle together (same
+# pattern as functions.exact.sql_exact_money_sum).
+_SQL_QUALITY_SCORE = """\
+             0.5 * least(CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+                   ELSE string_split_regex(trim(text), '\\s+') END) AS DOUBLE)
+                   / 100.0, 1.0)
+             + 0.3 * least(coalesce(
+                   CAST(len(regexp_extract_all(lower(text),
+                     '\\b(the|a|an|and|of|to|in|is|for|on|with)\\b')) AS DOUBLE)
+                   / nullif(CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+                     ELSE string_split_regex(trim(text), '\\s+') END) AS DOUBLE),
+                     0.0), 0.0) * 2.5, 1.0)
+             + 0.2 * (1.0 - least(coalesce(
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                   / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 5.0, 1.0))
+               AS quality_score"""
+
+
+def _sql_split_case(id_ref: str) -> str:
+    """Deterministic 80/10/10 md5-bucket split CASE over ``id_ref``
+    (oracle twin of operators.sampling.train_val_test_split)."""
+    b = (
+        "CAST(('0x' || substr(md5(CAST(" + id_ref + " AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 100"
+    )
+    return (
+        "           CASE WHEN " + b + " < 80 THEN 'train'\n"
+        "                WHEN " + b + " < 90 THEN 'val'\n"
+        "                ELSE 'test' END AS split"
+    )
+
+
 @query(
     "text_token_count",
     f"""
@@ -457,13 +490,9 @@ def dedup_cluster_survivors(spark, sf):
     "samp_train_split",
     """
     SELECT doc_id,
-           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                     AS BIGINT) % 100 < 80 THEN 'train'
-                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                     AS BIGINT) % 100 < 90 THEN 'val'
-                ELSE 'test' END AS split
+{split_case}
     FROM documents
-    """,
+    """.format(split_case=_sql_split_case("doc_id")),
     doc="Deterministic 80/10/10 train/val/test split by md5-hash bucket of "
     "the stable doc id (operators/sampling.py): reproducible on any "
     "engine/partitioning/cluster size, and a doc's split never changes as "
@@ -519,19 +548,7 @@ def samp_train_split(spark, sf):
       GROUP BY d.doc_id
     ), q AS (
       SELECT doc_id,
-             0.5 * least(CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
-                   ELSE string_split_regex(trim(text), '\\s+') END) AS DOUBLE)
-                   / 100.0, 1.0)
-             + 0.3 * least(coalesce(
-                   CAST(len(regexp_extract_all(lower(text),
-                     '\\b(the|a|an|and|of|to|in|is|for|on|with)\\b')) AS DOUBLE)
-                   / nullif(CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
-                     ELSE string_split_regex(trim(text), '\\s+') END) AS DOUBLE),
-                     0.0), 0.0) * 2.5, 1.0)
-             + 0.2 * (1.0 - least(coalesce(
-                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-                   / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 5.0, 1.0))
-               AS quality_score
+{quality}
       FROM documents
     ), ranked AS (
       SELECT c.canonical_id, c.doc_id,
@@ -544,7 +561,7 @@ def samp_train_split(spark, sf):
              AS survivor_id,
            CAST(count(*) AS BIGINT) AS cluster_size
     FROM ranked GROUP BY canonical_id
-    """,
+    """.format(quality=_SQL_QUALITY_SCORE),
     doc="Best-quality survivor per near-dup cluster — the production dedup "
     "policy (keep the highest-quality member, not an arbitrary one): "
     "connected components over the exact-Jaccard pair graph, quality "
@@ -581,19 +598,7 @@ def dedup_best_quality_survivor(spark, sf):
     """
     WITH q AS (
       SELECT doc_id, text,
-             0.5 * least(CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
-                   ELSE string_split_regex(trim(text), '\\s+') END) AS DOUBLE)
-                   / 100.0, 1.0)
-             + 0.3 * least(coalesce(
-                   CAST(len(regexp_extract_all(lower(text),
-                     '\\b(the|a|an|and|of|to|in|is|for|on|with)\\b')) AS DOUBLE)
-                   / nullif(CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
-                     ELSE string_split_regex(trim(text), '\\s+') END) AS DOUBLE),
-                     0.0), 0.0) * 2.5, 1.0)
-             + 0.2 * (1.0 - least(coalesce(
-                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-                   / nullif(CAST(length(text) AS DOUBLE), 0.0), 0.0) * 5.0, 1.0))
-               AS quality_score
+{quality}
       FROM documents
     ), kept AS (
       SELECT * FROM q WHERE quality_score >= 0.5
@@ -604,13 +609,9 @@ def dedup_best_quality_survivor(spark, sf):
     )
     SELECT k.doc_id,
            round(k.quality_score, 6) AS quality_score,
-           CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
-                     AS BIGINT) % 100 < 80 THEN 'train'
-                WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
-                     AS BIGINT) % 100 < 90 THEN 'val'
-                ELSE 'test' END AS split
+{split_case}
     FROM kept k JOIN surv USING (doc_id)
-    """,
+    """.format(quality=_SQL_QUALITY_SCORE, split_case=_sql_split_case("k.doc_id")),
     doc="End-to-end training-data curation as ONE lazy plan: quality "
     "scoring (per-row codegen) → threshold filter → exact-dedup survivor "
     "selection (min-id per fingerprint, one shuffle) → deterministic "

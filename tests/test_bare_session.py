@@ -9,6 +9,8 @@ import os
 import subprocess
 import sys
 
+from .conftest import SF_SMALL
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SCRIPT = """
@@ -22,7 +24,7 @@ assert E.entry(spark).count() > 0
 qs = E.queries()
 # the three conf-sensitive paths: nanos timestamps, non-ANSI casts, tz
 for name in ['q2_day_slice', 'p3_cast_coerce', 'fx_asof_rate_fill']:
-    n = qs[name](spark, '/root/testdata/sf0.001')
+    n = qs[name](spark, {sf!r})
     assert n.count() >= 0 and n.columns
 print('BARE_SESSION_OK')
 """
@@ -30,7 +32,7 @@ print('BARE_SESSION_OK')
 
 def test_driver_contract_under_bare_session():
     proc = subprocess.run(
-        [sys.executable, "-c", SCRIPT.format(repo=REPO)],
+        [sys.executable, "-c", SCRIPT.format(repo=REPO, sf=SF_SMALL)],
         capture_output=True,
         text=True,
         timeout=300,
