@@ -39,20 +39,20 @@ HEADLINE = [
     "j1_enrich_broadcast",
     "j2_rate_lookup_join",
     "d3_upsert_lww",
-    "w_sessionize",
-    "w_moving_avg",
-    "g_rollup_priority",
+    "w_window_suite",
+    "g_rollup_cube",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "text_quality_score",
+    "text_metrics",
     "ann_cosine_topk",
     "fx_asof_rate_fill",
-    "skew_salted_agg",
+    "skew_salted_pipeline",
     "stream_windowed_counts",
-    "mm_feature_extract",
+    "mm_decode_features",
     "ann_ivf_topk",
     "e1_pipeline_market_bars",
+    "k2_upsert_roundtrip",
 ]
 
 
@@ -65,41 +65,49 @@ def _sf_from_dir(path: str) -> float:
 
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
-# Representative warm-up plans at the smallest SF: same schemas ⇒ same
-# generated code ⇒ the codegen cache is hot when the timed sf0.1 runs start.
-# Covers the three execution paths: join+agg codegen (flagship), the
-# explode/shingle path (ngram dedup), and Python-worker/Arrow startup (LSH).
-WARMUP = [
-    "flagship_regional_revenue",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "ann_lsh_topk",
-    "s1_market_bars",  # Python DataSource runner init (~8 s first read)
-]
+# Repetitions per timed query; the reported number is the MEDIAN, so a
+# one-off GC pause / host-contention blip cannot masquerade as a plan
+# regression (the r2 phantom: one cold 13.7 s e1 run vs 2.5 s steady state).
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def main() -> None:
     spark = get_spark(app_name="gmie-bench")
-    # warm-up: absorb one-time JVM/codegen/Python-worker startup so timed
-    # numbers measure the plan in steady state, as on a long-lived cluster
-    for name in WARMUP:
+    # Warm-up: run EVERY headline plan once at the smallest SF — same
+    # schemas ⇒ same generated code ⇒ codegen cache, Python-worker pools,
+    # and the Python DataSource runner (e1's ~8-10 s first-read init) are
+    # all hot before anything is timed, as on a long-lived cluster.
+    # Failures are NOT swallowed silently: a query that cannot warm up will
+    # post a visibly cold (or error) timed number, so say why on stderr.
+    for name in HEADLINE:
         try:
             REGISTRY[name].spark(spark, WARMUP_SF_DIR).write.format(
                 "noop"
             ).mode("overwrite").save()
-        except Exception:
-            pass  # a cold path just stays cold; the timed run still reports
+        except Exception as e:
+            print(
+                f"bench: WARM-UP FAILED for {name}: "
+                f"{type(e).__name__}: {e}"[:300],
+                file=sys.stderr,
+            )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         qd = REGISTRY[name]
-        t0 = time.perf_counter()
-        try:
-            qd.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # one broken query must not sink the suite
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
+        reps: list[float] = []
+        for _ in range(max(1, REPS)):
+            t0 = time.perf_counter()
+            try:
+                qd.spark(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                reps.append(time.perf_counter() - t0)
+            except Exception as e:  # one broken query must not sink the suite
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                break
+        if reps:
+            timings[name] = round(sorted(reps)[len(reps) // 2], 3)
 
     result = {
         "metric": "headline_suite_wall",
@@ -107,6 +115,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "reps": REPS,
+        "stat": "median_per_query",
     }
     if errors:
         result["errors"] = errors

@@ -326,6 +326,68 @@ def ivf_cosine_topk(
     )
 
 
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 32,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold) — the scale
+    path: LSH-bucketed candidates → exact-cosine verify. No theta/cartesian
+    self-join anywhere in the plan.
+
+    Candidate generation: every vector gets ``tables`` sign-bit signatures
+    (one Arrow-batched matmul); a pair is a candidate iff it collides in ANY
+    table — a plain equi-self-join on (table, signature). Miss probability
+    for a true pair at cos=θ is (1-p^b)^T with p = 1-arccos(θ)/π; at the
+    0.95 threshold with b=8, T=32 that is ≈2·10⁻⁸ (and vanishing for closer
+    pairs), so the candidate set contains every true pair in practice —
+    tests assert pair-set equality with the exact all-pairs kernel on the
+    fixture data, and the signatures are seed-deterministic, so equality is
+    stable run-to-run. Verify = the exact cosine kernel, so precision is 1
+    by construction.
+
+    Scale shape: cost is Σ_tables Σ_buckets |bucket|², versus |corpus|² for
+    the all-pairs form (``embedding_neardup_pairs``, kept as the sf0.01
+    oracle twin). Scoring happens BEFORE the pair dedup so only three
+    scalars per candidate cross the dedup shuffle, never the vectors.
+    """
+    sig_udf = _lsh_signatures_batch(dim, bits, tables, seed)
+    base = parallelize_small(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    ).withColumn("__n", F.sqrt(_dot("__v", "__v")))
+    signed = base.withColumn("__sigs", sig_udf(F.col("__v"))).select(
+        "__id", "__v", "__n", F.posexplode("__sigs").alias("__tbl", "__sig")
+    )
+    a = signed.select(
+        F.col("__id").alias("id_1"),
+        F.col("__v").alias("__v1"),
+        F.col("__n").alias("__n1"),
+        "__tbl",
+        "__sig",
+    )
+    b = signed.select(
+        F.col("__id").alias("id_2"),
+        F.col("__v").alias("__v2"),
+        F.col("__n").alias("__n2"),
+        "__tbl",
+        "__sig",
+    )
+    cos = _dot("__v1", "__v2") / (F.col("__n1") * F.col("__n2"))
+    return (
+        a.join(b, on=["__tbl", "__sig"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", F.round(cos, round_digits).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_1", "id_2"])
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -335,9 +397,10 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold), exact.
 
-    All-pairs form for oracle-checkable correctness; the LSH variant above is
-    the scale path (same verify kernel). Per-row norms attach below the join
-    so each vector's self-dot computes once, not O(n) times.
+    All-pairs form — the ORACLE TWIN of ``embedding_neardup_pairs_lsh``
+    (which is the declared/scale path): O(n²), correct at any recall, only
+    ever run at oracle scale. Per-row norms attach below the join so each
+    vector's self-dot computes once, not O(n) times.
     """
     a = parallelize_small(
         df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"))

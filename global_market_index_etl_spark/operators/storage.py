@@ -1,0 +1,92 @@
+"""Durable MERGE-into-storage upsert over parquet (SURVEY.md §2.2 K1-K3).
+
+The reference's at-rest semantic is ``INSERT ... ON CONFLICT DO UPDATE``
+into live PostgreSQL tables (/root/reference/src/storage/postgres_writer.py:234-259,
+DDL 32-113). Plain parquet has no MERGE, so the durable form here is the
+lakehouse-standard **partition-pruned read-modify-overwrite**:
+
+- the table is laid out partitioned by a deterministic key-hash bucket
+  (``__bucket = pmod(xxhash64(keys...), n_buckets)``);
+- a MERGE reads ONLY the buckets that contain updated keys (partition
+  pruning on the scan), applies the relational last-write-wins upsert
+  (operators/upsert.py — the oracle-checked core), and overwrites ONLY
+  those buckets via dynamic partition overwrite.
+
+Cost therefore scales with |touched buckets| ≍ |batch|, not |table| — the
+property that makes MERGE viable on a 100 TB table. With Delta/Iceberg on
+the classpath the same interface maps onto their native ``MERGE INTO``;
+this form is the dependency-free equivalent with identical semantics
+(idempotency under batch replay is asserted in tests and in the declared
+``k2_upsert_roundtrip`` query).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .upsert import upsert
+
+BUCKET = "__bucket"
+
+
+def _bucket_col(key_columns: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_columns]), F.lit(n_buckets))
+
+
+def write_bucketed_table(
+    df: DataFrame, path: str, key_columns: list[str], n_buckets: int = 16
+) -> None:
+    """Materialize ``df`` as a key-hash-bucketed parquet table at ``path``.
+
+    The bucket column is derived (never trusted from input) so every writer
+    places a key in the same bucket forever — the invariant MERGE pruning
+    relies on.
+    """
+    (
+        df.withColumn(BUCKET, _bucket_col(key_columns, n_buckets))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET)
+        .parquet(path)
+    )
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_columns: list[str],
+    order_column: str | None = None,
+    n_buckets: int = 16,
+) -> None:
+    """MERGE ``updates`` into the bucketed table at ``path`` (last-write-wins).
+
+    Reads only the buckets containing updated keys and rewrites only those
+    buckets (dynamic partition overwrite) — untouched buckets' files are
+    never read or rewritten. Idempotent: replaying the same batch leaves the
+    table unchanged (updates win ties via the upsert's ``__src`` tag, and the
+    survivor set is deterministic).
+    """
+    up = updates.withColumn(BUCKET, _bucket_col(key_columns, n_buckets))
+    # ≤ n_buckets scalar rows — bounded driver collect, independent of data size
+    affected = [r[0] for r in up.select(BUCKET).distinct().collect()]
+    if not affected:
+        return
+    current = spark.read.parquet(path).filter(F.col(BUCKET).isin(affected))
+    merged = upsert(current, up, key_columns, order_column=order_column)
+    # Materialize BEFORE overwriting: the merged plan reads the very files
+    # the write replaces (Spark rejects the self-overwrite, and rightly so).
+    # localCheckpoint holds only the touched buckets — |batch|-sized, not
+    # |table|-sized. A Delta/Iceberg MERGE does the same staging internally.
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET)
+        .parquet(path)
+    )
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read the bucketed table back without the layout column."""
+    return spark.read.parquet(path).drop(BUCKET)

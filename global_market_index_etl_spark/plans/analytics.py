@@ -123,61 +123,82 @@ def tpch_q3_top_revenue_orders(spark, sf):
 
 
 @query(
-    "w_moving_avg",
+    "w_window_suite",
     """
-    SELECT event_id, user_id, ts,
-           (CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
-              / 100.0)
-             / (COUNT(value) OVER w) AS moving_avg
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    WITH base AS (
+      SELECT event_id, user_id, event_type, ts, value, epoch_us(ts) AS us
+      FROM events WHERE value IS NOT NULL
+    ), w1 AS (
+      SELECT event_id, user_id, ts, value, us,
+             (CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER wf AS BIGINT)
+                / 100.0) / (COUNT(value) OVER wf) AS moving_avg,
+             lag(value) OVER wu AS prev_value,
+             lag(us) OVER wu AS prev_us,
+             CAST(ntile(10) OVER (PARTITION BY event_type
+                  ORDER BY value, event_id) AS INTEGER) AS decile
+      FROM base
+      WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value, moving_avg, prev_value,
+           (value - prev_value) / nullif(prev_value, 0) AS pct_change,
+           decile,
+           CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM w1
     """,
-    doc="Rolling mean over a row frame — the moving-average query the "
-    "reference's README positions the data for (§2.11). Window sums use "
-    "exact integer cents so frame-accumulation order is irrelevant.",
+    doc="Window-function suite over the event stream in ONE plan — rolling "
+    "mean (3-preceding row frame, exact integer cents inside the frame), "
+    "lag/pct_change (nullif-guarded, per-row IEEE arithmetic), gap-based "
+    "30-min sessionization (lag + running sum over integer microseconds — "
+    "the batch twin of Structured Streaming session windows, "
+    "streaming/incremental.py), and per-key decile assignment (ntile(10) "
+    "with an id tie-break; the building block for quality-stratified "
+    "sampling). Scale shape: the three user_id windows share ONE hash "
+    "shuffle + sort (Spark plans a single Window node for same-spec "
+    "functions), the event_type ntile adds the only second exchange — "
+    "four analytic operators for two shuffles total.",
 )
-def w_moving_avg(spark, sf):
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-3, Window.currentRow)
+def w_window_suite(spark, sf):
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wu.rowsBetween(-3, Window.currentRow)
+    cum = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wd = Window.partitionBy("event_type").orderBy("value", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag("value").over(wu)
+    prev_us = F.lag(us).over(wu)
+    new_sess = F.when(
+        prev_us.isNull() | ((us - prev_us) > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    step1 = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            (
+                (F.sum(cents("value")).over(wf) / F.lit(100.0))
+                / F.count("value").over(wf)
+            ).alias("moving_avg"),
+            prev.alias("prev_value"),
+            ((F.col("value") - prev) / F.nullif(prev, F.lit(0.0))).alias(
+                "pct_change"
+            ),
+            F.ntile(10).over(wd).alias("decile"),
+            new_sess.alias("__new_sess"),
+        )
     )
-    return load_table(spark, sf, "events").select(
-        "event_id",
-        "user_id",
-        "ts",
-        (
-            (F.sum(cents("value")).over(w) / F.lit(100.0))
-            / F.count("value").over(w)
-        ).alias("moving_avg"),
-    )
-
-
-@query(
-    "w_lag_pct_change",
-    """
-    SELECT event_id, user_id, value,
-           lag(value) OVER w AS prev_value,
-           (value - lag(value) OVER w) / nullif(lag(value) OVER w, 0)
-             AS pct_change
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-    doc="lag/pct_change — per-key return series (§2.11). Per-row arithmetic "
-    "on identical doubles is bit-deterministic; nullif guards zero "
-    "denominators identically in both engines.",
-)
-def w_lag_pct_change(spark, sf):
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("value").over(w)
-    return load_table(spark, sf, "events").select(
-        "event_id",
-        "user_id",
-        "value",
-        prev.alias("prev_value"),
-        ((F.col("value") - prev) / F.nullif(prev, F.lit(0.0))).alias("pct_change"),
-    )
+    # the running sum over the lag-derived flag must sit in its own Window
+    # stage (nested window expressions are invalid); it reuses the same
+    # (user_id, ts, event_id) partitioning+sort, so no extra exchange
+    return step1.withColumn(
+        "session_id", F.sum("__new_sess").over(cum)
+    ).drop("__new_sess")
 
 
 @query(
@@ -218,77 +239,32 @@ def w_rank_in_group(spark, sf):
 
 
 @query(
-    "w_sessionize",
+    "g_rollup_cube",
     """
-    WITH t AS (
-      SELECT user_id, event_id, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_us
-      FROM events
-    ), flags AS (
-      SELECT user_id, event_id, us,
-             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM t)
-    SELECT user_id, event_id,
-           CAST(SUM(new_sess) OVER (PARTITION BY user_id
-                                    ORDER BY us, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS session_id
-    FROM flags
-    """,
-    doc="Gap-based sessionization (30-min inactivity) via lag + running sum "
-    "— the batch twin of Structured Streaming session windows "
-    "(streaming/incremental.py). Single shuffle on user_id shared by both "
-    "windows; integer microsecond math, no float drift.",
-)
-def w_sessionize(spark, sf):
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # event_id tie-break: same-timestamp events otherwise make the running
-    # sum (and thus session_id) order-ambiguous run-to-run
-    cum = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        load_table(spark, sf, "events")
-        .select("user_id", "event_id", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
-        .withColumn(
-            "new_sess",
-            F.when(
-                F.col("prev_us").isNull()
-                | ((F.col("us") - F.col("prev_us")) > 1_800_000_000),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .select(
-            "user_id",
-            "event_id",
-            F.sum("new_sess").over(cum).alias("session_id"),
-        )
-    )
-
-
-@query(
-    "g_rollup_priority",
-    """
-    SELECT o_orderpriority, o_orderstatus,
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
            CAST(count(*) AS BIGINT) AS n_orders,
            {total} AS total_value
     FROM orders
-    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """.format(total=sql_exact_money_sum("o_totalprice")),
-    doc="ROLLUP grouping sets — subtotal/grand-total lattice in one pass "
-    "(Expand + single aggregate exchange), beyond the reference's surface "
-    "(§2.11).",
+    doc="Grouping-sets lattice (CUBE over status × priority) — all four "
+    "grouping sets in ONE aggregation pass: Spark expands the sets inside "
+    "the same partial-combined hash aggregate, so the full "
+    "subtotal/grand-total lattice costs one exchange, not one per set. "
+    "GROUPING() flags disambiguate 'rolled up' from a genuine NULL key "
+    "value on both engines. ROLLUP is the (a,b),(a),() subset of this "
+    "lattice — same Expand+aggregate plan shape, exercised directly in "
+    "tests (§2.11).",
 )
-def g_rollup_priority(spark, sf):
+def g_rollup_cube(spark, sf):
     return (
         load_table(spark, sf, "orders")
-        .rollup("o_orderpriority", "o_orderstatus")
+        .cube("o_orderstatus", "o_orderpriority")
         .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
             F.count(F.lit(1)).alias("n_orders"),
             exact_money_sum("o_totalprice").alias("total_value"),
         )
@@ -313,57 +289,49 @@ def set_ops_high_value(spark, sf):
 
 
 @query(
-    "skew_salted_agg",
+    "skew_salted_pipeline",
     """
-    SELECT event_type,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-             AS sum_value_cents,
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            CAST(count(*) AS BIGINT) AS n_rows
-    FROM events GROUP BY event_type
-    """,
-    doc="Skew mitigation — two-stage salted aggregation "
-    "(operators/skew.py): 5 event types over the whole fact would hash to "
-    "≤5 reducers; pre-aggregating on (key, salt16) fans partials across "
-    "16×5 reducers, final combine touches ≤16 rows/key. Integer partials "
-    "⇒ result bit-identical to the plain GROUP BY oracle.",
-)
-def skew_salted_agg(spark, sf):
-    from ..operators.skew import salted_sum_count
-
-    events = load_table(spark, sf, "events")
-    return salted_sum_count(
-        events,
-        ["event_type"],
-        {"sum_value_cents": cents("value")},
-        n_salts=16,
-    )
-
-
-@query(
-    "skew_salted_join",
-    """
-    SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
     """,
-    doc="Skew mitigation — salted equi-join (operators/skew.py): big side "
-    "salted with a deterministic row hash mod 16, small side exploded 16 "
-    "ways, join on (key, salt) splits any hot orderkey across 16 tasks. "
-    "Result-identical to the plain join (each big row meets exactly its "
-    "one small-side replica); the unsalted form is preferred until the "
-    "key histogram says otherwise — this is the explicit fallback when "
-    "AQE's runtime skew split cannot help (e.g. aggregation-free "
-    "pipelines with downstream key partitioning requirements).",
+    doc="Skew mitigation end-to-end (operators/skew.py), both techniques "
+    "composed in one plan: (1) salted equi-join — big side salted with a "
+    "deterministic row hash mod 16, small side exploded 16 ways, join on "
+    "(key, salt) splits any hot orderkey across 16 tasks; result-identical "
+    "to the plain join since each big row meets exactly its one small-side "
+    "replica. (2) two-stage salted aggregation over the join output — 12 "
+    "months over the whole fact would hash to ≤ a few dozen reducers; "
+    "pre-aggregating on (keys, salt16) fans partials across 16× reducers "
+    "and the final combine touches ≤16 rows per key. Integer partials keep "
+    "the result bit-identical to the plain join+GROUP BY oracle. This is "
+    "the explicit fallback when AQE's runtime skew split cannot help "
+    "(aggregation-free stages, downstream key-partitioning requirements).",
 )
-def skew_salted_join(spark, sf):
-    from ..operators.skew import salted_join
+def skew_salted_pipeline(spark, sf):
+    from ..operators.skew import salted_join, salted_sum_count
 
     lineitem = load_table(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+        "l_orderkey", "l_quantity"
     )
     orders = load_table(spark, sf, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
     )
-    return salted_join(lineitem, orders, "l_orderkey", n_salts=16)
+    joined = salted_join(lineitem, orders, "l_orderkey", n_salts=16)
+    keyed = joined.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.col("l_quantity").cast("long").alias("__qty"),
+    )
+    return salted_sum_count(
+        keyed,
+        ["order_year", "order_month"],
+        {"sum_qty": F.col("__qty")},
+        n_salts=16,
+    )
 
 
 @query(
@@ -466,11 +434,12 @@ def tpch_q13_custdist(spark, sf):
 )
 def sketch_event_profile(spark, sf):
     events = load_table(spark, sf, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
-            "value_quantiles"
-        ),
+        F.element_at(q, 1).alias("value_p50"),
+        F.element_at(q, 2).alias("value_p95"),
+        F.element_at(q, 3).alias("value_p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -507,49 +476,3 @@ def w_running_total(spark, sf):
     )
 
 
-@query(
-    "w_ntile_deciles",
-    """
-    SELECT event_id, event_type, value,
-           CAST(ntile(10) OVER (PARTITION BY event_type
-                ORDER BY value, event_id) AS INTEGER) AS decile
-    FROM events WHERE value IS NOT NULL
-    """,
-    doc="Per-key decile assignment via ntile(10) with an id tie-break "
-    "(equal values land deterministically). The building block for "
-    "quality-score stratified sampling of training data.",
-)
-def w_ntile_deciles(spark, sf):
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (
-        load_table(spark, sf, "events")
-        .filter(F.col("value").isNotNull())
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            F.ntile(10).over(w).alias("decile"),
-        )
-    )
-
-
-@query(
-    "g_cube_status_priority",
-    """
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           {total} AS total_value
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """.format(total=sql_exact_money_sum("o_totalprice")),
-    doc="CUBE over (status, priority): all four grouping sets in ONE "
-    "aggregation pass (Spark expands the grouping sets in the same "
-    "hash-aggregate, partial-combined). NULL marks the rolled-up "
-    "dimensions, matching ANSI semantics on both engines.",
-)
-def g_cube_status_priority(spark, sf):
-    orders = load_table(spark, sf, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        exact_money_sum("o_totalprice").alias("total_value"),
-    )

@@ -309,6 +309,51 @@ def k4_changed_rows(spark, sf):
     return changed_rows(cur, incoming, ["o_orderkey"])
 
 
+@query(
+    "k2_upsert_roundtrip",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice)
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    """,
+    doc="K1-K3 durable — MERGE into STORAGE, round-tripped (the reference's "
+    "at-rest ON CONFLICT DO UPDATE semantic, postgres_writer.py:234-278, "
+    "DDL 32-113): the orders projection is materialized as a key-hash-"
+    "bucketed parquet table, a changed batch (every 5th key re-priced) is "
+    "MERGEd via partition-pruned read-modify-overwrite (operators/"
+    "storage.py — only buckets containing updated keys are read or "
+    "rewritten, so MERGE cost scales with the batch, not the table), the "
+    "SAME batch is merged a second time (idempotency: replay must be a "
+    "no-op), and the result is what the files on disk now say — not the "
+    "in-memory plan. Oracle = the expected post-merge table.",
+)
+def k2_upsert_roundtrip(spark, sf):
+    import tempfile
+
+    from ..operators.storage import (
+        merge_into_parquet,
+        read_table,
+        write_bucketed_table,
+    )
+
+    target = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = target.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.round("o_totalprice")
+    )
+    path = tempfile.mkdtemp(prefix="gmie_k2_roundtrip_")
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=16)
+    merge_into_parquet(spark, path, updates, ["o_orderkey"], n_buckets=16)
+    # replay the identical batch — the table must not change
+    merge_into_parquet(spark, path, updates, ["o_orderkey"], n_buckets=16)
+    return read_table(spark, path).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
 # --------------------------------------------------------------------------
 # Reshape / projection / cast (SURVEY.md §2.3, §2.4)
 
@@ -341,24 +386,37 @@ def r1_unpivot_measures(spark, sf):
 
 
 @query(
-    "p3_cast_coerce",
+    "p3_cast_json",
     """
     SELECT event_id,
            CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_value,
            TRY_CAST(event_type AS DOUBLE) AS bad_cast,
-           CAST(value AS VARCHAR) AS value_str
+           CAST(value AS VARCHAR) AS value_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
     FROM events
     """,
-    doc="P3 — coercing casts (pd.to_numeric(errors='coerce'), "
-    "standardizer.py:188-221): non-ANSI cast maps unparseable → NULL, "
-    "matching TRY_CAST; plus regexp field extraction kept JVM-side.",
+    doc="P3 + JSON extraction — coercing casts (pd.to_numeric("
+    "errors='coerce'), standardizer.py:188-221): non-ANSI cast maps "
+    "unparseable → NULL, matching TRY_CAST; regexp field extraction kept "
+    "JVM-side; and the props payload parsed ONCE with a typed from_json "
+    "schema (columnar access, malformed input coerces to NULL — at scale "
+    "prefer from_json-with-schema over repeated get_json_object calls). "
+    "All per-row codegen expressions in one projection over one scan.",
 )
-def p3_cast_coerce(spark, sf):
-    return load_table(spark, sf, "events").select(
-        "event_id",
-        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k_value"),
-        F.col("event_type").cast("double").alias("bad_cast"),
-        F.col("value").cast("string").alias("value_str"),
+def p3_cast_json(spark, sf):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    props_schema = StructType([StructField("k", LongType(), True)])
+    return (
+        load_table(spark, sf, "events")
+        .withColumn("__p", F.from_json("props", props_schema))
+        .select(
+            "event_id",
+            F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k_value"),
+            F.col("event_type").cast("double").alias("bad_cast"),
+            F.col("value").cast("string").alias("value_str"),
+            F.col("__p.k").alias("props_k"),
+        )
     )
 
 
@@ -444,26 +502,80 @@ def f5_in_list_filter(spark, sf):
 
 
 @query(
-    "a1_null_counts",
+    "a_profile",
     """
-    SELECT CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS text_nulls,
+    SELECT 'lineitem' AS table_name, 'n_rows' AS stat,
+           CAST(count(*) AS BIGINT) AS value FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'n_rows', CAST(count(*) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'customer', 'n_rows', CAST(count(*) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'customer', 'distinct_mktsegment',
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'documents', 'text_nulls',
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'lang_nulls',
            CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS lang_nulls,
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'source_nulls',
            CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS source_nulls,
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'n_chars_nulls',
            CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_chars_nulls
     FROM documents
     """,
-    doc="A1 — per-column null counts in a single pass "
-    "(standardizer.py:253-258): one scan, scalar shuffle.",
+    doc="A1+A2+A4 — the reference's QC probe surface as ONE long-format "
+    "profile: per-column null counts in a single documents pass "
+    "(standardizer.py:253-258; computed as one agg row then unpivoted — "
+    "one scan, not one per stat), stage-boundary row counts "
+    "(main.py:76,83,93), and the unique-value scan as a distinct count "
+    "(standardizer.py:304-312; the raw distinct-values scan itself is "
+    "d1_distinct_pairs). Each leg is a metadata-cheap partial aggregate "
+    "shuffling scalars only.",
 )
-def a1_null_counts(spark, sf):
-    return null_counts(
+def a_profile(spark, sf):
+    legs = []
+    for name in ["lineitem", "orders", "customer"]:
+        legs.append(
+            load_table(spark, sf, name)
+            .agg(F.count(F.lit(1)).alias("value"))
+            .select(
+                F.lit(name).alias("table_name"),
+                F.lit("n_rows").alias("stat"),
+                "value",
+            )
+        )
+    legs.append(
+        load_table(spark, sf, "customer")
+        .agg(F.count_distinct("c_mktsegment").alias("value"))
+        .select(
+            F.lit("customer").alias("table_name"),
+            F.lit("distinct_mktsegment").alias("stat"),
+            "value",
+        )
+    )
+    nulls_wide = null_counts(
         load_table(spark, sf, "documents"),
         ["text", "lang", "source", "n_chars"],
     )
+    legs.append(
+        nulls_wide.unpivot(
+            [],
+            [f"{c}_nulls" for c in ["text", "lang", "source", "n_chars"]],
+            "stat",
+            "value",
+        ).select(F.lit("documents").alias("table_name"), "stat", "value")
+    )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
 
 
 @query(
@@ -480,33 +592,8 @@ def a3_key_ranges(spark, sf):
     return key_ranges(load_table(spark, sf, "events"), "event_type", "ts")
 
 
-@query(
-    "a4_distinct_values",
-    "SELECT DISTINCT c_mktsegment FROM customer",
-    doc="A4 — unique-value scan of one column (standardizer.py:304-312).",
-)
-def a4_distinct_values(spark, sf):
-    return load_table(spark, sf, "customer").select("c_mktsegment").distinct()
-
-
 # --------------------------------------------------------------------------
 # Sources (SURVEY.md §2.1) and the as-of FX generalization (§2.6)
-
-
-@query(
-    "s1_market_bars",
-    None,  # the Python DataSource is not reachable from DuckDB — rows-only
-    doc="S1 — the reference's yfinance batch scan (yf_collector.py:11-99) "
-    "as a Spark 4 Python DataSource with one input partition per ticker: "
-    "1000 tickers fetch as 1000 parallel tasks, per-ticker retry isolation. "
-    "HTTP stubbed with a seeded deterministic OHLCV walk (no network here); "
-    "partition planning / option / schema / iterator protocol are real. "
-    "Determinism and per-ticker partitioning are asserted in tests.",
-)
-def s1_market_bars(spark, sf):
-    from ..sources.market_source import read_market_bars
-
-    return read_market_bars(spark, bars=48, seed=42)
 
 
 @query(
@@ -569,32 +656,6 @@ def fx_asof_rate_fill(spark, sf):
 
 
 @query(
-    "a2_row_counts",
-    """
-    SELECT 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n FROM lineitem
-    UNION ALL
-    SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
-    UNION ALL
-    SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
-    """,
-    doc="A2 — stage-boundary row counts (main.py:76,83,93) as one unioned "
-    "count plan: each leg is a metadata-cheap scan + partial count.",
-)
-def a2_row_counts(spark, sf):
-    legs = []
-    for name in ["lineitem", "orders", "customer"]:
-        legs.append(
-            load_table(spark, sf, name).agg(
-                F.count(F.lit(1)).alias("n")
-            ).select(F.lit(name).alias("table_name"), "n")
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionAll(leg)
-    return out
-
-
-@query(
     "e1_pipeline_market_bars",
     None,  # consumes the Python DataSource — not reachable from DuckDB
     doc="E1 — the reference's whole ETL (main.py:9-141) as ONE lazy Spark "
@@ -603,7 +664,14 @@ def a2_row_counts(spark, sf):
     "join with identity-rate/null-propagation → 5× _usd projections → "
     "last-write-wins key dedup. The only wide exchange is the upsert key "
     "shuffle; pipeline invariants (idempotency, FK, identity conversion, "
-    "null propagation) are asserted in tests/test_domain_pipeline.py.",
+    "null propagation) are asserted in tests/test_domain_pipeline.py. "
+    "S1 (the reference's yfinance batch scan, yf_collector.py:11-99) is "
+    "this plan's source stage: a Spark 4 Python DataSource with one input "
+    "partition per ticker — 1000 tickers fetch as 1000 parallel tasks with "
+    "per-ticker retry isolation; HTTP stubbed with a seeded deterministic "
+    "OHLCV walk (no network in this sandbox), while partition planning / "
+    "options / schema / iterator protocol are real and asserted standalone "
+    "in tests/test_market_source.py.",
 )
 def e1_pipeline_market_bars(spark, sf):
     import datetime as dt
@@ -632,34 +700,3 @@ def e1_pipeline_market_bars(spark, sf):
     return load_batch(None, batch, ["ticker", "timestamp_utc"], "batch_ts")
 
 
-@query(
-    "p_json_extract",
-    """
-    SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-             AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
-             AS BIGINT) AS max_k,
-           CAST(count(*) AS BIGINT) AS n
-    FROM events WHERE props IS NOT NULL
-    GROUP BY event_type
-    """,
-    doc="JSON scalar extraction (§2.11 gap): parse the props payload with "
-    "a typed from_json schema (single parse, columnar access, malformed "
-    "input coerces to NULL) and aggregate the extracted field. At scale "
-    "prefer from_json-with-schema over repeated get_json_object calls — "
-    "one parse per row regardless of fields read.",
-)
-def p_json_extract(spark, sf):
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    props_schema = StructType([StructField("k", LongType(), True)])
-    events = load_table(spark, sf, "events").filter(
-        F.col("props").isNotNull()
-    )
-    parsed = events.withColumn("__p", F.from_json("props", props_schema))
-    return parsed.groupBy("event_type").agg(
-        F.sum(F.col("__p.k")).alias("sum_k"),
-        F.max(F.col("__p.k")).alias("max_k"),
-        F.count(F.lit(1)).alias("n"),
-    )

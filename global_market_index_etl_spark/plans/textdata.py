@@ -66,41 +66,32 @@ def _sql_split_case(id_ref: str) -> str:
 
 
 @query(
-    "text_token_count",
-    f"""
-    SELECT doc_id,
-           CAST(len({_SQL_WORDS.format(col="text")}) AS INTEGER) AS n_tokens,
-           CAST(len(regexp_extract_all(text,
-                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
-             AS n_bpe_ish
-    FROM documents
-    """,
-    doc="Token counting: whitespace tokens + BPE-ish regex pieces. Pure "
-    "codegen expressions — scan-speed at any scale.",
-)
-def text_token_count(spark, sf):
-    return load_table(spark, sf, "documents").select(
-        "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        T.bpe_ish_token_count("text").alias("n_bpe_ish"),
-    )
-
-
-@query(
-    "text_quality_score",
-    f"""
+    "text_metrics",
+    """
     WITH feat AS (
       SELECT doc_id,
-             CAST(len({_SQL_WORDS.format(col="text")}) AS INTEGER) AS n_tokens,
+             CAST(len({words}) AS INTEGER) AS n_tokens,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
+               AS n_bpe_ish,
              CAST(length(text) AS INTEGER) AS n_chars_m,
              CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER)
                AS n_punct,
              CAST(len(regexp_extract_all(lower(text),
                   '\\b(the|a|an|and|of|to|in|is|for|on|with)\\b')) AS INTEGER)
-               AS n_stop
+               AS n_stop,
+             len(regexp_extract_all(lower(text),
+                 '\\b(the|and|of|to|in|is|a)\\b')) AS c_en,
+             len(regexp_extract_all(lower(text),
+                 '\\b(le|la|les|et|un|une|est|dans)\\b')) AS c_fr,
+             len(regexp_extract_all(lower(text),
+                 '\\b(el|los|las|y|que|es|en|un)\\b')) AS c_es,
+             len(regexp_extract_all(lower(text),
+                 '\\b(der|die|das|und|ist|ein|nicht)\\b')) AS c_de,
+             len(regexp_extract_all(text, '[{cjk_lo}-{cjk_hi}]')) AS c_zh
       FROM documents
     )
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, n_tokens, n_bpe_ish,
            CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars_m AS DOUBLE), 0.0)
              AS punct_ratio,
            CAST(n_stop AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0)
@@ -110,52 +101,40 @@ def text_token_count(spark, sf):
                  / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0) * 2.5, 1.0)
            + 0.2 * (1.0 - least(coalesce(CAST(n_punct AS DOUBLE)
                  / nullif(CAST(n_chars_m AS DOUBLE), 0.0), 0.0) * 5.0, 1.0))
-             AS quality_score
+             AS quality_score,
+           CASE WHEN c_zh > 0 THEN 'zh'
+                WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+                WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+                WHEN c_es >= c_de THEN 'es'
+                ELSE 'de' END AS lang_pred
     FROM feat
-    """,
-    doc="Quality scoring from length/punctuation/stopword ratios — per-row "
-    "double arithmetic, engine-portable bit-for-bit.",
+    """.format(
+        words=_SQL_WORDS.format(col="text"),
+        cjk_lo=chr(0x4E00),
+        cjk_hi=chr(0x9FFF),
+    ),
+    doc="Per-document text-analysis suite in ONE pass over one scan: token "
+    "counting (whitespace tokens + BPE-ish regex pieces), quality scoring "
+    "from length/punctuation/stopword ratios (per-row double arithmetic, "
+    "engine-portable bit-for-bit), and the language-ID heuristic (CJK "
+    "short-circuit then marker-word argmax with a fixed tie order — the "
+    "fixture text is synthetic English-vocabulary salad, so 'en' "
+    "dominates; the operator, not label recovery, is under test). All "
+    "pure codegen expressions — a 100 TB documents table processes at "
+    "scan speed with zero Python and zero shuffles.",
 )
-def text_quality_score(spark, sf):
+def text_metrics(spark, sf):
     from ..operators.text import quality_score
 
-    return quality_score(load_table(spark, sf, "documents")).select(
-        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
-    )
-
-
-@query(
-    "text_language_id",
-    """
-    WITH c AS (
-      SELECT doc_id,
-        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b'))
-          AS c_en,
-        len(regexp_extract_all(lower(text),
-            '\\b(le|la|les|et|un|une|est|dans)\\b')) AS c_fr,
-        len(regexp_extract_all(lower(text),
-            '\\b(el|los|las|y|que|es|en|un)\\b')) AS c_es,
-        len(regexp_extract_all(lower(text),
-            '\\b(der|die|das|und|ist|ein|nicht)\\b')) AS c_de,
-        len(regexp_extract_all(text, '[{cjk_lo}-{cjk_hi}]')) AS c_zh
-      FROM documents
-    )
-    SELECT doc_id,
-      CASE WHEN c_zh > 0 THEN 'zh'
-           WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
-           WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
-           WHEN c_es >= c_de THEN 'es'
-           ELSE 'de' END AS lang_pred
-    FROM c
-    """.format(cjk_lo=chr(0x4E00), cjk_hi=chr(0x9FFF)),
-    doc="Language-ID heuristic: CJK short-circuit then marker-word argmax "
-    "with a fixed tie order. (Fixture text is synthetic English-vocabulary "
-    "salad, so 'en' dominates — the operator, not label recovery, is under "
-    "test.)",
-)
-def text_language_id(spark, sf):
-    return T.language_id(load_table(spark, sf, "documents")).select(
-        "doc_id", "lang_pred"
+    docs = load_table(spark, sf, "documents")
+    return T.language_id(quality_score(docs)).select(
+        "doc_id",
+        "n_tokens",
+        T.bpe_ish_token_count("text").alias("n_bpe_ish"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "lang_pred",
     )
 
 
@@ -234,11 +213,45 @@ def dedup_ngram_jaccard(spark, sf):
 
 @query(
     "dedup_minhash_lsh",
-    None,  # xxhash64 signatures are Spark-internal — verified in tests
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM pos a
+      JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
+                             - n_common) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id_1 = s1.doc_id
+    JOIN sizes s2 ON id_2 = s2.doc_id
+    WHERE n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
+                            - n_common) >= 0.8
+    """,
     doc="MinHash+LSH near-dup: shingle→32 minhashes→8 bands→bucket join→"
     "exact-Jaccard verify. Candidate generation is linear in docs×bands — "
-    "the 100 TB dedup path. Tests assert pair-set equality with the exact "
-    "Jaccard oracle query at threshold 0.8.",
+    "the 100 TB dedup path. The ORACLE is the exact-Jaccard pair SQL: "
+    "sound because the verify stage recomputes the exact Jaccard (same "
+    "integer set sizes, same single divide) on every candidate, and the "
+    "banding (b=8, r=4 ⇒ P(candidate | s=0.8) ≈ 0.986 per band set, "
+    "seed-deterministic signatures) recovers the full ≥0.8 pair set on "
+    "the fixture corpus — pair-set equality is asserted in tests at both "
+    "test SFs, so a driver-side hash match is a true end-to-end check of "
+    "the approximate path against ground truth.",
 )
 def dedup_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(
@@ -250,8 +263,11 @@ def dedup_minhash_lsh(spark, sf):
     "dedup_simhash",
     None,  # xxhash64-based signature — validated in tests
     doc="SimHash near-dup: 64-bit per-doc signature (per-bit majority over "
-    "word hashes), pigeonhole-blocked Hamming join (dist ≤ 7 ⇒ one of 8 "
-    "8-bit blocks matches exactly). Cheapest near-dup tier.",
+    "word hashes), pigeonhole-blocked Hamming join. The block count is "
+    "derived from the corpus size (operators/dedup.auto_simhash_blocks): "
+    "8-bit keys / radius ≤7 up to ~2·10^4 docs, widening to 16-bit keys / "
+    "radius ≤3 beyond (the Manku-et-al. operating point) so the bucket "
+    "join never degenerates toward all-pairs. Cheapest near-dup tier.",
 )
 def dedup_simhash(spark, sf):
     return simhash_near_pairs(load_table(spark, sf, "documents"), max_hamming=7)
@@ -326,12 +342,21 @@ def ann_lsh_topk(spark, sf):
     FROM dots
     WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.95
     """,
-    doc="Embedding-cosine near-duplicate pairs (cos ≥ 0.95), exact "
-    "all-pairs form. At scale the same kernel runs behind LSH candidate "
-    "buckets (operators/similarity.py).",
+    doc="Embedding-cosine near-duplicate pairs (cos ≥ 0.95) — the DECLARED "
+    "plan is the scale path: multi-table sign-bit LSH bucketing (b=8, "
+    "T=32, one Arrow-batched matmul per side) → plain equi-self-join on "
+    "(table, signature) → exact-cosine verify; no cartesian/theta join "
+    "anywhere. Miss probability for a true pair at the 0.95 boundary is "
+    "≈2·10⁻⁸ (vanishing above it) and signatures are seed-deterministic, "
+    "so the all-pairs kernel (embedding_neardup_pairs, the oracle twin "
+    "this SQL mirrors) produces the identical pair set — asserted in "
+    "tests at both test SFs, making the driver hash-match a true check "
+    "of the bucketed path against exact ground truth.",
 )
 def emb_neardup_cosine(spark, sf):
-    return embedding_neardup_pairs(
+    from ..operators.similarity import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(
         load_table(spark, sf, "embeddings"), threshold=0.95
     )
 
@@ -360,40 +385,43 @@ def mm_binary_stats(spark, sf):
 
 
 @query(
-    "mm_feature_extract",
-    None,  # mapInPandas decode stage — not expressible in the SQL oracle
-    doc="Multimodal decode + feature-extract over mapInPandas: opaque "
-    "binary payloads (UTF-8 doc bytes standing in for image data) → "
-    "deterministic 16-bin byte-histogram features, Arrow-batched with a "
-    "streaming per-partition iterator. The codec call is the stubbed "
-    "replacement point (operators/multimodal.py); batch shape, schema, and "
-    "determinism are asserted in tests.",
+    "mm_decode_features",
+    None,  # mapInPandas decode stages — not expressible in the SQL oracle
+    doc="Multimodal decode pipeline, both mapInPandas shapes composed in "
+    "one plan: frame sampling (one payload row → ≤8 frame rows via the "
+    "streaming iterator — the row-expansion shape of real video keyframe "
+    "extraction; stride slices stand in for codec output) feeding decode + "
+    "feature-extract (frame bytes → deterministic 16-bin byte-histogram "
+    "features, Arrow-batched). The codec calls are the stubbed replacement "
+    "points (operators/multimodal.py; a real pure-numpy PNG decode path "
+    "exists behind decode_stub=False and is exercised in tests). Batch "
+    "shape, schema, row expansion, and determinism are asserted in tests.",
 )
-def mm_feature_extract(spark, sf):
-    from ..operators.multimodal import as_media_table, extract_features
-
-    docs = load_table(spark, sf, "documents").withColumn(
-        "payload", F.encode("text", "UTF-8")
+def mm_decode_features(spark, sf):
+    from ..operators.multimodal import (
+        as_media_table,
+        extract_features,
+        sample_frames,
     )
-    media = as_media_table(docs, "doc_id", "payload", "image")
-    return extract_features(media, decode_stub=True)
-
-
-@query(
-    "mm_frame_sample",
-    None,  # one-row→many-rows mapInPandas expansion — rows-only check
-    doc="Multimodal frame sampling: one payload row → ≤8 frame rows via the "
-    "mapInPandas iterator (the same row-expansion shape as real video "
-    "keyframe extraction; stride slices stand in for codec output).",
-)
-def mm_frame_sample(spark, sf):
-    from ..operators.multimodal import as_media_table, sample_frames
 
     docs = load_table(spark, sf, "documents").withColumn(
         "payload", F.encode("text", "UTF-8")
     )
     media = as_media_table(docs, "doc_id", "payload", "video")
-    return sample_frames(media, every_n_bytes=64, max_frames=8)
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
+    # frame id = media_id * 100 + frame_idx (max_frames ≤ 8 « 100: unique)
+    frame_media = as_media_table(
+        frames.select(
+            (F.col("media_id") * F.lit(100) + F.col("frame_idx")).alias(
+                "frame_id"
+            ),
+            "frame_payload",
+        ),
+        "frame_id",
+        "frame_payload",
+        "image",
+    )
+    return extract_features(frame_media, decode_stub=True)
 
 
 @query(
@@ -431,62 +459,6 @@ def doc_rolling_fingerprint(spark, sf):
 
 
 @query(
-    "dedup_cluster_survivors",
-    """
-    WITH RECURSIVE words AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
-      FROM documents WHERE length(trim(text)) > 0
-    ), pos AS (
-      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
-      FROM words
-    ), sh AS (
-      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
-      FROM pos a
-      JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-      JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-             CAST(count(*) AS BIGINT) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT id_1, id_2 FROM inter
-      JOIN sizes s1 ON id_1 = s1.doc_id
-      JOIN sizes s2 ON id_2 = s2.doc_id
-      WHERE n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
-                              - n_common) >= 0.8
-    ), edges AS (
-      SELECT id_1 AS u, id_2 AS v FROM pairs
-      UNION ALL SELECT id_2, id_1 FROM pairs
-    ), reach(u, v) AS (
-      SELECT u, v FROM edges
-      UNION
-      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    )
-    SELECT d.doc_id,
-           CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
-             AS canonical_id
-    FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-    GROUP BY d.doc_id
-    """,
-    doc="Near-dup clustering + survivor selection: connected components "
-    "over the exact-Jaccard pair graph via iterative min-label propagation "
-    "(operators/dedup.connected_components — O(diameter) joined rounds, "
-    "localCheckpoint-truncated lineage, early exit on convergence). "
-    "canonical_id = component minimum; singletons map to themselves. "
-    "Oracle: recursive-CTE transitive closure over the same pair SQL.",
-)
-def dedup_cluster_survivors(spark, sf):
-    from ..operators.dedup import connected_components
-
-    docs = load_table(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
-    return connected_components(pairs, docs, "doc_id")
-
-
-@query(
     "samp_train_split",
     """
     SELECT doc_id,
@@ -507,7 +479,7 @@ def samp_train_split(spark, sf):
 
 
 @query(
-    "dedup_best_quality_survivor",
+    "dedup_cluster_survivors",
     """
     WITH RECURSIVE words AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
@@ -562,14 +534,19 @@ def samp_train_split(spark, sf):
            CAST(count(*) AS BIGINT) AS cluster_size
     FROM ranked GROUP BY canonical_id
     """.format(quality=_SQL_QUALITY_SCORE),
-    doc="Best-quality survivor per near-dup cluster — the production dedup "
-    "policy (keep the highest-quality member, not an arbitrary one): "
-    "connected components over the exact-Jaccard pair graph, quality "
-    "scores per doc, rank within each cluster by (quality DESC, doc_id). "
-    "Composition of three declared operators in one lazy plan; oracle is "
-    "the recursive-CTE closure + the same quality formula + min_by.",
+    doc="Near-dup clustering + best-quality survivor selection — the "
+    "production dedup policy (keep the highest-quality member of each "
+    "cluster, not an arbitrary one): connected components over the "
+    "exact-Jaccard pair graph via iterative min-label propagation "
+    "(operators/dedup.connected_components — O(diameter) joined rounds, "
+    "localCheckpoint-truncated lineage, early exit on convergence; "
+    "canonical_id = component minimum, singletons map to themselves), "
+    "quality scores per doc, rank within each cluster by (quality DESC, "
+    "doc_id). Composition of three declared operators in one lazy plan; "
+    "oracle is the recursive-CTE transitive closure over the same pair "
+    "SQL + the same quality formula + min_by.",
 )
-def dedup_best_quality_survivor(spark, sf):
+def dedup_cluster_survivors(spark, sf):
     from ..operators.dedup import connected_components
     from ..operators.text import quality_score
 

@@ -280,9 +280,8 @@ def test_sketch_profile_error_bounds(spark):
     for etype, (users, med) in exact.items():
         row = prof[etype]
         assert abs(row.approx_users - users) / users < 0.10  # HLL rsd 2%
-        q50 = row.value_quantiles[0]
-        assert abs(q50 - med) <= abs(med) * 0.05 + 1e-6
-        assert row.value_quantiles[0] <= row.value_quantiles[1] <= row.value_quantiles[2]
+        assert abs(row.value_p50 - med) <= abs(med) * 0.05 + 1e-6
+        assert row.value_p50 <= row.value_p95 <= row.value_p99
 
 
 def test_rolling_fingerprint_sequence_sensitivity(spark):
@@ -374,3 +373,218 @@ def test_events_ts_range_matches_converted_filter(spark):
     assert a == b
     # the converted column type matches the standard loader's
     assert dict(fast.dtypes)["ts"] == dict(slow.dtypes)["ts"]
+
+
+def test_storage_merge_roundtrip_idempotent(spark, tmp_path):
+    """Durable MERGE semantics (operators/storage.py): write a bucketed
+    table, merge a changed batch, replay the SAME batch — content must be
+    identical after the replay, and untouched buckets' files must not be
+    rewritten (partition-pruned MERGE, not a table rewrite)."""
+    import glob
+
+    from global_market_index_etl_spark.operators.storage import (
+        merge_into_parquet,
+        read_table,
+        write_bucketed_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    target = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    # a batch touching only a few keys → only a few buckets
+    updates = target.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.round("o_totalprice")
+    )
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=16)
+    merge_into_parquet(spark, path, updates, ["o_orderkey"], n_buckets=16)
+
+    files_after_first = sorted(glob.glob(f"{path}/__bucket=*/*.parquet"))
+    after_first = {
+        r.o_orderkey: (r.o_totalprice, r.o_orderstatus)
+        for r in read_table(spark, path).collect()
+    }
+    # expected: updated keys re-priced, everything else untouched
+    expected = {
+        r.o_orderkey: (
+            float(round(r.o_totalprice)) if r.o_orderkey % 100 == 0 else r.o_totalprice,
+            r.o_orderstatus,
+        )
+        for r in target.collect()
+    }
+    assert after_first == expected
+
+    merge_into_parquet(spark, path, updates, ["o_orderkey"], n_buckets=16)
+    after_replay = {
+        r.o_orderkey: (r.o_totalprice, r.o_orderstatus)
+        for r in read_table(spark, path).collect()
+    }
+    assert after_replay == after_first  # replay is a no-op
+
+    # partition pruning: buckets without updated keys kept their files
+    files_after_replay = sorted(glob.glob(f"{path}/__bucket=*/*.parquet"))
+    touched = {
+        f.split("__bucket=")[1].split("/")[0]
+        for f in set(files_after_first) ^ set(files_after_replay)
+    }
+    all_buckets = {
+        f.split("__bucket=")[1].split("/")[0] for f in files_after_replay
+    }
+    assert len(touched) < len(all_buckets), (
+        "replay rewrote every bucket — partition pruning is broken"
+    )
+
+
+def test_emb_neardup_lsh_matches_exact_on_planted_dups(spark):
+    """The declared (LSH-bucketed) embedding near-dup path must recover
+    exactly the all-pairs kernel's pair set. Fixture embeddings are random
+    (no pairs at cos ≥ 0.95), so plant near-duplicates: deterministic
+    blends of existing vectors at several closeness levels, including ones
+    near the threshold boundary on both sides."""
+    from global_market_index_etl_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    base = {r.vec_id: list(r.embedding) for r in emb.limit(12).collect()}
+    other = {r.vec_id: list(r.embedding) for r in emb.limit(24).collect()}
+    rows = [(int(i), [float(x) for x in v]) for i, v in base.items()]
+    nid = 100_000
+    mates = sorted(set(other) - set(base))
+    for j, (i, v) in enumerate(sorted(base.items())):
+        w = other[mates[j]]
+        # blend toward an unrelated vector: alpha sweeps through ~0.95
+        alpha = 0.05 + 0.03 * j
+        blended = [
+            (1 - alpha) * float(a) + alpha * float(b) for a, b in zip(v, w)
+        ]
+        rows.append((nid + j, blended))
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    exact = {
+        (r.id_1, r.id_2): r.cos_sim
+        for r in embedding_neardup_pairs(planted, threshold=0.95).collect()
+    }
+    lsh = {
+        (r.id_1, r.id_2): r.cos_sim
+        for r in embedding_neardup_pairs_lsh(planted, threshold=0.95).collect()
+    }
+    assert len(exact) > 0, "planting produced no ≥0.95 pairs — test is vacuous"
+    assert lsh == exact  # same pairs AND same (rounded) cosine values
+
+
+def test_auto_simhash_blocks_rule(spark):
+    from global_market_index_etl_spark.operators.dedup import (
+        auto_simhash_blocks,
+        simhash_near_pairs,
+    )
+
+    assert auto_simhash_blocks(500) == 8
+    assert auto_simhash_blocks(20_000) == 8
+    assert auto_simhash_blocks(100_000) == 4
+    assert auto_simhash_blocks(10**8) == 2
+    # explicit blocks keep the strict lossless guard
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(docs, max_hamming=7, blocks=4)
+
+
+def test_simhash_auto_blocks_small_corpus_matches_explicit(spark, docs):
+    from global_market_index_etl_spark.operators.dedup import simhash_near_pairs
+
+    auto = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in simhash_near_pairs(docs, max_hamming=7).collect()
+    }
+    explicit = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in simhash_near_pairs(docs, max_hamming=7, blocks=8).collect()
+    }
+    assert auto == explicit  # ≤2·10^4 docs ⇒ auto picks 8 blocks, radius 7
+
+
+def _encode_png(arr) -> bytes:
+    """Minimal PNG encoder (filter 0 + filter 2 rows) for decode tests."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    prev = bytes(w * c)
+    for y in range(h):
+        line = arr[y].tobytes()
+        if y % 2 == 0:  # filter 0 (None)
+            raw += b"\x00" + line
+        else:  # filter 2 (Up) — exercises the unfilter path
+            raw += b"\x02" + bytes(
+                (b - p) & 0xFF for b, p in zip(line, prev)
+            )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_roundtrip(spark):
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.multimodal import decode_png
+
+    rng_free = (np.arange(5 * 7 * 3, dtype=np.uint64) * 2654435761 % 256).astype(
+        np.uint8
+    )
+    arr = rng_free.reshape(5, 7, 3)
+    assert (decode_png(_encode_png(arr)) == arr).all()
+    gray = arr[:, :, :1].copy()
+    assert (decode_png(_encode_png(gray)) == gray).all()
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+
+
+def test_extract_features_real_png_decode(spark):
+    """decode_stub=False runs a REAL decode (pure-numpy PNG) end-to-end
+    through the mapInPandas plumbing — feature = pixel histogram, not byte
+    histogram of the compressed payload."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        as_media_table,
+        extract_features,
+    )
+
+    imgs = []
+    for i in range(4):
+        arr = (
+            (np.arange(6 * 6 * 3, dtype=np.uint64) * (2654435761 + i) % 256)
+            .astype(np.uint8)
+            .reshape(6, 6, 3)
+        )
+        imgs.append((i, _encode_png(arr), arr))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in imgs], "img_id long, payload binary"
+    )
+    media = as_media_table(df, "img_id", "payload", "image")
+    got = {
+        r.media_id: r.feature
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    for i, _, arr in imgs:
+        hist = np.bincount(arr.reshape(-1) >> 4, minlength=16)
+        want = "".join(f"{min(int(h), 255):02x}" for h in hist)
+        assert got[i] == want

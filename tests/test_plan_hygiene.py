@@ -19,19 +19,20 @@ from global_market_index_etl_spark.plans import REGISTRY
 
 from .conftest import SF_SMALL
 
-# exact all-pairs kernels: non-equi join is the documented design; the
-# bucketed variants (ann_lsh_topk, ann_ivf_topk, dedup_*) are the scale path
-ALLPAIRS_OK = {"ann_cosine_topk", "emb_neardup_cosine"}
+# exact all-pairs kernel: the non-equi probes×corpus join is the documented
+# design (probe side broadcast); the bucketed variants (ann_lsh_topk,
+# ann_ivf_topk, emb_neardup_cosine, dedup_*) are the scale path and must
+# stay equi-join — they get NO exemption here
+ALLPAIRS_OK = {"ann_cosine_topk"}
 
 # full-width reads that are semantically required (SELECT * shapes)
 FULL_WIDTH_OK = {
     "q2_day_slice",  # returns the full event row slice
-    "p3_cast_coerce",
-    "s1_market_bars",
+    "p3_cast_json",
     "e1_pipeline_market_bars",
-    "mm_frame_sample",
-    "skew_salted_agg",  # whole-row hash salt
-    "skew_salted_join",
+    "mm_decode_features",
+    "skew_salted_pipeline",  # whole-row hash salt
+    "k2_upsert_roundtrip",  # reads back its own 3-column table
 }
 
 LINEITEM_WIDTH = 11  # columns in the fixture lineitem table
