@@ -179,6 +179,7 @@ def w_window_suite(spark, sf):
         .select(
             "event_id",
             "user_id",
+            "event_type",
             "ts",
             "value",
             (
@@ -189,16 +190,29 @@ def w_window_suite(spark, sf):
             ((F.col("value") - prev) / F.nullif(prev, F.lit(0.0))).alias(
                 "pct_change"
             ),
-            F.ntile(10).over(wd).alias("decile"),
             new_sess.alias("__new_sess"),
         )
     )
-    # the running sum over the lag-derived flag must sit in its own Window
-    # stage (nested window expressions are invalid); it reuses the same
-    # (user_id, ts, event_id) partitioning+sort, so no extra exchange
-    return step1.withColumn(
+    # The running sum over the lag-derived flag must sit in its own Window
+    # stage (nested window expressions are invalid) — placed IMMEDIATELY
+    # after the user_id windows so it inherits their (user_id, ts,
+    # event_id) partitioning+sort with no new exchange; the event_type
+    # ntile comes last as the plan's only second shuffle. (Computing ntile
+    # between them would bounce user_id→event_type→user_id: 3 exchanges.)
+    step2 = step1.withColumn(
         "session_id", F.sum("__new_sess").over(cum)
-    ).drop("__new_sess")
+    )
+    return step2.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "moving_avg",
+        "prev_value",
+        "pct_change",
+        F.ntile(10).over(wd).alias("decile"),
+        "session_id",
+    )
 
 
 @query(
