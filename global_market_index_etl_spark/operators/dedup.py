@@ -49,7 +49,11 @@ def exact_dedup(
 
 
 def shingle_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the common input of Jaccard and
     MinHash. Explode is a narrow op; distinct shuffles once on the pair.
@@ -58,17 +62,25 @@ def shingle_table(
     regex split runs once per row, not once per element_at (see
     ``text.shingles_from_words``), and small scans are spread across cores
     first (``_parallelize_small``).
+
+    ``hashed=True`` emits ``xxhash64(shingle)`` (long) instead of the
+    shingle string, applied BELOW the distinct so the dedup shuffle moves
+    8-byte keys instead of ~25-byte strings. Set semantics are identical
+    unless two distinct shingles of one doc collide in 64 bits (P ≈ 2⁻⁶⁴
+    per shingle pair — the equivalence the MinHash verify stage already
+    accepts). Callers that need the string (MinHash signatures hash it
+    with their own family) keep the default.
     """
     prepared = _parallelize_small(df.select(id_col, text_col)).withColumn(
         "__words", words(F.lower(F.col(text_col)))
     )
-    return (
-        prepared.select(
-            F.col(id_col),
-            F.explode(shingles_from_words(F.col("__words"), n)).alias("shingle"),
+    shingle = F.explode(shingles_from_words(F.col("__words"), n)).alias("shingle")
+    exploded = prepared.select(F.col(id_col), shingle)
+    if hashed:
+        exploded = exploded.select(
+            id_col, F.xxhash64("shingle").alias("shingle")
         )
-        .distinct()
-    )
+    return exploded.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -84,8 +96,16 @@ def ngram_jaccard_pairs(
     shingles produce join rows — no quadratic blowup when shingles are
     discriminative); sizes join back broadcast-ably. Integer counts divide
     once ⇒ engine-portable values.
+
+    The join/shuffle key is ``xxhash64(shingle)`` (8 bytes), not the
+    shingle string (~25 bytes for 3-word shingles): the self-join's
+    exchange + sort carries a third of the bytes and long comparison beats
+    string comparison in the sort-merge. Counts are identical unless two
+    DISTINCT shingles of the same doc pair collide in 64 bits (P ≈ 2⁻⁶⁴
+    per pair of shingles — the same accepted equivalence the MinHash
+    verify stage uses, dedup.py:232-241).
     """
-    d = _materialize(shingle_table(df, id_col, text_col, n))
+    d = _materialize(shingle_table(df, id_col, text_col, n, hashed=True))
     sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = d.alias("a")
     b = d.alias("b")
