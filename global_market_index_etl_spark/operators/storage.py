@@ -42,9 +42,18 @@ def write_bucketed_table(
     The bucket column is derived (never trusted from input) so every writer
     places a key in the same bucket forever — the invariant MERGE pruning
     relies on.
+
+    The frame is repartitioned ON the bucket column before the partitioned
+    write: without it every upstream task writes a sliver into every bucket
+    directory (tasks × n_buckets small files — the classic dynamic-
+    partition-write file explosion); with it each bucket is one task
+    writing one file. At lake scale raise parallelism by repartitioning on
+    (bucket, key) with more partitions — several files per bucket is fine,
+    slivers from every task are not.
     """
     (
         df.withColumn(BUCKET, _bucket_col(key_columns, n_buckets))
+        .repartition(n_buckets, F.col(BUCKET))
         .write.mode("overwrite")
         .partitionBy(BUCKET)
         .parquet(path)
@@ -80,7 +89,8 @@ def merge_into_parquet(
     # |table|-sized. A Delta/Iceberg MERGE does the same staging internally.
     merged = merged.localCheckpoint(eager=True)
     (
-        merged.write.mode("overwrite")
+        merged.repartition(len(affected), F.col(BUCKET))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BUCKET)
         .parquet(path)
