@@ -169,6 +169,57 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return shingles_from_words(arr, n)
 
 
+# PII patterns for training-data scrubbing. Deliberately written in the
+# regex intersection of Java (Spark) and RE2 (DuckDB): no backreferences,
+# no lookaround — the same pattern string produces the same redaction in
+# both engines, so the operator is oracle-checkable (asserted in tests via
+# a DuckDB twin over identical synthetic rows).
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the pragmatic training-corpus form
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # 13-19 digit runs with optional group separators (card-shaped);
+    # BEFORE phone so a card's digit groups never half-match as a phone
+    "card": r"\b[0-9]{4}(?:[ -]?[0-9]{4}){2,3}\b",
+    # dotted quads before phone for the same reason
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    # optional +country/(area) prefix, then 3-3-4 with -/./space/paren seps
+    "phone": r"(?:\+?[0-9]{1,3}[-. (]{0,2})?[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{4}",
+}
+
+
+def redact_pii(
+    col: Column | str, patterns: dict[str, str] | None = None
+) -> Column:
+    """Replace PII spans with ``[TYPE]`` tokens (e.g. ``[EMAIL]``).
+
+    One chained ``regexp_replace`` per pattern — whole-stage-codegen JVM
+    regex, zero Python, so a 100 TB corpus scrubs at scan speed. Ordering
+    matters (email before phone keeps the digits of user7@x.com from
+    matching as a phone); dict order is the application order.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat in (patterns or PII_PATTERNS).items():
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return c
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII hit counts (one column per pattern) + ``n_pii`` total —
+    the audit signal scrubbing pipelines log before/after redaction."""
+    t = F.col(text_col)
+    counted = df.withColumns(
+        {
+            f"n_{name}": F.regexp_count(t, F.lit(pat)).cast("int")
+            for name, pat in PII_PATTERNS.items()
+        }
+    )
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else (total + c)
+    return counted.withColumn("n_pii", total)
+
+
 # polynomial rolling-hash parameters. The modulus must be small enough
 # that acc*B + x stays inside signed 64-bit: p ≈ 2^42, B ≈ 2^20 ⇒ the
 # intermediate is < 2^62 — every step is exact long arithmetic, no wrap.

@@ -588,3 +588,53 @@ def test_extract_features_real_png_decode(spark):
         hist = np.bincount(arr.reshape(-1) >> 4, minlength=16)
         want = "".join(f"{min(int(h), 255):02x}" for h in hist)
         assert got[i] == want
+
+
+def test_pii_redaction_and_counts(spark):
+    """Redaction replaces each PII class with its token and the counts
+    column agrees; the same patterns produce the identical redaction in
+    DuckDB (RE2) — the cross-engine property that makes the operator
+    safe to oracle-check if ever declared."""
+    import duckdb
+
+    from global_market_index_etl_spark.operators.text import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "contact bob.smith+spam@example.co.uk for details"),
+        (2, "call +1 (555) 123-4567 or 555-987-6543 today"),
+        (3, "server at 192.168.10.44 responded"),
+        (4, "card 4111 1111 1111 1111 declined"),
+        (5, "clean text with no identifiers at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.red, r.n_pii)
+        for r in pii_counts(df)
+        .withColumn("red", redact_pii("text"))
+        .select("doc_id", "red", "n_pii")
+        .collect()
+    }
+    assert "[EMAIL]" in out[1][0] and "@" not in out[1][0]
+    assert out[2][0].count("[PHONE]") == 2
+    assert "[IPV4]" in out[3][0] and "192.168" not in out[3][0]
+    assert "[CARD]" in out[4][0] and "4111" not in out[4][0]
+    assert out[5] == ("clean text with no identifiers at all", 0)
+    assert out[6] == (None, None)
+    for i in (1, 2, 3, 4):
+        assert out[i][1] >= 1
+
+    # cross-engine: DuckDB's RE2 applies the same patterns identically
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    expr = "text"
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '[{name.upper()}]', 'g')"
+    duck = dict(con.execute(f"SELECT doc_id, {expr} FROM t").fetchall())
+    for doc_id, (red, _) in out.items():
+        assert duck[doc_id] == red, (doc_id, duck[doc_id], red)
