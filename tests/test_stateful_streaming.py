@@ -51,3 +51,51 @@ def test_state_accumulates_across_available_now_runs(spark, tmp_path):
     assert second[1] == (3, 17.5)  # cumulative across BOTH runs
     assert second[3] == (1, 7.0)
     assert 2 not in second  # untouched key emits nothing this tick
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark under availableNow: in-horizon
+    re-deliveries are dropped; the batch twin dedups plainly."""
+    import pyspark.sql.functions as F
+
+    from global_market_index_etl_spark.streaming.incremental import (
+        stream_dedup_within_watermark,
+    )
+
+    schema = "event_id long, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:00:05", 1.0),  # redelivery, in horizon -> dropped
+        (2, "2024-01-01 10:01:00", 2.0),
+        (3, "2024-01-01 10:02:00", 3.0),
+        (3, "2024-01-01 10:02:00", 3.0),  # exact duplicate -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    got: list[int] = []
+
+    def handle(batch, batch_id):
+        got.extend(r.event_id for r in batch.collect())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch(handle)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [1, 2, 3]
+
+    # batch twin: same keyed-dedup survivor set
+    batch_out = stream_dedup_within_watermark(
+        spark.read.parquet(src), ["event_id"], watermark="1 hour"
+    )
+    assert sorted(r.event_id for r in batch_out.collect()) == [1, 2, 3]
