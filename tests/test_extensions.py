@@ -133,9 +133,41 @@ def test_multimodal_frame_sampling_expands_rows(spark, docs):
     assert frames.filter(F.col("frame_idx") >= 4).count() == 0
 
 
-def test_multimodal_real_decode_is_explicit_stub(spark):
-    with pytest.raises(NotImplementedError, match="PIL"):
-        resize_images(None)
+def test_resize_images_real_png_path(spark):
+    """Nearest-neighbor PNG resize end-to-end: payloads decode to the
+    target dimensions, metadata columns are filled, and a solid-color
+    image stays solid (sampling never invents pixels)."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    solid = np.full((8, 10, 3), 200, dtype=np.uint8)
+    grad = (
+        (np.arange(12 * 6 * 3, dtype=np.uint64) * 97 % 256)
+        .astype(np.uint8)
+        .reshape(12, 6, 3)
+    )
+    # encode→decode round-trip of the engine's own encoder
+    assert (decode_png(encode_png(grad)) == grad).all()
+
+    df = spark.createDataFrame(
+        [(1, encode_png(solid)), (2, encode_png(grad))],
+        "img_id long, payload binary",
+    )
+    media = as_media_table(df, "img_id", "payload", "image")
+    out = {r.media_id: r for r in resize_images(media, 4, 5).collect()}
+    assert all(r.width == 4 and r.height == 5 for r in out.values())
+    px1 = decode_png(bytes(out[1].payload))
+    assert px1.shape == (5, 4, 3) and (px1 == 200).all()
+    px2 = decode_png(bytes(out[2].payload))
+    assert px2.shape == (5, 4, 3)
+    # every output pixel is an input pixel (nearest-neighbor, no blending)
+    flat = {tuple(p) for p in grad.reshape(-1, 3)}
+    assert all(tuple(p) in flat for p in px2.reshape(-1, 3))
 
 
 def test_windowed_counts_batch_equivalence(spark):
