@@ -36,7 +36,7 @@ def _bucket_col(key_columns: list[str], n_buckets: int):
 
 def write_bucketed_table(
     df: DataFrame, path: str, key_columns: list[str], n_buckets: int = 16
-) -> None:
+):
     """Materialize ``df`` as a key-hash-bucketed parquet table at ``path``.
 
     The bucket column is derived (never trusted from input) so every writer
@@ -50,14 +50,23 @@ def write_bucketed_table(
     writing one file. At lake scale raise parallelism by repartitioning on
     (bucket, key) with more partitions — several files per bucket is fine,
     slivers from every task are not.
+
+    Returns the on-disk schema (data columns + the bucket column). Keep it
+    (or re-derive it from the frame you write) and pass it to ``read_table``
+    / rely on ``merge_into_parquet`` pinning it from the batch: pinned-
+    schema reads are what make an EMPTY table readable (a zero-row
+    partitioned parquet dir has no footers to infer from — the gap a table
+    format's transaction log normally covers) and skip footer-inference
+    planning cost on wide tables.
     """
+    bucketed = df.withColumn(BUCKET, _bucket_col(key_columns, n_buckets))
     (
-        df.withColumn(BUCKET, _bucket_col(key_columns, n_buckets))
-        .repartition(n_buckets, F.col(BUCKET))
+        bucketed.repartition(n_buckets, F.col(BUCKET))
         .write.mode("overwrite")
         .partitionBy(BUCKET)
         .parquet(path)
     )
+    return bucketed.schema
 
 
 def merge_into_parquet(
@@ -81,7 +90,15 @@ def merge_into_parquet(
     affected = [r[0] for r in up.select(BUCKET).distinct().collect()]
     if not affected:
         return
-    current = spark.read.parquet(path).filter(F.col(BUCKET).isin(affected))
+    # Schema pinned from the batch (same columns by contract): parquet
+    # columns resolve by NAME, the partition column fills from dir names,
+    # a still-empty table reads as zero rows instead of failing inference,
+    # and planning skips the footer sweep entirely.
+    current = (
+        spark.read.schema(up.schema)
+        .parquet(path)
+        .filter(F.col(BUCKET).isin(affected))
+    )
     merged = upsert(current, up, key_columns, order_column=order_column)
     # Materialize BEFORE overwriting: the merged plan reads the very files
     # the write replaces (Spark rejects the self-overwrite, and rightly so).
@@ -97,6 +114,12 @@ def merge_into_parquet(
     )
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read the bucketed table back without the layout column."""
-    return spark.read.parquet(path).drop(BUCKET)
+def read_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read the bucketed table back without the layout column.
+
+    Pass the schema ``write_bucketed_table`` returned to make empty tables
+    readable and to skip footer inference; omitted, Spark infers (fine for
+    known-nonempty tables).
+    """
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path).drop(BUCKET)

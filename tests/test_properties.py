@@ -139,3 +139,36 @@ def test_minhash_lsh_precision_and_duplicate_recall(spark, base_docs, dup_of):
     }
     assert approx <= exact  # precision 1 (exact verify)
     assert (dup_of % len(base_docs), copy_id) in approx  # J=1.0 always found
+
+
+@given(base=ROWS, upd=ROWS)
+@settings(
+    max_examples=5,  # each example pays three Spark file jobs
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_storage_merge_equals_dataframe_upsert(spark, tmp_path_factory, base, upd):
+    """The durable MERGE (write → partition-pruned read-modify-overwrite →
+    read back) must land on exactly the relational upsert's answer for ANY
+    base/batch pair — storage is a faithful materialization of the
+    operator, never a semantic fork."""
+    from global_market_index_etl_spark.operators.storage import (
+        merge_into_parquet,
+        read_table,
+        write_bucketed_table,
+    )
+
+    tgt = dedup_keyed(_df(spark, base, 1), ["k", "t"], [F.col("b").desc()])
+    updates = dedup_keyed(_df(spark, upd, 2), ["k", "t"], [F.col("b").desc()])
+    expected = {
+        (r.k, r.t): (r.v, r.b)
+        for r in upsert(tgt, updates, ["k", "t"], "b").collect()
+    }
+    path = str(tmp_path_factory.mktemp("merge")) + "/tbl"
+    disk_schema = write_bucketed_table(tgt, path, ["k", "t"], n_buckets=4)
+    merge_into_parquet(spark, path, updates, ["k", "t"], "b", n_buckets=4)
+    got = {
+        (r.k, r.t): (r.v, r.b)
+        for r in read_table(spark, path, disk_schema).collect()
+    }
+    assert got == expected
