@@ -145,15 +145,23 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     seed: int = 42,
+    hashed: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc: min over shingles of k universal hashes.
 
     The k hash functions are lifted into an array expression so one explode
     row yields all k hashed values — a single groupBy(min per slot) computes
     the whole signature (one shuffle, map-side combine on min).
+
+    ``hashed=True`` declares the shingle column is ALREADY ``xxhash64``
+    longs (``shingle_table(..., hashed=True)``); the base then skips the
+    re-hash and signatures are BIT-IDENTICAL to the string path — the
+    universal-hash family always operated on xxhash64(shingle), whichever
+    side computed it.
     """
     coeffs = _hash_coefficients(num_hashes, seed)
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    raw = F.col("shingle") if hashed else F.xxhash64("shingle")
+    base = F.pmod(raw, F.lit(_MERSENNE))
     hashed = F.array(
         *[
             F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))
@@ -211,8 +219,12 @@ def minhash_lsh_pairs(
             "hash slots, changing the banding probability"
         )
     rows_per_band = num_hashes // bands
-    shingles = _materialize(shingle_table(df, id_col, text_col, n))
-    sigs = minhash_signatures(shingles, id_col, num_hashes, seed)
+    # hashed=True: the distinct + both downstream groupBys shuffle 8-byte
+    # longs instead of shingle strings, with bit-identical results — the
+    # signature family and the verify arrays always consumed
+    # xxhash64(shingle) anyway (see minhash_signatures / doc_arrays below)
+    shingles = _materialize(shingle_table(df, id_col, text_col, n, hashed=True))
+    sigs = minhash_signatures(shingles, id_col, num_hashes, seed, hashed=True)
     band_rows = sigs.select(
         F.col(id_col),
         F.explode(
@@ -260,7 +272,7 @@ def minhash_lsh_pairs(
     # and degrades to a shuffle join beyond that — no hard broadcast hint,
     # so the same code runs at any corpus size.
     doc_arrays = shingles.groupBy(id_col).agg(
-        F.collect_list(F.xxhash64("shingle")).alias("__sh")
+        F.collect_list("shingle").alias("__sh")  # already xxhash64 longs
     )
     a1 = doc_arrays.select(
         F.col(id_col).alias("id_1"),
