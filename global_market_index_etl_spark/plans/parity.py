@@ -511,6 +511,10 @@ def f5_in_list_filter(spark, sf):
     UNION ALL
     SELECT 'customer', 'n_rows', CAST(count(*) AS BIGINT) FROM customer
     UNION ALL
+    SELECT 'supplier', 'n_rows', CAST(count(*) AS BIGINT) FROM supplier
+    UNION ALL
+    SELECT 'part', 'n_rows', CAST(count(*) AS BIGINT) FROM part
+    UNION ALL
     SELECT 'customer', 'distinct_mktsegment',
            CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer
     UNION ALL
@@ -541,7 +545,7 @@ def f5_in_list_filter(spark, sf):
 )
 def a_profile(spark, sf):
     legs = []
-    for name in ["lineitem", "orders", "customer"]:
+    for name in ["lineitem", "orders", "customer", "supplier", "part"]:
         legs.append(
             load_table(spark, sf, name)
             .agg(F.count(F.lit(1)).alias("value"))
