@@ -193,23 +193,26 @@ def _hash_coefficients(k: int, seed: int) -> list[tuple[int, int]]:
     return coeffs
 
 
-def minhash_lsh_pairs(
+def minhash_index(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.8,
     seed: int = 42,
-) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable LSH dedup index of a corpus: ``(band_rows, arrays)``.
 
-    Pipeline: shingles → signatures → band buckets (bands × rows/band
-    slices, bucket key = hash of the slice) → self-join per (band, bucket)
-    for candidates → exact Jaccard on candidates only. With b=8, r=4:
-    s=0.8 ⇒ P(candidate) ≈ 0.986; s=0.4 ⇒ ≈ 0.19 — the filter does the work,
-    the verify keeps precision at 1.
+    ``band_rows`` = (id, band, bucket) — one row per doc per band, the
+    bucket key being the hash of that band's signature slice. ``arrays`` =
+    (id, __sh) — each doc's hashed-shingle set, the verify-stage payload.
+    Both derive deterministically from the text (fixed seed/LCG family),
+    so an index built yesterday and a batch signed today bucket
+    identically — the property incremental dedup rests on. Persist both
+    with ``operators.storage.write_bucketed_table`` (band_rows keyed on
+    (band, bucket), arrays on id) to dedup a growing corpus without ever
+    re-signing it.
     """
     if num_hashes <= 0 or bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
@@ -222,7 +225,7 @@ def minhash_lsh_pairs(
     # hashed=True: the distinct + both downstream groupBys shuffle 8-byte
     # longs instead of shingle strings, with bit-identical results — the
     # signature family and the verify arrays always consumed
-    # xxhash64(shingle) anyway (see minhash_signatures / doc_arrays below)
+    # xxhash64(shingle) anyway (see minhash_signatures / arrays below)
     shingles = _materialize(shingle_table(df, id_col, text_col, n, hashed=True))
     sigs = minhash_signatures(shingles, id_col, num_hashes, seed, hashed=True)
     band_rows = sigs.select(
@@ -245,41 +248,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    band_rows = _materialize(band_rows)
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_1"),
-            F.col(f"b.{id_col}").alias("id_2"),
-        )
-        .distinct()
-    )
-    # Exact-Jaccard verify on candidates via per-doc HASHED shingle arrays:
-    # |A∩B| = size(array_intersect) — a per-candidate operation instead of
-    # a candidates×shingles shuffle join + groupBy (which produces
-    # |pairs|·|shingles/doc| rows; measured dominant at 10^6 true pairs).
-    # Hashing shingles to longs shrinks each doc to ~8B/shingle (40 MB at
-    # 10^5 docs); Jaccard over hashed shingles equals Jaccard over strings
-    # up to 2^-64 collisions. The join strategy is left to AQE: it
-    # broadcasts the array table while it fits (runtime size, not a guess)
-    # and degrades to a shuffle join beyond that — no hard broadcast hint,
-    # so the same code runs at any corpus size.
-    doc_arrays = shingles.groupBy(id_col).agg(
+    arrays = shingles.groupBy(id_col).agg(
         F.collect_list("shingle").alias("__sh")  # already xxhash64 longs
     )
-    a1 = doc_arrays.select(
+    return band_rows, arrays
+
+
+def _verify_jaccard(
+    candidates: DataFrame, arrays: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (id_1, id_2) pairs against the
+    per-doc HASHED shingle arrays: |A∩B| = size(array_intersect) — a
+    per-candidate operation instead of a candidates×shingles shuffle join
+    + groupBy (which produces |pairs|·|shingles/doc| rows; measured
+    dominant at 10^6 true pairs). Hashed shingles keep each doc at
+    ~8B/shingle (40 MB at 10^5 docs); Jaccard over hashed shingles equals
+    Jaccard over strings up to 2^-64 collisions. The join strategy is left
+    to AQE: it broadcasts the array table while it fits (runtime size, not
+    a guess) and degrades to a shuffle join beyond that — no hard
+    broadcast hint, so the same code runs at any corpus size."""
+    a1 = arrays.select(
         F.col(id_col).alias("id_1"),
         F.col("__sh").alias("__sh1"),
         F.size("__sh").alias("n_1"),
     )
-    a2 = doc_arrays.select(
+    a2 = arrays.select(
         F.col(id_col).alias("id_2"),
         F.col("__sh").alias("__sh2"),
         F.size("__sh").alias("n_2"),
@@ -298,6 +291,110 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingles → signatures → band buckets (bands × rows/band
+    slices, bucket key = hash of the slice) → self-join per (band, bucket)
+    for candidates → exact Jaccard on candidates only. With b=8, r=4:
+    s=0.8 ⇒ P(candidate) ≈ 0.986; s=0.4 ⇒ ≈ 0.19 — the filter does the work,
+    the verify keeps precision at 1.
+    """
+    band_rows, arrays = minhash_index(
+        df, id_col, text_col, n, num_hashes, bands, seed
+    )
+    band_rows = _materialize(band_rows)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(candidates, arrays, id_col, threshold)
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_arrays: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Dedup a NEW batch against an already-indexed corpus — without
+    re-reading, re-shingling, or re-signing one byte of the corpus.
+
+    The ingestion-time dedup shape a growing 100 TB corpus needs: batch
+    cost is |batch| signing + a bucket join against the stored index,
+    independent of corpus text size (the reference's analogue is its
+    overlap-window re-fetch + PK upsert; this is the content-level twin).
+    Pairs returned are exactly the full-corpus pairs that INVOLVE a new
+    doc: new×indexed (found via the index's band buckets) plus new×new
+    (the batch self-join) — old×old pairs were already emitted when those
+    docs were indexed, which is what makes
+    ``index(b1) ∪ incremental(b2 | b1)`` ≡ ``full(b1 ∪ b2)`` (asserted in
+    tests).
+
+    Returns ``(pairs, new_bands, new_arrays)`` — append the latter two to
+    the stored index (e.g. ``storage.merge_into_parquet``) to complete the
+    tick. Determinism of the signature family (fixed seed, driver-side
+    LCG) is what lets yesterday's index and today's batch bucket
+    identically.
+    """
+    new_bands, new_arrays = minhash_index(
+        new_docs, id_col, text_col, n, num_hashes, bands, seed
+    )
+    new_bands = _materialize(new_bands)
+    all_bands = index_bands.select(id_col, "band", "bucket").unionByName(
+        new_bands
+    )
+    nb = new_bands.alias("nb")
+    ob = all_bands.alias("ob")
+    # new side joins the union: catches new×indexed AND new×new in one
+    # bucket join; (least, greatest) normalizes so a pair found from both
+    # directions dedups in the distinct
+    candidates = (
+        nb.join(
+            ob,
+            (F.col("nb.band") == F.col("ob.band"))
+            & (F.col("nb.bucket") == F.col("ob.bucket"))
+            & (F.col(f"nb.{id_col}") != F.col(f"ob.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"nb.{id_col}"), F.col(f"ob.{id_col}")).alias("id_1"),
+            F.greatest(F.col(f"nb.{id_col}"), F.col(f"ob.{id_col}")).alias(
+                "id_2"
+            ),
+        )
+        .distinct()
+    )
+    all_arrays = index_arrays.select(id_col, "__sh").unionByName(new_arrays)
+    pairs = _verify_jaccard(candidates, all_arrays, id_col, threshold)
+    return pairs, new_bands, new_arrays
 
 
 def simhash64(

@@ -670,3 +670,47 @@ def test_pii_redaction_and_counts(spark):
     duck = dict(con.execute(f"SELECT doc_id, {expr} FROM t").fetchall())
     for doc_id, (red, _) in out.items():
         assert duck[doc_id] == red, (doc_id, duck[doc_id], red)
+
+
+def test_incremental_minhash_matches_full_corpus(spark, docs, tmp_path):
+    """Batch-2 deduped against batch-1's PERSISTED index must reproduce
+    exactly the full-corpus pair set: full(b1 ∪ b2) ≡ internal(b1) ∪
+    incremental(b2 | index(b1)). The index round-trips through parquet so
+    determinism across write/read (not just within one plan) is what's
+    under test."""
+    from global_market_index_etl_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    b1_internal = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in minhash_lsh_pairs(b1, threshold=0.8).collect()
+    }
+
+    bands, arrays = minhash_index(b1)
+    bands.write.parquet(str(tmp_path / "bands"))
+    arrays.write.parquet(str(tmp_path / "arrays"))
+    stored_bands = spark.read.parquet(str(tmp_path / "bands"))
+    stored_arrays = spark.read.parquet(str(tmp_path / "arrays"))
+
+    pairs, new_bands, new_arrays = incremental_minhash_pairs(
+        b2, stored_bands, stored_arrays, threshold=0.8
+    )
+    incremental = {(r.id_1, r.id_2): r.jaccard for r in pairs.collect()}
+
+    # no overlap (old×old never re-emitted), and the union is the full set
+    assert not (set(incremental) & set(b1_internal))
+    combined = {**b1_internal, **incremental}
+    assert combined == full
+
+    # the returned delta extends the index to cover the whole corpus
+    assert new_bands.count() > 0 and new_arrays.count() == b2.count()
