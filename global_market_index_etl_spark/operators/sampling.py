@@ -64,3 +64,39 @@ def train_val_test_split(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep ``fractions[stratum]`` of
+    each stratum's rows, chosen by stable id hash — never by RNG.
+
+    The balanced-dataset builder (e.g. downsample low-quality deciles,
+    keep all of the top one): unlike ``df.sampleBy`` (partition-seeded
+    RNG — different rows on every cluster size), the selection is a pure
+    function of (id, stratum fractions), so it is reproducible on any
+    engine/partitioning and stable under corpus growth, and the same
+    doc is never train-leaked into a differently-sampled rebuild. Strata
+    absent from ``fractions`` are DROPPED (explicit allowlist — the
+    curation use case; pass 1.0 to keep a stratum whole).
+
+    One codegen hash + one broadcast-sized CASE per row: scan-speed, no
+    shuffle, no RNG state.
+    """
+    b = hash_bucket(id_col, n_buckets)
+    keep = None
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0,1], got {frac}")
+        cond = (F.col(strata_col) == F.lit(stratum)) & (
+            b < int(round(frac * n_buckets))
+        )
+        keep = cond if keep is None else (keep | cond)
+    if keep is None:
+        raise ValueError("fractions is empty — every row would be dropped")
+    return df.filter(keep)

@@ -714,3 +714,35 @@ def test_incremental_minhash_matches_full_corpus(spark, docs, tmp_path):
 
     # the returned delta extends the index to cover the whole corpus
     assert new_bands.count() > 0 and new_arrays.count() == b2.count()
+
+
+def test_stratified_sample_deterministic_proportions(spark, docs):
+    from global_market_index_etl_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from global_market_index_etl_spark.operators.text import quality_score
+
+    scored = quality_score(docs).withColumn(
+        "tier",
+        F.when(F.col("quality_score") >= 0.5, "high").otherwise("low"),
+    )
+    frac = {"high": 1.0, "low": 0.25}
+    out = stratified_sample(scored, "tier", frac, "doc_id")
+    base = {r.tier: r.n for r in scored.groupBy("tier").count().withColumnRenamed("count", "n").collect()}
+    got = {r.tier: r.n for r in out.groupBy("tier").count().withColumnRenamed("count", "n").collect()}
+    assert got["high"] == base["high"]  # fraction 1.0 keeps the stratum whole
+    assert abs(got.get("low", 0) / base["low"] - 0.25) < 0.08
+    # deterministic & partitioning-independent: identical id set on a rerun
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in stratified_sample(
+            scored.repartition(13), "tier", frac, "doc_id"
+        ).select("doc_id").collect()
+    }
+    assert ids1 == ids2
+    # absent strata are dropped, invalid fractions rejected
+    only_high = stratified_sample(scored, "tier", {"high": 1.0}, "doc_id")
+    assert only_high.filter(F.col("tier") == "low").count() == 0
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(scored, "tier", {"high": 1.5}, "doc_id")
