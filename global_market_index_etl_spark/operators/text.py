@@ -250,3 +250,49 @@ def rolling_fingerprint(col: Column | str, n: int | None = None) -> Column:
             F.lit(_ROLL_PRIME),
         ),
     )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family):
+    duplicate-line fraction and duplicate word-bigram fraction.
+
+    Boilerplate-heavy or degenerate documents (navigation chrome, spam
+    keyword walls, generation loops) repeat themselves; corpus-level dedup
+    never sees it because the DOCUMENT is unique. Both fractions are pure
+    array expressions — split → size vs array_distinct size — so the
+    filter runs at scan speed with no shuffle and no Python, unlike the
+    groupBy-per-document formulation.
+
+    NULL/empty text yields NULL fractions (no lines ⇒ nothing to judge);
+    single-line docs have dup_line_frac 0.0 by construction.
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    )
+    ws = words(F.lower(t))
+    n_w = F.size(ws)
+    bigrams = F.when(n_w < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_w - 2),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1]),
+        )
+    )
+    n_bi = F.size(bigrams)
+    dup_bigram_frac = F.when(
+        n_bi > 0,
+        (n_bi - F.size(F.array_distinct(bigrams))).cast("double") / n_bi,
+    )
+    return df.withColumns(
+        {
+            "n_lines": n_lines.cast("int"),
+            "dup_line_frac": dup_line_frac,
+            "dup_bigram_frac": dup_bigram_frac,
+        }
+    )

@@ -746,3 +746,33 @@ def test_stratified_sample_deterministic_proportions(spark, docs):
     assert only_high.filter(F.col("tier") == "low").count() == 0
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(scored, "tier", {"high": 1.5}, "doc_id")
+
+
+def test_repetition_metrics(spark):
+    from global_market_index_etl_spark.operators.text import repetition_metrics
+
+    rows = [
+        (1, "unique one\nunique two\nunique three"),
+        (2, "same line\nsame line\nsame line\nsame line"),
+        (3, "buy now buy now buy now buy now"),
+        (4, "single line only"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_lines, r.dup_line_frac, r.dup_bigram_frac)
+        for r in repetition_metrics(df).collect()
+    }
+    assert out[1] == (3, 0.0, 0.0)
+    assert out[2][0] == 4 and out[2][1] == 0.75  # 4 lines, 1 distinct
+    assert out[3][2] > 0.5  # "buy now"/"now buy" loops dominate bigrams
+    assert out[4][1] == 0.0
+    assert out[5][0] == 0 and out[5][1] is None  # empty: nothing to judge
+    assert out[6][1] is None and out[6][2] is None
+    # partitioning-independent (pure per-row expressions)
+    again = {
+        r.doc_id: (r.n_lines, r.dup_line_frac, r.dup_bigram_frac)
+        for r in repetition_metrics(df.repartition(7)).collect()
+    }
+    assert again == out
