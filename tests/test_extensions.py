@@ -776,3 +776,62 @@ def test_repetition_metrics(spark):
         for r in repetition_metrics(df.repartition(7)).collect()
     }
     assert again == out
+
+
+def test_chunk_documents_deterministic_slices(spark):
+    from global_market_index_etl_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=0)
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w4 w5 w6 w7", 4)
+    assert rows[(1, 2)] == ("w8 w9", 2)  # short tail kept
+    assert rows[(2, 0)] == ("a b c", 3)
+    assert {k[0] for k in rows} == {1, 2}  # empty/NULL docs emit nothing
+    # overlap: stride = 4-2 = 2
+    ov = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+        if r.doc_id == 2
+    }
+    assert ov[(2, 0)] == "a b c" and ov[(2, 1)] == "c"
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    # partitioning-independence
+    a = set(map(tuple, out.collect()))
+    b = set(map(tuple, chunk_documents(df.repartition(9), chunk_tokens=4).collect()))
+    assert a == b
+
+
+def test_pack_fixed_chunks_full_packs_and_provenance(spark, docs):
+    from global_market_index_etl_spark.operators.chunking import (
+        chunk_documents,
+        pack_fixed_chunks,
+    )
+
+    chunks = chunk_documents(docs, chunk_tokens=16)
+    n_chunks = chunks.count()
+    packs = pack_fixed_chunks(chunks, chunks_per_pack=4, n_buckets=8)
+    rows = packs.collect()
+    # conservation: every chunk lands in exactly one pack
+    assert sum(r.n_chunks for r in rows) == n_chunks
+    # at most one non-full pack per bucket
+    from collections import Counter
+
+    short = Counter(r.pack_id >> 32 for r in rows if r.n_chunks < 4)
+    assert all(v == 1 for v in short.values())
+    # provenance aligns with texts, and a doc's chunks are adjacent in order
+    for r in rows:
+        assert len(r.texts) == len(r.provenance) == r.n_chunks
+    # determinism under repartitioning
+    again = pack_fixed_chunks(
+        chunks.repartition(13), chunks_per_pack=4, n_buckets=8
+    )
+    a = {(r.pack_id, tuple(r.texts)) for r in rows}
+    b = {(r.pack_id, tuple(r.texts)) for r in again.collect()}
+    assert a == b
