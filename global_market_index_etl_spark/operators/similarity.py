@@ -388,6 +388,103 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def embedding_lsh_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable signature index of an embedding corpus:
+    ``(id, table, signature)`` — one row per vector per LSH table.
+
+    Signatures are seed-deterministic (fixed hyperplane family), so an
+    index built yesterday and a batch signed today bucket identically —
+    the property ``incremental_embedding_neardup_pairs`` rests on. The
+    verify stage needs the vectors themselves, which the stored corpus
+    already holds; the index adds only ~12 B/vector/table.
+    """
+    sig_udf = _lsh_signatures_batch(dim, bits, tables, seed)
+    base = parallelize_small(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    )
+    return base.withColumn("__sigs", sig_udf(F.col("__v"))).select(
+        F.col("__id").alias(id_col),
+        F.posexplode("__sigs").alias("__tbl", "__sig"),
+    )
+
+
+def incremental_embedding_neardup_pairs(
+    new_vecs: DataFrame,
+    index_sigs: DataFrame,
+    corpus_vecs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 32,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup a NEW embedding batch against an already-indexed corpus —
+    without re-signing one stored vector.
+
+    The ingestion-time shape for a growing 100 TB embedding store: batch
+    cost is one Arrow-batched matmul over the batch plus a bucket join
+    against the stored signatures; the corpus vectors are touched only for
+    the candidates that collide (exact-cosine verify). Returned pairs are
+    exactly the full-corpus pairs INVOLVING a new vector (new×indexed via
+    the stored buckets, new×new via the batch's own signatures) — indexed
+    ×indexed pairs were emitted when those vectors arrived, so
+    ``internal(b1) ∪ incremental(b2 | index(b1))`` ≡ ``full(b1 ∪ b2)``
+    (asserted in tests on planted duplicates).
+
+    Returns ``(pairs, new_sigs)``; append ``new_sigs`` to the stored index
+    to complete the tick.
+    """
+    new_sigs = embedding_lsh_index(
+        new_vecs, id_col, vec_col, dim, bits, tables, seed
+    )
+    all_sigs = index_sigs.select(id_col, "__tbl", "__sig").unionByName(new_sigs)
+    nb = new_sigs.alias("nb")
+    ob = all_sigs.alias("ob")
+    candidates = (
+        nb.join(
+            ob,
+            (F.col("nb.__tbl") == F.col("ob.__tbl"))
+            & (F.col("nb.__sig") == F.col("ob.__sig"))
+            & (F.col(f"nb.{id_col}") != F.col(f"ob.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"nb.{id_col}"), F.col(f"ob.{id_col}")).alias("id_1"),
+            F.greatest(F.col(f"nb.{id_col}"), F.col(f"ob.{id_col}")).alias(
+                "id_2"
+            ),
+        )
+        .distinct()
+    )
+    all_vecs = corpus_vecs.select(F.col(id_col), F.col(vec_col)).unionByName(
+        new_vecs.select(F.col(id_col), F.col(vec_col))
+    )
+    v1 = all_vecs.select(
+        F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1")
+    ).withColumn("__n1", F.sqrt(_dot("__v1", "__v1")))
+    v2 = all_vecs.select(
+        F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2")
+    ).withColumn("__n2", F.sqrt(_dot("__v2", "__v2")))
+    cos = _dot("__v1", "__v2") / (F.col("__n1") * F.col("__n2"))
+    pairs = (
+        candidates.join(v1, "id_1")
+        .join(v2, "id_2")
+        .select("id_1", "id_2", F.round(cos, round_digits).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return pairs, new_sigs
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

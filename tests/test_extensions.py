@@ -835,3 +835,58 @@ def test_pack_fixed_chunks_full_packs_and_provenance(spark, docs):
     a = {(r.pack_id, tuple(r.texts)) for r in rows}
     b = {(r.pack_id, tuple(r.texts)) for r in again.collect()}
     assert a == b
+
+
+def _planted_embeddings(spark, emb, n_pairs=12, id_base=100_000):
+    """Corpus + deterministic near-duplicate blends (several alphas
+    sweeping through the 0.95 boundary); returns the combined DataFrame."""
+    base = {r.vec_id: list(r.embedding) for r in emb.limit(n_pairs).collect()}
+    other = {r.vec_id: list(r.embedding) for r in emb.limit(2 * n_pairs).collect()}
+    rows = [(int(i), [float(x) for x in v]) for i, v in base.items()]
+    mates = sorted(set(other) - set(base))
+    for j, (i, v) in enumerate(sorted(base.items())):
+        w = other[mates[j]]
+        alpha = 0.05 + 0.03 * j
+        rows.append(
+            (
+                id_base + j,
+                [(1 - alpha) * float(a) + alpha * float(b) for a, b in zip(v, w)],
+            )
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_incremental_embedding_neardup_matches_full(spark, emb, tmp_path):
+    """Batch-2 deduped against batch-1's PERSISTED signature index must
+    reproduce the full-corpus pair set: full(b1 ∪ b2) ≡ internal(b1) ∪
+    incremental(b2 | index(b1))."""
+    from global_market_index_etl_spark.operators.similarity import (
+        embedding_lsh_index,
+        embedding_neardup_pairs_lsh,
+        incremental_embedding_neardup_pairs,
+    )
+
+    planted = _planted_embeddings(spark, emb)
+    b1 = planted.filter(F.col("vec_id") % 2 == 0)
+    b2 = planted.filter(F.col("vec_id") % 2 == 1)
+
+    full = {
+        (r.id_1, r.id_2): r.cos_sim
+        for r in embedding_neardup_pairs_lsh(planted, threshold=0.95).collect()
+    }
+    internal = {
+        (r.id_1, r.id_2): r.cos_sim
+        for r in embedding_neardup_pairs_lsh(b1, threshold=0.95).collect()
+    }
+    assert full, "no planted pairs crossed the threshold — vacuous test"
+
+    embedding_lsh_index(b1).write.parquet(str(tmp_path / "sigs"))
+    stored = spark.read.parquet(str(tmp_path / "sigs"))
+    pairs, new_sigs = incremental_embedding_neardup_pairs(
+        b2, stored, b1, threshold=0.95
+    )
+    incremental = {(r.id_1, r.id_2): r.cos_sim for r in pairs.collect()}
+
+    assert not (set(incremental) & set(internal))
+    assert {**internal, **incremental} == full
+    assert new_sigs.select("vec_id").distinct().count() == b2.count()
