@@ -1,0 +1,126 @@
+"""Benchmark decontamination: remove training documents that overlap an
+evaluation/benchmark set (driver north star; first-class alongside
+SURVEY.md §2 training-data extensions).
+
+The standard contamination check is n-gram overlap: a training document is
+contaminated if it shares at least ``min_hits`` distinct word n-grams with
+any document of the eval set (production pipelines use n ≈ 8-13; the
+declared fixture query uses n=3 so the DuckDB oracle can reuse the
+engine's existing shingle SQL fragment).
+
+Scale design — the corpus side never takes a wide shuffle:
+- per-document gram sets are built NARROW: tokenize → shingle →
+  ``array_distinct`` inside the row, then explode. No corpus-wide
+  ``distinct()`` — per-doc set semantics need only per-row dedup.
+- the eval side is tiny by construction (benchmarks are thousands of
+  docs, not billions), so its distinct gram table is ``broadcast()`` and
+  the contamination probe is a broadcast hash join at scan speed.
+- only MATCHING grams survive the join, so the final ``groupBy(doc_id)``
+  shuffles the hit rows alone — at 100 TB that is the benchmark-overlap
+  volume (≈ eval-set-sized), not the corpus volume.
+
+Gram identity is ``xxhash64`` of the shingle string (8-byte probe keys;
+two distinct grams colliding per doc has P ≈ 2⁻⁶⁴ — the same accepted
+equivalence as the Jaccard kernel, dedup.py:100-106). The DuckDB oracle
+joins on the shingle STRING, so a collision would surface as a driver
+hash mismatch — none occurs on the fixture corpora.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .text import shingles_from_words, words
+from .util import parallelize_small as _parallelize_small
+
+
+def doc_gram_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document DISTINCT hashed n-grams as (id, gram) rows — built with
+    narrow operators only (``array_distinct`` inside the row replaces the
+    corpus-wide ``distinct()`` shuffle of ``dedup.shingle_table``).
+
+    The word array and the gram array are each materialized in their own
+    projection so the tokenizing split and the shingle transform evaluate
+    once per row (text.shingles_from_words docstring: CollapseProject
+    re-inlines referenced expressions per element).
+    """
+    prepared = (
+        _parallelize_small(df.select(id_col, text_col))
+        .withColumn("__words", words(F.lower(F.col(text_col))))
+        .withColumn(
+            "__grams", F.array_distinct(shingles_from_words(F.col("__words"), n))
+        )
+    )
+    return prepared.select(
+        F.col(id_col), F.explode("__grams").alias("__shingle")
+    ).select(id_col, F.xxhash64("__shingle").alias("gram"))
+
+
+def eval_gram_set(
+    eval_df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """DISTINCT hashed n-grams of the eval/benchmark set, as a one-column
+    relation ready to broadcast. The distinct here is fine — the eval set
+    is small by construction."""
+    prepared = _parallelize_small(eval_df.select(text_col)).withColumn(
+        "__words", words(F.lower(F.col(text_col)))
+    )
+    return (
+        prepared.select(
+            F.explode(
+                F.array_distinct(shingles_from_words(F.col("__words"), n))
+            ).alias("__shingle")
+        )
+        .select(F.xxhash64("__shingle").alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Contamination report: (id, n_hits) for every training document
+    sharing ≥ ``min_hits`` distinct n-grams with the eval set.
+
+    ``broadcast_eval=False`` falls back to a shuffling join for the rare
+    eval set too large to broadcast (leave True for real benchmarks).
+    """
+    grams = doc_gram_table(corpus, id_col, text_col, n)
+    eval_grams = eval_gram_set(eval_df, text_col, n)
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return (
+        grams.join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The clean corpus: anti-join away every contaminated document.
+
+    The hit set is benchmark-overlap-sized (small), so Spark/AQE plans the
+    anti join as a broadcast — the corpus passes through at scan speed.
+    """
+    hits = contamination_hits(corpus, eval_df, id_col, text_col, n, min_hits)
+    return corpus.join(hits.select(id_col), id_col, "left_anti")

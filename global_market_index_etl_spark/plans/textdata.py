@@ -443,19 +443,57 @@ def ann_ivf_topk(spark, sf):
 
 
 @query(
-    "doc_rolling_fingerprint",
-    None,  # xxhash64-based token hashes — Spark-internal, rows-only
-    doc="Sequence-sensitive polynomial rolling hash over the word stream "
-    "(h = h*B + hash(w) mod 2^61-1, folded left as a JVM aggregate "
-    "expression): the chunk-anchor fingerprint near-dup chunking needs, "
-    "complementing the order-insensitive md5 fingerprint. Permutation "
-    "sensitivity and partitioning-independence asserted in tests.",
-)
-def doc_rolling_fingerprint(spark, sf):
-    docs = load_table(spark, sf, "documents")
-    return docs.select(
-        "doc_id", T.rolling_fingerprint("text").alias("rolling_fp")
+    "decon_eval_overlap",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+    ), eval AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
+    ), cw AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM corpus WHERE length(trim(text)) > 0
+    ), cpos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM cw
+    ), csh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM cpos a
+      JOIN cpos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN cpos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), ew AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM eval WHERE length(trim(text)) > 0
+    ), epos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM ew
+    ), esh AS (
+      SELECT DISTINCT a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM epos a
+      JOIN epos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN epos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
     )
+    SELECT csh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM csh JOIN esh USING (shingle)
+    GROUP BY csh.doc_id
+    HAVING count(*) >= 3
+    """,
+    doc="Benchmark decontamination report: training documents sharing ≥3 "
+    "distinct word 3-grams with a held-out eval slice (doc_id % 17 = 0 "
+    "plays the benchmark). The corpus side is NARROW — per-row "
+    "array_distinct gram sets, no corpus-wide distinct shuffle — and the "
+    "eval gram set is broadcast, so the probe is a scan-speed broadcast "
+    "hash join; only matching grams reach the final groupBy. Production "
+    "pipelines raise n to 8-13; n=3 here keeps the DuckDB oracle on the "
+    "engine's existing shingle SQL fragment (joins on the shingle STRING, "
+    "so a 64-bit gram-hash collision would surface as a hash mismatch).",
+)
+def decon_eval_overlap(spark, sf):
+    from ..operators.decontaminate import contamination_hits
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_hits(corpus, eval_df, n=3, min_hits=3)
 
 
 @query(

@@ -5,6 +5,7 @@ semantics."""
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 import pyspark.sql.functions as F
@@ -890,3 +891,65 @@ def test_incremental_embedding_neardup_matches_full(spark, emb, tmp_path):
     assert not (set(incremental) & set(internal))
     assert {**internal, **incremental} == full
     assert new_sigs.select("vec_id").distinct().count() == b2.count()
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc that copies an eval doc's text is flagged with a full
+    gram-set hit count; unrelated docs with disjoint vocabulary are not."""
+    from global_market_index_etl_spark.operators.decontaminate import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy of the eval doc: 6 distinct 3-grams, all hit
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # partial overlap: shares exactly the first three 3-grams
+            (2, "alpha beta gamma delta epsilon other words here"),
+            # disjoint vocabulary: zero hits
+            (3, "one two three four five six seven eight nine"),
+            # too short for any 3-gram
+            (4, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r.doc_id: r.n_hits
+        for r in contamination_hits(corpus, eval_df, n=3, min_hits=1).collect()
+    }
+    assert hits == {1: 6, 2: 3}
+    # min_hits raises the bar: only the verbatim copy survives the filter
+    strict = contamination_hits(corpus, eval_df, n=3, min_hits=4)
+    assert [r.doc_id for r in strict.collect()] == [1]
+    clean = decontaminate(corpus, eval_df, n=3, min_hits=1)
+    assert sorted(r.doc_id for r in clean.collect()) == [3, 4]
+
+
+def test_decontaminate_probe_plan_is_broadcast_no_wide_corpus_shuffle(spark, docs):
+    """The contamination probe must broadcast the eval gram set and keep the
+    corpus side narrow: no SortMergeJoin, and the only aggregate exchange is
+    over post-join hit rows (no corpus-wide distinct before the join)."""
+    from global_market_index_etl_spark.operators.decontaminate import (
+        contamination_hits,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    plan = (
+        contamination_hits(corpus, eval_df, n=3, min_hits=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly two hashpartitioning exchanges: the post-join groupBy(doc_id)
+    # and the EVAL-side distinct (small by construction). A corpus-wide
+    # distinct() would add one keyed on (doc_id, shingle/gram) — absent.
+    exchange_keys = re.findall(r"Exchange hashpartitioning\((\w+)#\d+L?", plan)
+    assert sorted(exchange_keys) == ["doc_id", "gram"], plan
