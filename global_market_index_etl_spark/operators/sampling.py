@@ -17,7 +17,7 @@ hash of its STABLE ID (md5 hex prefix mod N). Properties:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def hash_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
@@ -100,3 +100,67 @@ def stratified_sample(
     if keep is None:
         raise ValueError("fractions is empty — every row would be dropped")
     return df.filter(keep)
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    priority_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection: keep the maximal prefix of rows,
+    ordered by (priority desc, id asc), whose cumulative ``token_col``
+    total stays ≤ ``budget`` — the "best N tokens of the corpus" builder
+    that turns a scored corpus into a fixed-size training mix.
+
+    Scale design — the naive form is a global window
+    (``sum().over(Window.orderBy(...))``), which Spark executes as ONE
+    task holding the whole corpus. Instead, the classic two-phase scan:
+
+    1. ``repartitionByRange`` on the order key — a range shuffle (the same
+       exchange a global sort would need anyway);
+    2. per-partition token sums → running offsets via a window over the
+       PARTITION-COUNT-sized summary (bounded by cluster width, not data —
+       the single-task window here is over ~hundreds of rows);
+    3. broadcast offsets back, within-partition cumulative window
+       (parallel across partitions), keep rows with offset + local-cumsum
+       ≤ budget.
+
+    The result is exactly the global-window answer (asserted in tests) on
+    any partition-boundary placement: (priority, id) is a strict total
+    order, so every boundary split yields the same global prefix.
+    """
+    order = [F.desc(priority_col), F.asc(id_col)]
+    ranged = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    )
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    sums = part.groupBy("__pid").agg(
+        F.sum(F.col(token_col)).alias("__part_tokens")
+    )
+    offsets = sums.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__part_tokens").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__offset")
+    local = Window.partitionBy("__pid").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "cum_tokens", F.col("__offset") + F.sum(F.col(token_col)).over(local)
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("__pid", "__offset")
+    )

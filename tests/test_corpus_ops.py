@@ -1,0 +1,163 @@
+"""Corpus-level term statistics + token-budget selection: DuckDB twins and
+scale-shape (two-phase cumsum ≡ global window) equivalence tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from global_market_index_etl_spark.operators.sampling import (
+    select_to_token_budget,
+)
+from global_market_index_etl_spark.operators.terms import (
+    tfidf_top_terms,
+    top_terms_global,
+)
+from global_market_index_etl_spark.sources import load_table
+
+from .conftest import SF_SMALL, duck_connection
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+_TFIDF_TWIN = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+), dfq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, word, tf, df,
+         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tf, df, tfidf,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word)
+         AS term_rank
+FROM scored
+QUALIFY term_rank <= 5
+ORDER BY doc_id, term_rank
+"""
+
+
+def test_tfidf_top_terms_matches_duckdb_twin(spark, docs):
+    got = (
+        tfidf_top_terms(docs, k=5)
+        .orderBy("doc_id", "term_rank")
+        .toPandas()
+    )
+    want = duck_connection(SF_SMALL).execute(_TFIDF_TWIN).fetchdf()
+    assert len(got) == len(want)
+    for col in ("doc_id", "term_rank", "word", "tf", "df"):
+        assert got[col].tolist() == want[col].tolist(), col
+    # scores: ln() may differ by ulps between engines — rank compare above
+    # is exact, score compare is tight-approximate
+    np.testing.assert_allclose(got["tfidf"], want["tfidf"], rtol=1e-12)
+
+
+def test_tfidf_min_df_drops_rare_terms(spark, docs):
+    out = tfidf_top_terms(docs, k=5, min_df=3)
+    assert out.filter(F.col("df") < 3).count() == 0
+    assert out.groupBy("doc_id").count().filter(F.col("count") > 5).count() == 0
+
+
+def test_top_terms_global_matches_duckdb_twin(spark, docs):
+    got = top_terms_global(docs, k=20).toPandas()
+    want = duck_connection(SF_SMALL).execute(
+        """
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+              FROM documents WHERE length(trim(text)) > 0)
+        GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """
+    ).fetchdf()
+    assert got["word"].tolist() == want["word"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def _naive_budget_ids(df, budget, token_col, priority_col, id_col):
+    """Single-task global-window reference implementation."""
+    w = Window.orderBy(F.desc(priority_col), F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return {
+        r[0]
+        for r in df.withColumn("cum", F.sum(token_col).over(w))
+        .filter(F.col("cum") <= budget)
+        .select(id_col)
+        .collect()
+    }
+
+
+def test_token_budget_matches_global_window_and_twin(spark, docs):
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    budget = int(total * 0.3)
+    out = select_to_token_budget(
+        docs, budget, token_col="n_chars", priority_col="n_chars", id_col="doc_id"
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == _naive_budget_ids(docs, budget, "n_chars", "n_chars", "doc_id")
+    want = duck_connection(SF_SMALL).execute(
+        f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, sum(n_chars) OVER (
+            ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+        WHERE cum <= {budget}
+        """
+    ).fetchdf()
+    assert got == set(want["doc_id"].tolist())
+    # never exceeds the budget; maximal prefix (adding the next-best row
+    # would overshoot)
+    spent = out.agg(F.sum("n_chars")).first()[0]
+    assert spent <= budget
+    leftover = docs.filter(~F.col("doc_id").isin(list(got)))
+    nxt = (
+        leftover.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .select("n_chars")
+        .first()
+    )
+    if nxt is not None:
+        assert spent + nxt[0] > budget
+
+
+def test_token_budget_partitioning_independent(spark, docs):
+    budget = int(docs.agg(F.sum("n_chars")).first()[0] * 0.2)
+    a = select_to_token_budget(
+        docs, budget, "n_chars", "n_chars", "doc_id", num_partitions=2
+    )
+    b = select_to_token_budget(
+        docs.repartition(13), budget, "n_chars", "n_chars", "doc_id",
+        num_partitions=7,
+    )
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+
+
+def test_token_budget_plan_uses_range_partitioning(spark, docs):
+    """The selection must be the two-phase form: a range exchange on the
+    order key, and the per-row cumulative window partitioned by __pid (no
+    whole-corpus single-task window)."""
+    plan = (
+        select_to_token_budget(docs, 10_000, "n_chars", "n_chars", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" in plan
+    assert "partitionBy=[__pid" in plan.replace(" ", "") or "__pid" in plan
+
+
+def test_token_budget_tiny_budget_empty(spark, docs):
+    out = select_to_token_budget(docs, 0, "n_chars", "n_chars", "doc_id")
+    assert out.count() == 0
