@@ -134,3 +134,28 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def enrich_stream_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    join_key: str,
+    dim_columns: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to a stream (the streaming form of J1, the reference's
+    metadata-enrichment join — SURVEY.md §2.6).
+
+    Stream-static joins are stateless on the stream side: each micro-batch
+    joins against the CURRENT dim snapshot (re-read per batch when the dim
+    is a table source), so there is no watermark requirement and no state
+    store growth. The dim side is broadcast — at 100 TB/day of events the
+    dimension (tickers, currencies, index metadata) is still dim-sized.
+    Same plan executes in batch mode, which is how the equivalence test
+    validates it.
+    """
+    cols = (
+        dim.select(join_key, *dim_columns) if dim_columns is not None else dim
+    )
+    return events.join(F.broadcast(cols), join_key, how)

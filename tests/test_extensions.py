@@ -953,3 +953,46 @@ def test_decontaminate_probe_plan_is_broadcast_no_wide_corpus_shuffle(spark, doc
     # distinct() would add one keyed on (doc_id, shingle/gram) — absent.
     exchange_keys = re.findall(r"Exchange hashpartitioning\((\w+)#\d+L?", plan)
     assert sorted(exchange_keys) == ["doc_id", "gram"], plan
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast enrich over availableNow micro-batches must
+    produce exactly the batch join's rows (stateless on the stream side)."""
+    from global_market_index_etl_spark.streaming.incremental import (
+        enrich_stream_with_dim,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").limit(300).cache()
+    types = [r[0] for r in events.select("event_type").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(t, f"cat_{i % 3}") for i, t in enumerate(sorted(types))],
+        "event_type string, category string",
+    )
+    batch = {
+        (r.event_id, r.category)
+        for r in enrich_stream_with_dim(events, dim, "event_type")
+        .select("event_id", "category")
+        .collect()
+    }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            enrich_stream_with_dim(stream, dim, "event_type")
+            .select("event_id", "category")
+            .writeStream.trigger(availableNow=True)
+            .format("memory")
+            .queryName("enriched_stream_t")
+            .option(
+                "checkpointLocation", os.path.join(tmp, "ckpt")
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.event_id, r.category)
+            for r in spark.sql("SELECT * FROM enriched_stream_t").collect()
+        }
+    assert got == batch and len(got) == 300
