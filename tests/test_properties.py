@@ -172,3 +172,39 @@ def test_storage_merge_equals_dataframe_upsert(spark, tmp_path_factory, base, up
         for r in read_table(spark, path, disk_schema).collect()
     }
     assert got == expected
+
+
+BUDGET_ROWS = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 20), st.integers(0, 9)),
+    min_size=0,
+    max_size=24,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=BUDGET_ROWS, budget=st.integers(0, 120))
+@PROP_SETTINGS
+def test_token_budget_equals_python_prefix(spark, rows, budget):
+    """select_to_token_budget must pick exactly the maximal greedy prefix
+    (priority desc, id asc) for ANY rows/budget — independent of the range
+    partitioner's boundary placement."""
+    from global_market_index_etl_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        rows, "id long, tokens long, priority long"
+    )
+    got = {
+        r.id
+        for r in select_to_token_budget(
+            df, budget, "tokens", "priority", "id", num_partitions=3
+        ).collect()
+    }
+    expect, cum = set(), 0
+    for rid, tok, _pri in sorted(rows, key=lambda r: (-r[2], r[0])):
+        if cum + tok > budget:
+            break
+        cum += tok
+        expect.add(rid)
+    assert got == expect
