@@ -123,3 +123,50 @@ def read_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """
     reader = spark.read.schema(schema) if schema is not None else spark.read
     return reader.parquet(path).drop(BUCKET)
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    fmt: str = "parquet",
+    order_col: str | None = None,
+) -> None:
+    """Deterministic sharded export for training consumption: every row
+    lands in shard ``pmod(xxhash64(id), n_shards)``, sorted within the
+    shard by (order_col, id) — so two exports of the same corpus are
+    file-for-file identical, and a training job can map shards to data
+    loaders with stable membership across rebuilds (the same property the
+    hash-bucket split gives, applied to physical files).
+
+    ``repartition(n, col)`` alone would leave intra-partition order to scan
+    order (nondeterministic across runs/cluster sizes); the
+    ``sortWithinPartitions`` pins it. One shuffle, no global sort. The
+    shard column is written so readers can verify placement; ``fmt`` may
+    be ``parquet`` or ``json`` (JSONL shards for text-pipeline tooling).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    )
+    order = [F.col(order_col)] if order_col else []
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions(*order, F.col(id_col))
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Read back an exported shard set (schema required for json shards if
+    inference is to be avoided)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -3,6 +3,8 @@ scale-shape (two-phase cumsum ≡ global window) equivalence tests."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyspark.sql.functions as F
 import pytest
@@ -225,3 +227,67 @@ def test_docs_sharing_spans_planted(spark):
         span_fingerprints,
     )
     assert span_fingerprints(tiny, span=20).count() == 0
+
+
+def test_export_training_shards_deterministic(spark, docs, tmp_path):
+    import glob
+    import hashlib
+
+    import duckdb
+
+    from global_market_index_etl_spark.operators.storage import (
+        export_training_shards,
+        read_training_shards,
+    )
+
+    n_shards = 4
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    export_training_shards(docs, p1, "doc_id", n_shards)
+    export_training_shards(docs, p2, "doc_id", n_shards)
+
+    back = read_training_shards(spark, p1)
+    # round-trip: same rows, correct shard placement for every row
+    assert back.count() == docs.count()
+    misplaced = back.filter(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int")
+        != F.col("shard")
+    )
+    assert misplaced.count() == 0
+    assert back.select("shard").distinct().count() <= n_shards
+
+    # within-shard order is (id asc): read one data file raw and check
+    files = sorted(glob.glob(p1 + "/part-*.parquet"))
+    assert files
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM '{files[0]}'"
+    ).fetchdf()["doc_id"].tolist()
+    assert ids == sorted(ids)
+
+    # determinism: the two exports are file-for-file byte-identical
+    def digest(root):
+        out = {}
+        for f in sorted(glob.glob(root + "/part-*.parquet")):
+            with open(f, "rb") as fh:
+                out[os.path.basename(f).split("-c000")[0].split("-")[1]] = (
+                    hashlib.md5(fh.read()).hexdigest()
+                )
+        return out
+
+    d1, d2 = digest(p1), digest(p2)
+    assert d1 and len(d1) == len(d2)
+    assert sorted(d1.values()) == sorted(d2.values())
+
+
+def test_export_training_shards_jsonl(spark, docs, tmp_path):
+    from global_market_index_etl_spark.operators.storage import (
+        export_training_shards,
+        read_training_shards,
+    )
+
+    p = str(tmp_path / "jsonl")
+    export_training_shards(
+        docs.select("doc_id", "text"), p, "doc_id", 2, fmt="json"
+    )
+    back = read_training_shards(spark, p, fmt="json")
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "text", "shard"}
