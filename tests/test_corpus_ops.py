@@ -291,3 +291,85 @@ def test_export_training_shards_jsonl(spark, docs, tmp_path):
     back = read_training_shards(spark, p, fmt="json")
     assert back.count() == docs.count()
     assert set(back.columns) == {"doc_id", "text", "shard"}
+
+
+def test_cap_per_group_matches_duckdb_twin(spark, docs):
+    from global_market_index_etl_spark.operators.quality import cap_per_group
+
+    got = (
+        cap_per_group(
+            docs, "source", 10, order=[F.col("n_chars").desc()],
+            id_col="doc_id",
+        )
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    want = duck_connection(SF_SMALL).execute(
+        """
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 10 ORDER BY doc_id
+        """
+    ).fetchdf()["doc_id"].tolist()
+    assert got == want
+
+
+def test_cap_per_group_plan_has_group_limit(spark, docs):
+    """Spark must push the cap into the sort (WindowGroupLimit) — the
+    property that keeps a hot domain from materializing fully at scale."""
+    from global_market_index_etl_spark.operators.quality import cap_per_group
+
+    plan = (
+        cap_per_group(docs, "source", 5, id_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_validate_expectations(spark):
+    from global_market_index_etl_spark.operators.quality import (
+        expect_in_range,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_unique,
+        validate,
+    )
+
+    rows = [
+        (1, "en", 50, "alpha"),
+        (2, "en", -3, "beta"),      # range violation
+        (3, None, 10, "gamma"),     # null violation
+        (4, "xx", 10, "delta"),     # set violation
+        (5, "fr", 10, "99bad"),     # pattern violation
+        (5, "fr", 10, "dupid"),     # unique violation (with previous row)
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, n long, name string")
+    flagged, report = validate(
+        df,
+        [
+            expect_not_null("lang"),
+            expect_in_range("n", 0, 100),
+            expect_in_set("lang", ["en", "fr", "de"]),
+            expect_matches("name", "^[a-z]+$"),
+            expect_unique("id"),
+        ],
+    )
+    r = report.first().asDict()
+    assert r["n_rows"] == 6
+    assert r["viol_lang_not_null"] == 1
+    assert r["viol_n_in_range"] == 1
+    assert r["viol_lang_in_set"] == 2          # None also fails the set
+    assert r["viol_name_matches"] == 1
+    assert r["viol_id_unique"] == 2
+    by_id = {(x.id, x.name): x for x in flagged.collect()}
+    assert by_id[(1, "alpha")]["n_violations"] == 0
+    assert by_id[(2, "beta")]["n_violations"] == 1
+    clean = flagged.filter(F.col("n_violations") == 0)
+    assert clean.count() == 1
