@@ -208,3 +208,47 @@ def test_token_budget_equals_python_prefix(spark, rows, budget):
         cum += tok
         expect.add(rid)
     assert got == expect
+
+
+WORDS_ST = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+DOC_ST = st.lists(WORDS_ST, min_size=0, max_size=8)
+
+
+@given(
+    corpus=st.lists(DOC_ST, min_size=0, max_size=8),
+    eval_docs=st.lists(DOC_ST, min_size=0, max_size=4),
+    min_hits=st.integers(1, 3),
+)
+@PROP_SETTINGS
+def test_decontamination_matches_python_reference(
+    spark, corpus, eval_docs, min_hits
+):
+    """contamination_hits == a direct python n-gram-overlap computation for
+    ANY corpus/eval shape (n=2 grams, per-doc distinct, >= min_hits)."""
+    from global_market_index_etl_spark.operators.decontaminate import (
+        contamination_hits,
+    )
+
+    def grams(ws):
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    eval_grams = set().union(*(grams(d) for d in eval_docs)) if eval_docs else set()
+    expect = {}
+    for i, d in enumerate(corpus):
+        hits = len(grams(d) & eval_grams)
+        if hits >= min_hits:
+            expect[i] = hits
+
+    cdf = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    edf = spark.createDataFrame(
+        [(1000 + i, " ".join(d)) for i, d in enumerate(eval_docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in contamination_hits(cdf, edf, n=2, min_hits=min_hits).collect()
+    }
+    assert got == expect
