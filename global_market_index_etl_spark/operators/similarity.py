@@ -511,3 +511,122 @@ def embedding_neardup_pairs(
         pairs.select("id_1", "id_2", F.round(cos, round_digits).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _ivf_train_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_lists: int
+) -> "np.ndarray":
+    """Deterministic IVF 'training': stride-sample n_lists corpus vectors
+    (bounded ≤ n_lists*16-row collect — centroids only, never the corpus)."""
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(n_lists * 16)
+        .collect()
+    )
+    stride = max(1, len(sample) // n_lists)
+    return np.array(
+        [row[1] for row in sample[::stride][:n_lists]], dtype=np.float64
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 32,
+) -> None:
+    """Persist an IVF index: the corpus written PARTITIONED BY its nearest-
+    centroid list, plus the centroid table — the at-rest layout that makes
+    ANN search a partition-pruned read.
+
+    Build cost is one Arrow-batched assignment matmul over the corpus and
+    one partitioned write; search cost then scales with nprobe/n_lists of
+    the DATA READ, not just compute — the property the in-memory
+    ``ivf_cosine_topk`` cannot give (it must scan the whole corpus every
+    query batch). Same layout discipline as storage.write_bucketed_table:
+    repartition on the partition column first so each list is one file,
+    not one file per task × list.
+    """
+    centroids = _ivf_train_centroids(corpus, id_col, vec_col, n_lists)
+    assign_one = _centroid_assign_batch(centroids, 1)
+    listed = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__list", assign_one(F.col(vec_col))[0]
+    )
+    (
+        listed.repartition("__list")
+        .write.partitionBy("__list")
+        .mode("overwrite")
+        .parquet(path + "/lists")
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index, reading ONLY the probed
+    lists (partition pruning on ``__list`` — asserted in tests via the
+    scan's PartitionFilters).
+
+    The probe set is queries (bounded), so collecting its probed list ids
+    to build the pruning predicate is a driver-side set union over
+    |probes|·nprobe ints — not a corpus action. nprobe == n_lists
+    degenerates to exact brute force over the whole index (recall 1.0).
+    """
+    cent_rows = (
+        spark.read.parquet(path + "/centroids").orderBy("list_id").collect()
+    )
+    centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    nprobe = min(nprobe, len(centroids))
+    assign_probe = _centroid_assign_batch(centroids, nprobe)
+    p_listed = (
+        probes.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
+        )
+        .withColumn("__q_norm", F.sqrt(_dot("__q_vec", "__q_vec")))
+        .withColumn("__list", F.explode(assign_probe(F.col("__q_vec"))))
+    )
+    probed_lists = sorted(
+        {r[0] for r in p_listed.select("__list").collect()}
+    )
+    c_listed = (
+        spark.read.parquet(path + "/lists")
+        .filter(F.col("__list").isin(probed_lists))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__c_vec"),
+            "__list",
+        )
+        .withColumn("__c_norm", F.sqrt(_dot("__c_vec", "__c_vec")))
+    )
+    cos = _dot("__q_vec", "__c_vec") / (F.col("__q_norm") * F.col("__c_norm"))
+    scored = (
+        c_listed.join(F.broadcast(p_listed), on="__list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos, round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
