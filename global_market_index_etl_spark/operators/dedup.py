@@ -704,3 +704,49 @@ def docs_sharing_spans(
             F.col("n_shared_spans").cast("double") / F.col("n_spans"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold over n-gram
+    sets — the metric that catches "doc B is doc A plus a header/footer",
+    which symmetric Jaccard misses (a long doc containing a short one whole
+    can still have arbitrarily low |A∩B|/|A∪B|).
+
+    Same linear shape as the Jaccard kernel (shared shingle self-join on
+    hashed 8-byte grams, integer set sizes, one divide) — only the
+    denominator differs, so the DuckDB twin is the Jaccard oracle with
+    ``least(n1, n2)`` in place of the union size.
+    """
+    d = _materialize(shingle_table(df, id_col, text_col, n, hashed=True))
+    sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n_shingles").alias("n_1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n_shingles").alias("n_2"))
+    return (
+        inter.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn(
+            "containment",
+            F.col("n_common") * F.lit(1.0) / F.least(F.col("n_1"), F.col("n_2")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_1", "id_2", "n_common", "containment")
+    )

@@ -373,3 +373,63 @@ def test_validate_expectations(spark):
     assert by_id[(2, "beta")]["n_violations"] == 1
     clean = flagged.filter(F.col("n_violations") == 0)
     assert clean.count() == 1
+
+
+def test_containment_pairs_matches_duckdb_twin_and_planted(spark, docs):
+    from global_market_index_etl_spark.operators.dedup import containment_pairs
+
+    got = (
+        containment_pairs(docs, n=3, threshold=0.9)
+        .orderBy("id_1", "id_2")
+        .toPandas()
+    )
+    want = duck_connection(SF_SMALL).execute(
+        """
+        WITH words AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+          FROM documents WHERE length(trim(text)) > 0
+        ), pos AS (
+          SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+          FROM words
+        ), sh AS (
+          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+          FROM pos a
+          JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_1, id_2, n_common,
+               n_common * 1.0 / least(CAST(s1.n AS BIGINT), CAST(s2.n AS BIGINT))
+                 AS containment
+        FROM inter
+        JOIN sizes s1 ON id_1 = s1.doc_id
+        JOIN sizes s2 ON id_2 = s2.doc_id
+        WHERE n_common * 1.0 / least(CAST(s1.n AS BIGINT), CAST(s2.n AS BIGINT))
+              >= 0.9
+        ORDER BY id_1, id_2
+        """
+    ).fetchdf()
+    assert len(got) == len(want)
+    for col in ("id_1", "id_2", "n_common"):
+        assert got[col].tolist() == want[col].tolist(), col
+    np.testing.assert_allclose(got["containment"], want["containment"], rtol=0)
+
+    # planted containment invisible to Jaccard: short doc fully inside long
+    short = " ".join(f"w{i}" for i in range(10))
+    filler = " ".join(f"f{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id long, text string"
+    )
+    from global_market_index_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    cont = containment_pairs(df, n=3, threshold=0.9).collect()
+    assert [(r.id_1, r.id_2) for r in cont] == [(1, 2)]
+    assert cont[0].containment == 1.0
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.8).count() == 0
