@@ -41,6 +41,11 @@ def chunk_documents(
     same document always yields the same chunks regardless of
     partitioning — the identity requirement for downstream dedup against
     chunk fingerprints.
+
+    Every chunk after the first contributes at least one token not covered
+    by its predecessor: with ``overlap`` > 0, start offsets stop before
+    ``n_words - overlap`` (a later start's chunk would sit entirely inside
+    the previous chunk, duplicating content in the training corpus).
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
@@ -54,9 +59,12 @@ def chunk_documents(
         "__words", words(F.col(text_col))
     )
     n_w = F.size("__words")
-    # start offsets 0, stride, 2*stride, ... < n_words
+    # start offsets 0, stride, 2*stride, ... < n_words - overlap: a start in
+    # [n_words - overlap, n_words) yields a chunk fully contained in the
+    # previous one (its tokens are the previous chunk's last < chunk_tokens
+    # tokens), so it is excluded.  overlap=0 reduces to "< n_words".
     starts = F.sequence(
-        F.lit(0), F.greatest(n_w - 1, F.lit(0)), F.lit(stride)
+        F.lit(0), F.greatest(n_w - overlap - 1, F.lit(0)), F.lit(stride)
     )
     chunks = F.transform(
         starts,

@@ -19,6 +19,8 @@ exact Jaccard verifier has a full SQL oracle (plans/textdata.py).
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -450,6 +452,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 7,
     blocks: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -458,20 +461,40 @@ def simhash_near_pairs(
     block ⇒ self-join per (block index, block value) instead of all-pairs.
 
     ``blocks=None`` (default) derives the block count from the corpus size
-    (``auto_simhash_blocks`` — one cheap count(), amortized trivially
-    against the signature aggregation) and CLAMPS the effective radius to
-    ``blocks-1`` so the blocking stays lossless: at ≤2·10^4 docs the full
-    requested radius (≤7) is served with 8 blocks; at larger corpora the
-    key space is widened and the radius tightens (4 blocks ⇒ radius ≤3, 2
-    blocks ⇒ radius ≤1) — near-duplicates hash within a couple of bits of
-    each other, so a tighter radius at bigger scale is the standard
-    operating point (Manku et al. use k=3 at 8×10^9 docs). Passing
-    ``blocks`` explicitly keeps the strict guard instead: ``max_hamming``
-    must be < ``blocks`` or the call raises.
+    and CLAMPS the effective radius to ``blocks-1`` so the blocking stays
+    lossless: at ≤2·10^4 docs the full requested radius (≤7) is served with
+    8 blocks; at larger corpora the key space is widened and the radius
+    tightens (4 blocks ⇒ radius ≤3, 2 blocks ⇒ radius ≤1) —
+    near-duplicates hash within a couple of bits of each other, so a
+    tighter radius at bigger scale is the standard operating point (Manku
+    et al. use k=3 at 8×10^9 docs). A clamp is announced with a
+    ``UserWarning`` carrying the effective radius, so callers can tell "no
+    near-dups" from "radius was tightened". Passing ``blocks`` explicitly
+    keeps the strict guard instead: ``max_hamming`` must be < ``blocks`` or
+    the call raises.
+
+    The corpus size for the auto-sizing comes from ``n_docs`` when the
+    caller already knows it (catalog statistics, a prior count); otherwise
+    a count over the id-column projection runs — with parquet aggregate
+    pushdown enabled this is a footer-metadata read, not a data scan, but
+    at 100 TB prefer passing ``n_docs`` (sizing only needs the order of
+    magnitude).
     """
     if blocks is None:
-        blocks = auto_simhash_blocks(df.count())
-        max_hamming = min(max_hamming, blocks - 1)
+        if n_docs is None:
+            # Column-pruned count: compiles to a parquet footer count under
+            # aggregatePushdown instead of scanning the text payload.
+            n_docs = df.select(id_col).count()
+        blocks = auto_simhash_blocks(n_docs)
+        if max_hamming > blocks - 1:
+            warnings.warn(
+                f"simhash_near_pairs: requested max_hamming={max_hamming} "
+                f"tightened to {blocks - 1} (lossless radius for "
+                f"{blocks}-block pigeonhole at n_docs={n_docs})",
+                UserWarning,
+                stacklevel=2,
+            )
+            max_hamming = blocks - 1
     elif max_hamming >= blocks:
         raise ValueError("pigeonhole blocking requires max_hamming < blocks")
     sigs = _materialize(simhash64(df, id_col, text_col))

@@ -3,35 +3,176 @@
 The reference's at-rest semantic is ``INSERT ... ON CONFLICT DO UPDATE``
 into live PostgreSQL tables (/root/reference/src/storage/postgres_writer.py:234-259,
 DDL 32-113). Plain parquet has no MERGE, so the durable form here is the
-lakehouse-standard **partition-pruned read-modify-overwrite**:
+lakehouse-standard **partition-pruned read-modify-overwrite** under a
+**manifest commit protocol** (a minimal form of what Delta/Iceberg's
+transaction log provides):
 
 - the table is laid out partitioned by a deterministic key-hash bucket
   (``__bucket = pmod(xxhash64(keys...), n_buckets)``);
-- a MERGE reads ONLY the buckets that contain updated keys (partition
-  pruning on the scan), applies the relational last-write-wins upsert
-  (operators/upsert.py — the oracle-checked core), and overwrites ONLY
-  those buckets via dynamic partition overwrite.
+- the set of LIVE data files is named by a versioned JSON manifest
+  (``_gmie_manifest-v<N>.json`` in the table root); readers read exactly
+  the files the highest committed manifest lists — never the directory
+  listing — so partially-written or abandoned files are invisible;
+- a MERGE reads ONLY the live files of buckets that contain updated keys,
+  applies the relational last-write-wins upsert (operators/upsert.py — the
+  oracle-checked core), stages the replacement buckets under a hidden
+  ``.staging-*`` directory, moves the staged files into the live bucket
+  directories under commit-unique names (rename = metadata op, never
+  overwrites existing data), and finally COMMITS by renaming a complete
+  new manifest into place. The manifest rename is the single atomic
+  commit point: a crash at ANY earlier step leaves the previous manifest
+  (and every file it references) fully intact, so readers still see the
+  pre-merge table. Recovery from a crashed merge is simply re-running it;
+  ``vacuum_table`` reclaims any orphaned staging/data files.
 
-Cost therefore scales with |touched buckets| ≍ |batch|, not |table| — the
-property that makes MERGE viable on a 100 TB table. With Delta/Iceberg on
-the classpath the same interface maps onto their native ``MERGE INTO``;
-this form is the dependency-free equivalent with identical semantics
-(idempotency under batch replay is asserted in tests and in the declared
-``k2_upsert_roundtrip`` query).
+Crash-atomicity is for a SINGLE writer (like one Airflow task instance in
+the reference's DAG): concurrent merges into the same table race on the
+next manifest version and the loser fails its commit rename — serialize
+writers externally. (The reference holds a single Postgres connection with
+explicit commit/rollback, postgres_writer.py:107-113; true multi-writer
+OCC is what a full table format adds.)
+
+Cost scales with |touched buckets| ≍ |batch|, not |table| — the property
+that makes MERGE viable on a 100 TB table. All manifest/rename operations
+go through the Hadoop FileSystem API, so the same code runs on file:,
+hdfs:, and rename-atomic object stores.
 """
 
 from __future__ import annotations
 
+import json
+import uuid
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from .upsert import upsert
 
 BUCKET = "__bucket"
+_MANIFEST_PREFIX = "_gmie_manifest-v"
 
 
 def _bucket_col(key_columns: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_columns]), F.lit(n_buckets))
+
+
+# -- manifest plumbing (driver-side Hadoop FS calls; no jobs) ---------------
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _hpath(jvm, p: str):
+    return jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _read_manifest(spark: SparkSession, path: str):
+    """Highest committed ``(version, manifest)`` at ``path``, or ``(0, None)``."""
+    jvm, fs = _fs(spark, path)
+    try:
+        statuses = fs.listStatus(_hpath(jvm, path))
+    except Exception:  # table root does not exist yet
+        return 0, None
+    best, best_v = None, 0
+    for st in statuses:
+        name = st.getPath().getName()
+        if name.startswith(_MANIFEST_PREFIX) and name.endswith(".json"):
+            try:
+                v = int(name[len(_MANIFEST_PREFIX) : -len(".json")])
+            except ValueError:
+                continue
+            if v > best_v:
+                best_v, best = v, st.getPath()
+    if best is None:
+        return 0, None
+    stream = fs.open(best)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return best_v, json.loads(raw.decode("utf-8"))
+
+
+def _commit_manifest(
+    spark: SparkSession, path: str, version: int, manifest: dict
+) -> None:
+    """Atomically publish ``manifest`` as version ``version``.
+
+    Write to a hidden temp name, then rename to the final versioned name.
+    The destination never exists (versions are monotone), so a plain
+    FileSystem.rename suffices and is atomic on file:/hdfs:. A concurrent
+    writer that already committed this version makes the rename fail —
+    surfaced as an error instead of silent last-write-wins.
+    """
+    jvm, fs = _fs(spark, path)
+    tmp = f"{path}/.manifest-tmp-{uuid.uuid4().hex}"
+    out = fs.create(_hpath(jvm, tmp), True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    final = f"{path}/{_MANIFEST_PREFIX}{version:010d}.json"
+    if not fs.rename(_hpath(jvm, tmp), _hpath(jvm, final)):
+        fs.delete(_hpath(jvm, tmp), False)
+        raise IOError(
+            f"manifest commit failed for {final} — another writer committed "
+            "this version first (single-writer protocol; serialize merges)"
+        )
+
+
+def _list_bucket_files(spark: SparkSession, path: str) -> dict[str, list[str]]:
+    """Bucket → relative parquet paths from a directory listing (used once,
+    when adopting a table written before the manifest protocol)."""
+    jvm, fs = _fs(spark, path)
+    buckets: dict[str, list[str]] = {}
+    for st in fs.listStatus(_hpath(jvm, path)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(BUCKET + "="):
+            files = [
+                f"{name}/{f.getPath().getName()}"
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            ]
+            buckets[name.split("=", 1)[1]] = sorted(files)
+    return buckets
+
+
+def _read_live_files(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    schema: StructType | None,
+    only_buckets: set[str] | None = None,
+) -> DataFrame:
+    """Scan exactly the manifest's live files (optionally one bucket subset).
+
+    ``basePath`` keeps the ``__bucket=K`` directory component a partition
+    column. Restricting to ``only_buckets`` prunes by construction — the
+    unlisted files are never even planned.
+    """
+    if schema is None and manifest.get("schema") is not None:
+        schema = StructType.fromJson(manifest["schema"])
+    rel = [
+        f
+        for b, files in sorted(manifest["buckets"].items())
+        if only_buckets is None or b in only_buckets
+        for f in files
+    ]
+    if not rel:
+        if schema is None:
+            raise ValueError(
+                f"table at {path} is empty and no schema is available — "
+                "pass the schema write_bucketed_table returned"
+            )
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.option("basePath", path).parquet(
+        *[f"{path}/{r}" for r in rel]
+    )
 
 
 def write_bucketed_table(
@@ -66,6 +207,21 @@ def write_bucketed_table(
         .partitionBy(BUCKET)
         .parquet(path)
     )
+    # Publish manifest v1 over the files just written. (CREATE OR REPLACE of
+    # an existing table is not crash-atomic — mode("overwrite") clears the
+    # root first; write a NEW root and repoint the caller's reference for
+    # that. MERGE, the hot path, is crash-atomic.)
+    _commit_manifest(
+        df.sparkSession,
+        path,
+        1,
+        {
+            "n_buckets": n_buckets,
+            "key_columns": list(key_columns),
+            "schema": bucketed.schema.jsonValue(),
+            "buckets": _list_bucket_files(df.sparkSession, path),
+        },
+    )
     return bucketed.schema
 
 
@@ -76,51 +232,152 @@ def merge_into_parquet(
     key_columns: list[str],
     order_column: str | None = None,
     n_buckets: int = 16,
+    _crash_point: str | None = None,
 ) -> None:
     """MERGE ``updates`` into the bucketed table at ``path`` (last-write-wins).
 
-    Reads only the buckets containing updated keys and rewrites only those
-    buckets (dynamic partition overwrite) — untouched buckets' files are
-    never read or rewritten. Idempotent: replaying the same batch leaves the
-    table unchanged (updates win ties via the upsert's ``__src`` tag, and the
-    survivor set is deterministic).
+    Reads only the live files of buckets containing updated keys and
+    replaces only those buckets — untouched buckets' files are never read,
+    moved, or rewritten. Idempotent: replaying the same batch leaves the
+    table content unchanged (updates win ties via the upsert's ``__src``
+    tag, and the survivor set is deterministic).
+
+    Crash-atomic via the module's manifest protocol: new files are staged
+    and moved in under names no reader knows about, and the merge becomes
+    visible only at the final manifest rename. A crash anywhere before that
+    leaves the previous table version fully readable; re-running the merge
+    is the recovery procedure. ``_crash_point`` is a test-only fault hook
+    ("after_stage" | "after_move") used by the kill-mid-merge tests.
     """
     up = updates.withColumn(BUCKET, _bucket_col(key_columns, n_buckets))
     # ≤ n_buckets scalar rows — bounded driver collect, independent of data size
     affected = [r[0] for r in up.select(BUCKET).distinct().collect()]
     if not affected:
         return
+    version, manifest = _read_manifest(spark, path)
+    if manifest is None:
+        # Adopt a pre-manifest table: its directory listing IS its live set.
+        manifest = {
+            "n_buckets": n_buckets,
+            "key_columns": list(key_columns),
+            "schema": up.schema.jsonValue(),
+            "buckets": _list_bucket_files(spark, path),
+        }
+    affected_set = {str(b) for b in affected}
     # Schema pinned from the batch (same columns by contract): parquet
     # columns resolve by NAME, the partition column fills from dir names,
     # a still-empty table reads as zero rows instead of failing inference,
     # and planning skips the footer sweep entirely.
-    current = (
-        spark.read.schema(up.schema)
-        .parquet(path)
-        .filter(F.col(BUCKET).isin(affected))
-    )
+    current = _read_live_files(spark, path, manifest, up.schema, affected_set)
     merged = upsert(current, up, key_columns, order_column=order_column)
-    # Materialize BEFORE overwriting: the merged plan reads the very files
-    # the write replaces (Spark rejects the self-overwrite, and rightly so).
-    # localCheckpoint holds only the touched buckets — |batch|-sized, not
-    # |table|-sized. A Delta/Iceberg MERGE does the same staging internally.
-    merged = merged.localCheckpoint(eager=True)
+    # Stage the replacement buckets OUTSIDE the live file set. The staged
+    # write reads the current files and writes new ones — nothing is
+    # deleted or overwritten, so no localCheckpoint materialization is
+    # needed (the pre-manifest implementation had to checkpoint because
+    # dynamic partition overwrite destroyed its own input files).
+    staging = f"{path}/.staging-{uuid.uuid4().hex}"
     (
         merged.repartition(len(affected), F.col(BUCKET))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BUCKET)
-        .parquet(path)
+        .parquet(staging)
     )
+    if _crash_point == "after_stage":
+        raise RuntimeError("injected crash: staged files written, not moved")
+    # Move staged files into the live bucket dirs under commit-unique names
+    # (rename = metadata op on the same filesystem; never overwrites).
+    jvm, fs = _fs(spark, path)
+    new_version = version + 1
+    commit_tag = f"c{new_version:010d}-{uuid.uuid4().hex[:8]}"
+    new_bucket_files: dict[str, list[str]] = {}
+    for st in fs.listStatus(_hpath(jvm, staging)):
+        dirname = st.getPath().getName()
+        if not dirname.startswith(BUCKET + "="):
+            continue
+        bval = dirname.split("=", 1)[1]
+        fs.mkdirs(_hpath(jvm, f"{path}/{dirname}"))
+        moved = []
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if not fname.endswith(".parquet"):
+                continue
+            rel = f"{dirname}/{commit_tag}-{fname}"
+            if not fs.rename(f.getPath(), _hpath(jvm, f"{path}/{rel}")):
+                raise IOError(f"failed to move staged file into {path}/{rel}")
+            moved.append(rel)
+        new_bucket_files[bval] = sorted(moved)
+    if _crash_point == "after_move":
+        raise RuntimeError("injected crash: files moved, manifest not committed")
+    replaced = {b: manifest["buckets"].get(b, []) for b in new_bucket_files}
+    _commit_manifest(
+        spark,
+        path,
+        new_version,
+        {
+            "n_buckets": manifest.get("n_buckets", n_buckets),
+            "key_columns": list(key_columns),
+            "schema": up.schema.jsonValue(),
+            "buckets": {**manifest["buckets"], **new_bucket_files},
+        },
+    )
+    # Post-commit cleanup (best-effort; a crash here leaves garbage that is
+    # invisible to readers — vacuum_table reclaims it).
+    for files in replaced.values():
+        for rel in files:
+            fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
+    fs.delete(_hpath(jvm, staging), True)
+    old_manifest = f"{path}/{_MANIFEST_PREFIX}{version:010d}.json"
+    if version > 0:
+        fs.delete(_hpath(jvm, old_manifest), False)
+
+
+def vacuum_table(spark: SparkSession, path: str) -> int:
+    """Reclaim files a crashed merge orphaned; returns the number removed.
+
+    Deletes every ``.staging-*`` directory, every non-current manifest, and
+    every data file under a bucket directory that the current manifest does
+    not reference. Safe under the single-writer assumption (no merge is in
+    flight when vacuum runs); never touches live files.
+    """
+    version, manifest = _read_manifest(spark, path)
+    if manifest is None:
+        return 0
+    live = {f for files in manifest["buckets"].values() for f in files}
+    jvm, fs = _fs(spark, path)
+    removed = 0
+    current_manifest = f"{_MANIFEST_PREFIX}{version:010d}.json"
+    for st in fs.listStatus(_hpath(jvm, path)):
+        name = st.getPath().getName()
+        if name.startswith(".staging-") or name.startswith(".manifest-tmp-"):
+            fs.delete(st.getPath(), True)
+            removed += 1
+        elif (
+            name.startswith(_MANIFEST_PREFIX)
+            and name != current_manifest
+        ):
+            fs.delete(st.getPath(), False)
+            removed += 1
+        elif st.isDirectory() and name.startswith(BUCKET + "="):
+            for f in fs.listStatus(st.getPath()):
+                rel = f"{name}/{f.getPath().getName()}"
+                if rel.endswith(".parquet") and rel not in live:
+                    fs.delete(f.getPath(), False)
+                    removed += 1
+    return removed
 
 
 def read_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Read the bucketed table back without the layout column.
 
-    Pass the schema ``write_bucketed_table`` returned to make empty tables
-    readable and to skip footer inference; omitted, Spark infers (fine for
-    known-nonempty tables).
+    Manifest-committed tables read exactly the live file set (orphans from
+    crashed merges are invisible) using the manifest's stored schema — no
+    footer inference, and empty tables read fine. Pre-manifest directories
+    fall back to a plain directory read, where passing the schema
+    ``write_bucketed_table`` returned keeps empty tables readable.
     """
+    _, manifest = _read_manifest(spark, path)
+    if manifest is not None:
+        return _read_live_files(spark, path, manifest, schema).drop(BUCKET)
     reader = spark.read.schema(schema) if schema is not None else spark.read
     return reader.parquet(path).drop(BUCKET)
 

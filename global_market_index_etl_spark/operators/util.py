@@ -6,19 +6,38 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
+# Per-core bytes below which a scan is considered "small" and worth one
+# redistribution shuffle before explode/tokenize/score work.  32 cores ⇒
+# 256 MiB: a single parquet file up to maxPartitionBytes*2 still gets
+# spread, while anything in the GB+ range already arrives as many splits.
+_SMALL_SCAN_BYTES_PER_CORE = 8 * 1024 * 1024
+
+
 def parallelize_small(df: DataFrame) -> DataFrame:
     """Spread a narrow scan across all cores before expensive per-row work.
 
     A small table arrives as one or two input splits (single parquet file ⇒
     single task), so explode/tokenize/score stages run on one core.
     Repartition up to ``defaultParallelism`` — one cheap shuffle of the
-    projected input amortized over the heavy downstream stage. At real scale
-    the scan already has ≥ defaultParallelism splits and this is a no-op
-    (no shuffle added).
+    projected input amortized over the heavy downstream stage.
+
+    The small/large decision uses Catalyst's optimized-plan size estimate
+    (file-size statistics for scans) — a driver-side py4j call, no job and
+    no DataFrame→RDD plan conversion (the previous ``rdd.getNumPartitions``
+    probe forced one per operator entry; pure overhead at real scale where
+    this helper is documented to be a no-op).  At 100 TB the estimate is
+    far above the per-core threshold and the input passes through untouched.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-JVM session / stats unavailable — fall back to probing
+        est_bytes = None
+    if est_bytes is None:
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    elif est_bytes < target * _SMALL_SCAN_BYTES_PER_CORE:
         df = df.repartition(target)
     return df
 

@@ -327,11 +327,13 @@ def k4_changed_rows(spark, sf):
     "rewritten, so MERGE cost scales with the batch, not the table), the "
     "SAME batch is merged a second time (idempotency: replay must be a "
     "no-op), and the result is what the files on disk now say — not the "
-    "in-memory plan. Oracle = the expected post-merge table.",
+    "in-memory plan. Oracle = the expected post-merge table. NOTE: unlike "
+    "every other registry entry, the write/merge steps execute EAGERLY at "
+    "plan-construction time (durability is the thing under test — there is "
+    "no lazy form of 'the files on disk changed'); only the final read-back "
+    "is the returned lazy plan.",
 )
 def k2_upsert_roundtrip(spark, sf):
-    import tempfile
-
     from ..operators.storage import (
         merge_into_parquet,
         read_table,
@@ -344,7 +346,7 @@ def k2_upsert_roundtrip(spark, sf):
     updates = target.filter(F.col("o_orderkey") % 5 == 0).withColumn(
         "o_totalprice", F.round("o_totalprice")
     )
-    path = tempfile.mkdtemp(prefix="gmie_k2_roundtrip_")
+    path = _k2_scratch_dir()
     write_bucketed_table(target, path, ["o_orderkey"], n_buckets=16)
     merge_into_parquet(spark, path, updates, ["o_orderkey"], n_buckets=16)
     # replay the identical batch — the table must not change
@@ -352,6 +354,29 @@ def k2_upsert_roundtrip(spark, sf):
     return read_table(spark, path).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
+
+
+_K2_SCRATCH: list[str] = []
+
+
+def _k2_scratch_dir() -> str:
+    """One scratch table root per process, removed at interpreter exit.
+
+    Bench warm-up + timed reps + the correctness run previously minted a
+    fresh ``mkdtemp`` each invocation and never removed it — repeated runs
+    accumulated orphaned orders tables in /tmp. Reusing a single registered
+    path keeps repeated invocations self-overwriting and leaves nothing
+    behind.
+    """
+    if not _K2_SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="gmie_k2_roundtrip_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _K2_SCRATCH.append(path)
+    return _K2_SCRATCH[0]
 
 
 # --------------------------------------------------------------------------

@@ -798,9 +798,22 @@ def test_chunk_documents_deterministic_slices(spark):
     ov = {
         (r.doc_id, r.chunk_idx): r.chunk_text
         for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
-        if r.doc_id == 2
     }
-    assert ov[(2, 0)] == "a b c" and ov[(2, 1)] == "c"
+    # doc 2 ("a b c"): a start at 2 would yield "c", entirely contained in
+    # chunk 0 — contained tails are suppressed, only chunk 0 is emitted.
+    assert ov[(2, 0)] == "a b c" and (2, 1) not in ov
+    # doc 1 (10 words): starts 0,2,4,6 < 10-2; every chunk adds ≥1 new word
+    # and the start at 8 ("w8 w9", inside chunk 3's "w6..w9") is suppressed.
+    d1 = [ov[(1, i)] for i in range(4)]
+    assert d1 == [
+        "w0 w1 w2 w3",
+        "w2 w3 w4 w5",
+        "w4 w5 w6 w7",
+        "w6 w7 w8 w9",
+    ]
+    assert (1, 4) not in ov
+    # union of chunks still covers the whole document
+    assert set(" ".join(d1).split()) == {f"w{i}" for i in range(10)}
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
     # partitioning-independence

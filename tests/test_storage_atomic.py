@@ -1,0 +1,137 @@
+"""Crash-atomicity of the durable MERGE (operators/storage.py).
+
+The reference commits dim+fact atomically on one Postgres connection with
+rollback on failure (/root/reference/src/storage/postgres_writer.py:107-113,
+164-178). The engine's parquet MERGE must give the equivalent durability
+guarantee: a merge that dies at ANY point before its manifest commit leaves
+the previous table version fully readable, and re-running the merge (the
+documented recovery procedure) converges to the same result as a merge that
+never crashed.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyspark.sql.functions as F
+import pytest
+
+from global_market_index_etl_spark.operators.storage import (
+    merge_into_parquet,
+    read_table,
+    vacuum_table,
+    write_bucketed_table,
+)
+
+from .conftest import SF_SMALL
+
+
+def _orders_fixture(spark):
+    target = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = target.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.round("o_totalprice")
+    )
+    return target, updates
+
+
+def _snapshot(spark, path):
+    return {
+        r.o_orderkey: (r.o_totalprice, r.o_orderstatus)
+        for r in read_table(spark, path).collect()
+    }
+
+
+@pytest.mark.parametrize("crash_point", ["after_stage", "after_move"])
+def test_merge_crash_leaves_premerge_table_intact(
+    spark, tmp_path, crash_point
+):
+    """Kill the merge before its commit point: the table must read back
+    exactly as before the merge, and re-running the merge must succeed."""
+    path = str(tmp_path / "tbl")
+    target, updates = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=8)
+    before = _snapshot(spark, path)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_into_parquet(
+            spark,
+            path,
+            updates,
+            ["o_orderkey"],
+            n_buckets=8,
+            _crash_point=crash_point,
+        )
+
+    # The crashed merge's files (staged, or moved-but-uncommitted) are
+    # invisible: readers see the pre-merge version bit-for-bit.
+    assert _snapshot(spark, path) == before
+
+    # Recovery = re-run. The result equals a merge that never crashed.
+    merge_into_parquet(spark, path, updates, ["o_orderkey"], n_buckets=8)
+    expected = {
+        r.o_orderkey: (
+            float(round(r.o_totalprice))
+            if r.o_orderkey % 100 == 0
+            else r.o_totalprice,
+            r.o_orderstatus,
+        )
+        for r in target.collect()
+    }
+    assert _snapshot(spark, path) == expected
+
+    # Vacuum reclaims the crash garbage without disturbing the live table.
+    removed = vacuum_table(spark, path)
+    assert removed > 0
+    assert _snapshot(spark, path) == expected
+    assert not glob.glob(f"{path}/.staging-*")
+
+
+def test_vacuum_noop_on_clean_table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    target, updates = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=8)
+    merge_into_parquet(spark, path, updates, ["o_orderkey"], n_buckets=8)
+    before = _snapshot(spark, path)
+    assert vacuum_table(spark, path) == 0
+    assert _snapshot(spark, path) == before
+
+
+def test_orphaned_move_files_do_not_pollute_reads(spark, tmp_path):
+    """After an after_move crash, orphan parquet files sit INSIDE live
+    bucket directories. A directory-listing read would double-count rows;
+    the manifest-pinned read must not."""
+    path = str(tmp_path / "tbl")
+    target, updates = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=8)
+    n_before = read_table(spark, path).count()
+    files_before = set(glob.glob(f"{path}/__bucket=*/*.parquet"))
+
+    with pytest.raises(RuntimeError):
+        merge_into_parquet(
+            spark,
+            path,
+            updates,
+            ["o_orderkey"],
+            n_buckets=8,
+            _crash_point="after_move",
+        )
+
+    files_after = set(glob.glob(f"{path}/__bucket=*/*.parquet"))
+    assert files_after > files_before, "crash should have left orphan files"
+    assert read_table(spark, path).count() == n_before
+
+
+def test_empty_initial_table_merge_roundtrip(spark, tmp_path):
+    """CREATE empty → MERGE a first batch: the manifest's stored schema
+    makes the zero-file table readable, and the merge populates it."""
+    path = str(tmp_path / "tbl")
+    target, _ = _orders_fixture(spark)
+    empty = target.limit(0)
+    schema = write_bucketed_table(empty, path, ["o_orderkey"], n_buckets=8)
+    assert read_table(spark, path).count() == 0
+    assert read_table(spark, path, schema).count() == 0
+    batch = target.limit(50)
+    merge_into_parquet(spark, path, batch, ["o_orderkey"], n_buckets=8)
+    assert read_table(spark, path).count() == 50
