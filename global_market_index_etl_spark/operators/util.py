@@ -12,6 +12,11 @@ from pyspark.sql import DataFrame
 # spread, while anything in the GB+ range already arrives as many splits.
 _SMALL_SCAN_BYTES_PER_CORE = 8 * 1024 * 1024
 
+# Catalyst reports Long.MaxValue-ish sizeInBytes for plans with no stats
+# (e.g. createDataFrame ⇒ LogicalRDD).  Anything at or above this sentinel
+# means "unknown", not "huge" — fall back to the partition-count probe.
+_STATS_UNAVAILABLE_BYTES = 1 << 62
+
 
 def parallelize_small(df: DataFrame) -> DataFrame:
     """Spread a narrow scan across all cores before expensive per-row work.
@@ -21,23 +26,27 @@ def parallelize_small(df: DataFrame) -> DataFrame:
     Repartition up to ``defaultParallelism`` — one cheap shuffle of the
     projected input amortized over the heavy downstream stage.
 
-    The small/large decision uses Catalyst's optimized-plan size estimate
-    (file-size statistics for scans) — a driver-side py4j call, no job and
-    no DataFrame→RDD plan conversion (the previous ``rdd.getNumPartitions``
-    probe forced one per operator entry; pure overhead at real scale where
-    this helper is documented to be a no-op).  At 100 TB the estimate is
-    far above the per-core threshold and the input passes through untouched.
+    The small/large decision first consults Catalyst's optimized-plan size
+    estimate (file-size statistics for scans) — a driver-side py4j call, no
+    job and no DataFrame→RDD plan conversion.  At 100 TB the estimate is far
+    above the per-core threshold and the input passes through untouched with
+    zero probe cost.  Plans without statistics (in-memory LogicalRDD inputs)
+    report ~Long.MaxValue; that means "unknown", not "huge", so only then do
+    we fall back to the ``rdd.getNumPartitions`` probe.  In every branch the
+    repartition fires only when the input actually has fewer partitions than
+    ``defaultParallelism`` — an already-spread small input is left alone.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
         est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # non-JVM session / stats unavailable — fall back to probing
+    except Exception:  # non-JVM session — treat as stats unavailable
         est_bytes = None
-    if est_bytes is None:
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
-    elif est_bytes < target * _SMALL_SCAN_BYTES_PER_CORE:
+    if est_bytes is not None and est_bytes >= _STATS_UNAVAILABLE_BYTES:
+        est_bytes = None  # sentinel: no real statistics for this plan
+    if est_bytes is not None and est_bytes >= target * _SMALL_SCAN_BYTES_PER_CORE:
+        return df  # genuinely large scan — no probe, no shuffle
+    if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     return df
 
