@@ -27,10 +27,12 @@ transaction log provides):
 
 Crash-atomicity is for a SINGLE writer (like one Airflow task instance in
 the reference's DAG): concurrent merges into the same table race on the
-next manifest version and the loser fails its commit rename — serialize
-writers externally. (The reference holds a single Postgres connection with
-explicit commit/rollback, postgres_writer.py:107-113; true multi-writer
-OCC is what a full table format adds.)
+next manifest version; the loser is detected best-effort (an exists-check
+before the commit rename, guaranteed on HDFS where rename-onto-existing
+fails, advisory on POSIX file:) — serialize writers externally. (The
+reference holds a single Postgres connection with explicit commit/rollback,
+postgres_writer.py:107-113; true multi-writer OCC is what a full table
+format adds.)
 
 Cost scales with |touched buckets| ≍ |batch|, not |table| — the property
 that makes MERGE viable on a 100 TB table. All manifest/rename operations
@@ -102,11 +104,13 @@ def _commit_manifest(
 ) -> None:
     """Atomically publish ``manifest`` as version ``version``.
 
-    Write to a hidden temp name, then rename to the final versioned name.
-    The destination never exists (versions are monotone), so a plain
-    FileSystem.rename suffices and is atomic on file:/hdfs:. A concurrent
-    writer that already committed this version makes the rename fail —
-    surfaced as an error instead of silent last-write-wins.
+    Write to a hidden temp name, then rename to the final versioned name
+    (atomic on file:/hdfs:). Same-version collision detection is
+    filesystem-dependent: on HDFS, rename-onto-existing fails and the loser
+    errors out; on LocalFileSystem, POSIX rename(2) silently overwrites, so
+    we add a best-effort ``exists`` check before the rename. That closes
+    the race in practice but is not a lock — the protocol is single-writer
+    and concurrent merges must be serialized externally.
     """
     jvm, fs = _fs(spark, path)
     tmp = f"{path}/.manifest-tmp-{uuid.uuid4().hex}"
@@ -116,7 +120,9 @@ def _commit_manifest(
     finally:
         out.close()
     final = f"{path}/{_MANIFEST_PREFIX}{version:010d}.json"
-    if not fs.rename(_hpath(jvm, tmp), _hpath(jvm, final)):
+    if fs.exists(_hpath(jvm, final)) or not fs.rename(
+        _hpath(jvm, tmp), _hpath(jvm, final)
+    ):
         fs.delete(_hpath(jvm, tmp), False)
         raise IOError(
             f"manifest commit failed for {final} — another writer committed "
@@ -248,21 +254,47 @@ def merge_into_parquet(
     leaves the previous table version fully readable; re-running the merge
     is the recovery procedure. ``_crash_point`` is a test-only fault hook
     ("after_stage" | "after_move") used by the kill-mid-merge tests.
+
+    The manifest is the source of truth for the table layout: when one
+    exists, its ``n_buckets`` overrides the parameter (a mismatched caller
+    value would hash keys into buckets the merge never reads, silently
+    skipping upserts) and a ``key_columns`` mismatch raises — different
+    keys change the hash and the upsert semantics, never silently. The
+    parameters only define the layout for a table that has no manifest yet.
+    On such a pre-manifest table the merge first COMMITS an adoption
+    manifest over the directory listing before staging or moving anything,
+    so even the first merge on a legacy table has a committed pre-merge
+    version to fall back to after a crash.
     """
+    version, manifest = _read_manifest(spark, path)
+    if manifest is not None:
+        stored_keys = manifest.get("key_columns")
+        if stored_keys is not None and list(stored_keys) != list(key_columns):
+            raise ValueError(
+                f"MERGE key mismatch for table {path}: manifest has "
+                f"{list(stored_keys)}, caller passed {list(key_columns)}"
+            )
+        if manifest.get("n_buckets") is not None:
+            n_buckets = int(manifest["n_buckets"])
     up = updates.withColumn(BUCKET, _bucket_col(key_columns, n_buckets))
     # ≤ n_buckets scalar rows — bounded driver collect, independent of data size
     affected = [r[0] for r in up.select(BUCKET).distinct().collect()]
     if not affected:
         return
-    version, manifest = _read_manifest(spark, path)
     if manifest is None:
         # Adopt a pre-manifest table: its directory listing IS its live set.
+        # Commit the adoption manifest BEFORE any staging/moving so a crash
+        # mid-merge still leaves a committed pre-merge version readable
+        # (otherwise moved-but-uncommitted files would pollute the fallback
+        # directory-listing read).
         manifest = {
             "n_buckets": n_buckets,
             "key_columns": list(key_columns),
             "schema": up.schema.jsonValue(),
             "buckets": _list_bucket_files(spark, path),
         }
+        version = 1
+        _commit_manifest(spark, path, version, manifest)
     affected_set = {str(b) for b in affected}
     # Schema pinned from the batch (same columns by contract): parquet
     # columns resolve by NAME, the partition column fills from dir names,
@@ -314,7 +346,7 @@ def merge_into_parquet(
         path,
         new_version,
         {
-            "n_buckets": manifest.get("n_buckets", n_buckets),
+            "n_buckets": n_buckets,
             "key_columns": list(key_columns),
             "schema": up.schema.jsonValue(),
             "buckets": {**manifest["buckets"], **new_bucket_files},

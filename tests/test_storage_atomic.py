@@ -123,6 +123,78 @@ def test_orphaned_move_files_do_not_pollute_reads(spark, tmp_path):
     assert read_table(spark, path).count() == n_before
 
 
+def test_merge_takes_layout_from_manifest_not_parameter(spark, tmp_path):
+    """A table written with n_buckets=8 merged with the (different) default
+    must still upsert every key exactly once: the manifest's stored layout
+    overrides the caller's n_buckets, otherwise keys hash into buckets the
+    merge never reads and the table ends up with duplicates."""
+    path = str(tmp_path / "tbl")
+    target, updates = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=8)
+
+    # Deliberately wrong parameter (default is 16).
+    merge_into_parquet(spark, path, updates, ["o_orderkey"], n_buckets=16)
+
+    got = _snapshot(spark, path)  # dict ⇒ would hide dupes; check count too
+    assert read_table(spark, path).count() == len(got) == target.count()
+    for r in updates.collect():
+        assert got[r.o_orderkey][0] == r.o_totalprice
+
+
+def test_merge_key_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    target, updates = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=8)
+    with pytest.raises(ValueError, match="key mismatch"):
+        merge_into_parquet(spark, path, updates, ["o_totalprice"])
+
+
+def test_adoption_merge_crash_leaves_legacy_table_intact(spark, tmp_path):
+    """First merge on a pre-manifest (legacy) table: the adoption manifest
+    is committed BEFORE files move, so an after_move crash cannot expose
+    orphan files through the directory-listing fallback read."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    target, updates = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=8)
+    # Strip the manifest: simulates a table written before the protocol.
+    for m in glob.glob(f"{path}/_gmie_manifest-v*.json"):
+        os.remove(m)
+    before = _snapshot(spark, path)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_into_parquet(
+            spark,
+            path,
+            updates,
+            ["o_orderkey"],
+            n_buckets=8,
+            _crash_point="after_move",
+        )
+
+    # Orphan files exist inside live bucket dirs, but the committed adoption
+    # manifest pins readers to the pre-merge file set.
+    assert glob.glob(f"{path}/_gmie_manifest-v*.json"), "adoption manifest missing"
+    assert _snapshot(spark, path) == before
+
+    # Recovery: re-run converges.
+    merge_into_parquet(spark, path, updates, ["o_orderkey"])
+    got = _snapshot(spark, path)
+    assert read_table(spark, path).count() == len(got) == target.count()
+    for r in updates.collect():
+        assert got[r.o_orderkey][0] == r.o_totalprice
+
+
+def test_commit_manifest_same_version_collision_raises(spark, tmp_path):
+    from global_market_index_etl_spark.operators.storage import _commit_manifest
+
+    path = str(tmp_path / "tbl")
+    _commit_manifest(spark, path, 1, {"buckets": {}})
+    with pytest.raises(IOError, match="another writer"):
+        _commit_manifest(spark, path, 1, {"buckets": {}})
+
+
 def test_empty_initial_table_merge_roundtrip(spark, tmp_path):
     """CREATE empty → MERGE a first batch: the manifest's stored schema
     makes the zero-file table readable, and the merge populates it."""
