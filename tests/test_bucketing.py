@@ -83,8 +83,10 @@ def test_mismatched_buckets_fall_back_to_shuffle(spark, tmp_path):
 def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
     """Date-partitioned layout: a date predicate prunes to one partition
     directory — the 100 TB answer to q2-style day slices."""
-    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "event_date", F.to_date(F.timestamp_micros(F.expr("`ts` div 1000")))
+    from global_market_index_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMALL, "events").withColumn(
+        "event_date", F.to_date("ts")
     )
     path = str(tmp_path / "events_by_date")
     events.write.partitionBy("event_date").mode("overwrite").parquet(path)
