@@ -490,3 +490,113 @@ def w_running_total(spark, sf):
     )
 
 
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4' AND p_type = 'SMALL'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 shape — correlated scalar subquery (per-part average "
+    "quantity threshold), decorrelated Spark-side into a single-scan plan: "
+    "lineitem broadcast-joins the filtered part keys, a window average over "
+    "l_partkey replaces the per-row correlated aggregate (Catalyst's own "
+    "RewriteCorrelatedScalarSubquery would produce an aggregate+rejoin over "
+    "a second lineitem scan — the window form reads lineitem once). The "
+    "threshold is avg of exactly-summed integer quantities, so the "
+    "comparison is order-insensitive; revenue sums as exact cents. "
+    "Reference delegates correlated SQL to Postgres (README.md:316-357).",
+)
+def tpch_q17_small_qty_revenue(spark, sf):
+    part_keys = (
+        load_table(spark, sf, "part")
+        .filter((F.col("p_brand") == "Brand#4") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf, "lineitem").join(
+        F.broadcast(part_keys),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    below = li.withColumn("part_avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("part_avg_qty")
+    )
+    return below.agg(
+        (exact_money_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias(
+            "avg_yearly"
+        )
+    )
+
+
+@query(
+    "tpch_q20_dominant_suppliers",
+    """
+    SELECT s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT li.l_suppkey
+      FROM lineitem li
+      WHERE li.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND li.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND li.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY li.l_suppkey, li.l_partkey
+      HAVING sum(li.l_quantity) > 0.25 * (
+          SELECT sum(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = li.l_partkey
+            AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l2.l_shipdate <  TIMESTAMP '1997-01-01'))
+    """,
+    doc="TPC-H Q20 shape adapted to the fixture schema (no partsupp table): "
+    "nested IN-chain with a correlated aggregate threshold — suppliers who "
+    "shipped >25% of a 'small%' part's 1996 volume. Decorrelated Spark-side "
+    "with ONE lineitem scan: the date+part filter feeds a (suppkey,partkey) "
+    "partial-agg shuffle; the correlated per-part total is re-aggregated "
+    "FROM that already-reduced output (sum of per-supplier sums), so the "
+    "second 'subquery scan' costs |pairs| rows, not another pass over "
+    "lineitem. Qualifying suppkeys flow into a LEFT SEMI join (each "
+    "supplier emitted at most once), nation broadcast. All quantity sums "
+    "are exact integers — the 0.25x comparison is order-insensitive.",
+)
+def tpch_q20_dominant_suppliers(spark, sf):
+    part_keys = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    pairs = (
+        load_table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    part_totals = pairs.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    qualifying = (
+        pairs.join(part_totals, "l_partkey")
+        .filter(F.col("supp_qty") > 0.25 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    return (
+        supplier.join(
+            qualifying,
+            supplier.s_suppkey == qualifying.l_suppkey,
+            "left_semi",
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", "n_name")
+    )
