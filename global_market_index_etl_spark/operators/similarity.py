@@ -257,12 +257,15 @@ def ivf_cosine_topk(
     n_lists: int = 32,
     nprobe: int = 4,
     round_digits: int = 6,
+    train_iterations: int = 0,
 ) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization + exact re-rank.
 
-    Centroids are a deterministic stride sample of the corpus (the classic
-    IVF training shortcut; swap in k-means iterations without changing the
-    plan shape). Every corpus vector lands in exactly ONE list (its nearest
+    Centroids come from :func:`_ivf_train_centroids`. The ad-hoc in-memory
+    path defaults to 0 Lloyd iterations (seed centroids only): each
+    iteration is a full corpus scan, a cost that belongs in the amortized
+    ``ivf_build_index`` path (which defaults to 2), not per query batch.
+    Every corpus vector lands in exactly ONE list (its nearest
     centroid); each probe scans its ``nprobe`` nearest lists — cost drops
     from |probes|·|corpus| to |probes|·(nprobe/n_lists)·|corpus| with the
     list assignment amortized once over the corpus. ``nprobe == n_lists``
@@ -272,16 +275,8 @@ def ivf_cosine_topk(
     reads only its lists' partitions; centroid assignment is one
     Arrow-batched matmul per side.
     """
-    # deterministic "training": stride-sample n_lists corpus vectors
-    sample = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col))
-        .limit(n_lists * 16)
-        .collect()
-    )
-    stride = max(1, len(sample) // n_lists)
-    centroids = np.array(
-        [row[1] for row in sample[::stride][:n_lists]], dtype=np.float64
+    centroids = _ivf_train_centroids(
+        corpus, id_col, vec_col, n_lists, iterations=train_iterations
     )
     n_lists_eff = len(centroids)
     nprobe = min(nprobe, n_lists_eff)
@@ -514,20 +509,81 @@ def embedding_neardup_pairs(
 
 
 def _ivf_train_centroids(
-    corpus: DataFrame, id_col: str, vec_col: str, n_lists: int
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    iterations: int = 2,
+    scale: int = 1_000_000,
 ) -> "np.ndarray":
-    """Deterministic IVF 'training': stride-sample n_lists corpus vectors
-    (bounded ≤ n_lists*16-row collect — centroids only, never the corpus)."""
+    """Deterministic IVF training: farthest-first seeds + distributed Lloyd.
+
+    The old stride-sample-by-id seeding put every seed in one region on
+    clustered corpora (ids correlate with clusters), leaving one list with
+    most of the corpus and skewed probe cost. Two deterministic fixes:
+
+    - **Seeding**: sample ``n_lists*16`` vectors ordered by ``xxhash64(id)``
+      — a uniform pseudo-random draw across the corpus regardless of id
+      layout, reproducible across runs — then run farthest-first traversal
+      (Gonzalez) driver-side on that bounded sample: each next seed is the
+      sample vector least similar (cosine) to its nearest existing seed,
+      ties broken by id. Sample is config-sized (n_lists×16 rows), so the
+      numpy loop is O(n_lists² ×16) driver work, never a corpus action.
+    - **Lloyd refinement** (``iterations`` rounds): assignment is the same
+      Arrow-batched matmul UDF the index uses (one corpus scan per
+      iteration, no vector shuffle); per-dimension means are posexplode →
+      groupBy(list, dim) over integer-scaled components (``round(x*1e6)``
+      summed as longs) — exact, order-independent sums, so centroids are
+      bit-identical under any partitioning or row order. The per-iteration
+      collect is ≤ n_lists×dim scalar rows; empty lists keep their
+      previous centroid.
+    """
     sample = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(n_lists * 16)
         .collect()
     )
-    stride = max(1, len(sample) // n_lists)
-    return np.array(
-        [row[1] for row in sample[::stride][:n_lists]], dtype=np.float64
+    if not sample:
+        return np.empty((0, 0), dtype=np.float64)
+    pool = np.array([row[1] for row in sample], dtype=np.float64)
+    pool_unit = pool / np.maximum(
+        np.linalg.norm(pool, axis=1, keepdims=True), 1e-12
     )
+    n_seeds = min(n_lists, len(pool))
+    chosen = [0]  # first vector in hash order
+    # min cosine-similarity of each pool vector to the chosen seed set
+    best_sim = pool_unit @ pool_unit[0]
+    for _ in range(1, n_seeds):
+        nxt = int(np.argmin(best_sim))  # farthest point; ties → lowest index
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, pool_unit @ pool_unit[nxt])
+    centroids = pool[chosen]
+    if iterations <= 0 or len(centroids) < 2:
+        return centroids
+
+    vecs = parallelize_small(corpus.select(F.col(vec_col).alias("__v")))
+    for _ in range(iterations):
+        assign_one = _centroid_assign_batch(centroids, 1)
+        comp = (
+            vecs.withColumn("__list", assign_one(F.col("__v"))[0])
+            .select("__list", F.posexplode("__v").alias("__dim", "__x"))
+        )
+        mean_rows = (
+            comp.groupBy("__list", "__dim")
+            .agg(
+                (
+                    F.sum(F.round(F.col("__x") * scale).cast("long"))
+                    / (F.count(F.lit(1)) * F.lit(float(scale)))
+                ).alias("__mean")
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for r in mean_rows:
+            new[r["__list"], r["__dim"]] = r["__mean"]
+        centroids = new
+    return centroids
 
 
 def ivf_build_index(
@@ -536,10 +592,14 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_lists: int = 32,
+    train_iterations: int = 2,
 ) -> None:
     """Persist an IVF index: the corpus written PARTITIONED BY its nearest-
     centroid list, plus the centroid table — the at-rest layout that makes
-    ANN search a partition-pruned read.
+    ANN search a partition-pruned read. Centroids get ``train_iterations``
+    rounds of distributed Lloyd re-centering (balanced lists on clustered
+    corpora); the per-iteration corpus scan is amortized over every search
+    against the index.
 
     Build cost is one Arrow-batched assignment matmul over the corpus and
     one partitioned write; search cost then scales with nprobe/n_lists of
@@ -549,7 +609,9 @@ def ivf_build_index(
     repartition on the partition column first so each list is one file,
     not one file per task × list.
     """
-    centroids = _ivf_train_centroids(corpus, id_col, vec_col, n_lists)
+    centroids = _ivf_train_centroids(
+        corpus, id_col, vec_col, n_lists, iterations=train_iterations
+    )
     assign_one = _centroid_assign_batch(centroids, 1)
     listed = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
         "__list", assign_one(F.col(vec_col))[0]

@@ -1043,3 +1043,65 @@ def test_ivf_persisted_index_exact_when_probing_all_lists(spark, emb, tmp_path):
     # recall floor vs exact on random embeddings (same bar as lsh test)
     exact_pairs = {(q, n) for (q, _), n in exact.items()}
     assert len(got & exact_pairs) / len(exact_pairs) >= 0.3
+
+
+def _clustered_vectors(spark, n_clusters=4, per_cluster=200, dim=8):
+    """Deterministic clustered corpus whose ids correlate with clusters —
+    the layout that defeated stride-sample-by-id seeding."""
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        base = [0.0] * dim
+        base[c] = 10.0
+        for _ in range(per_cluster):
+            vec = [base[d] + ((vid * 31 + d * 7) % 97) / 970.0 for d in range(dim)]
+            rows.append((vid, vec))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _ivf_list_sizes(df, centroids):
+    from global_market_index_etl_spark.operators.similarity import (
+        _centroid_assign_batch,
+    )
+
+    assign = _centroid_assign_batch(centroids, 1)
+    sizes = (
+        df.withColumn("__l", assign(F.col("embedding"))[0])
+        .groupBy("__l")
+        .count()
+        .collect()
+    )
+    return sorted(r["count"] for r in sizes)
+
+
+def test_ivf_training_balances_clustered_corpus(spark):
+    """Farthest-first seeding + Lloyd must spread lists across clusters:
+    max list size bounded by 2x the ideal even split (the old id-stride
+    seeding put 75% of this corpus in one list)."""
+    from global_market_index_etl_spark.operators.similarity import (
+        _ivf_train_centroids,
+    )
+
+    df = _clustered_vectors(spark)
+    trained = _ivf_train_centroids(df, "vec_id", "embedding", 4, iterations=2)
+    sizes = _ivf_list_sizes(df, trained)
+    assert len(sizes) == 4 and sum(sizes) == 800
+    assert sizes[0] > 0  # no empty list
+    assert sizes[-1] <= 2 * (800 // 4), sizes
+
+
+def test_ivf_training_deterministic_across_partitioning(spark):
+    """Integer-scaled mean sums make Lloyd centroids bit-identical under
+    any input partitioning — the property float means cannot give."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.similarity import (
+        _ivf_train_centroids,
+    )
+
+    df = _clustered_vectors(spark)
+    a = _ivf_train_centroids(df, "vec_id", "embedding", 4, iterations=2)
+    b = _ivf_train_centroids(
+        df.repartition(7), "vec_id", "embedding", 4, iterations=2
+    )
+    assert np.array_equal(a, b)
