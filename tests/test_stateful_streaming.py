@@ -3,6 +3,8 @@ separate availableNow runs (checkpoint-resumed cron ticks)."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from global_market_index_etl_spark.streaming.stateful import running_user_totals
 
 SCHEMA = "user_id long, value double"
@@ -99,3 +101,58 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         spark.read.parquet(src), ["event_id"], watermark="1 hour"
     )
     assert sorted(r.event_id for r in batch_out.collect()) == [1, 2, 3]
+
+
+def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
+    """Two availableNow ticks through the streaming curation loop must
+    reproduce exactly the full-corpus batch pair set: tick 1 bootstraps
+    the persisted index from batch-1 docs (internal pairs), tick 2 dedups
+    batch-2 against that index and folds it in — the streaming twin of
+    test_incremental_minhash_matches_full_corpus."""
+    from global_market_index_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from global_market_index_etl_spark.sources.tables import load_table
+    from global_market_index_etl_spark.streaming.incremental import (
+        streaming_minhash_dedup,
+    )
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    src = str(tmp_path / "src")
+    args = dict(
+        source_dir=src,
+        schema=docs.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+    )
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    streaming_minhash_dedup(spark, **args).awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    streaming_minhash_dedup(spark, **args).awaitTermination(120)
+
+    got = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in spark.read.parquet(args["pairs_dir"]).collect()
+    }
+    full = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == full and len(full) > 0
+
+    # the folded index now covers the whole corpus: one more tick with no
+    # new files must be a no-op (no new pairs directory entries)
+    n_batches = len(got)
+    streaming_minhash_dedup(spark, **args).awaitTermination(120)
+    again = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in spark.read.parquet(args["pairs_dir"]).collect()
+    }
+    assert again == got, n_batches
