@@ -1,0 +1,128 @@
+"""Scale the driver's sf0.1 fixtures to an sf1-equivalent dataset.
+
+The driver ships sf{0.001,0.01,0.1} only; the scale-headroom validation
+(BASELINE.md "sf0.1 -> sf1 growth") needs a 10x dataset with the SAME
+workload shape. This script builds one deterministically from sf0.1:
+
+- dimension tables (region, nation) are copied unchanged — scale factor
+  does not grow them in TPC-H either;
+- every keyed table becomes REPLICAS key-offset copies, with offsets
+  applied consistently across fact/dim pairs (l_orderkey and o_orderkey
+  shift together, o_custkey and c_custkey together, ...) so join
+  fan-out, selectivities, and group cardinalities scale linearly;
+- nationkey columns are NOT offset (nation stays 25 rows);
+- documents.text is perturbed per copy by deleting every (i+2)-th word:
+  each deleted word kills the 3 shingles covering it, so replica i sits
+  at 3-gram Jaccard ~0.6 or less against the original and against every
+  other replica (deletion strides differ), while EXACT dup pairs inside
+  one replica map to exact dup pairs — near-dup cluster sizes stay
+  original-sized and dedup pair counts grow ~linearly, instead of
+  quadratically like naive row duplication (every copy a near-dup of
+  every other) would;
+- embeddings are circularly rotated by i components per copy: norms and
+  component distributions are untouched, but rotations of random vectors
+  are near-orthogonal, so near-dup pairs do not form between replicas;
+- timestamps/dates/measures are left untouched — per-key densities and
+  per-window row counts grow exactly 10x.
+
+Usage: python scripts/scale_testdata.py [--out /tmp/sf1] [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+from pathlib import Path
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+# table -> {column: offset-group}; every column in one group shifts by the
+# same per-replica stride (that group's global max key + 1)
+KEYED = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {
+        "l_orderkey": "order",
+        "l_partkey": "part",
+        "l_suppkey": "supp",
+    },
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+COPY_ONLY = ["region", "nation"]
+
+GROUP_SOURCE = {  # offset-group -> (table, column) holding the global max
+    "cust": ("customer", "c_custkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "order": ("orders", "o_orderkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--src", default=SRC)
+    args = ap.parse_args()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    con = duckdb.connect()
+    strides = {
+        g: con.sql(
+            f"SELECT max({c}) + 1 FROM '{args.src}/{t}.parquet'"
+        ).fetchone()[0]
+        for g, (t, c) in GROUP_SOURCE.items()
+    }
+
+    for t in COPY_ONLY:
+        shutil.copyfile(f"{args.src}/{t}.parquet", out / f"{t}.parquet")
+        print(f"{t}: copied")
+
+    for t, key_groups in KEYED.items():
+        selects = []
+        cols = con.sql(f"SELECT * FROM '{args.src}/{t}.parquet' LIMIT 0").columns
+        for i in range(args.replicas):
+            proj = []
+            for c in cols:
+                if c in key_groups:
+                    proj.append(f"{c} + {i * strides[key_groups[c]]} AS {c}")
+                elif t == "documents" and c == "text" and i > 0:
+                    # delete every (i+2)-th word: breaks 3-gram similarity
+                    # to the original and to other replicas, preserves
+                    # exact-dup structure within the replica
+                    proj.append(
+                        "array_to_string(list_filter(string_split(text, ' '),"
+                        f" (w, j) -> j % {i + 2} != 0), ' ') AS text"
+                    )
+                elif t == "embeddings" and c == "embedding" and i > 0:
+                    # circular rotation: same norm/distribution, rotations
+                    # of random vectors are near-orthogonal
+                    proj.append(
+                        f"embedding[{i + 1}:] || embedding[1:{i}] AS embedding"
+                    )
+                else:
+                    proj.append(c)
+            selects.append(
+                f"SELECT {', '.join(proj)} FROM '{args.src}/{t}.parquet'"
+            )
+        sql = " UNION ALL ".join(selects)
+        con.sql(
+            f"COPY ({sql}) TO '{out / (t + '.parquet')}' (FORMAT PARQUET)"
+        )
+        n = con.sql(f"SELECT count(*) FROM '{out / (t + '.parquet')}'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
