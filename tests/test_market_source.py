@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 
 from global_market_index_etl_spark.sources.market_source import (
     DEFAULT_TICKERS,
+    quarantine_report,
     read_market_bars,
 )
 
@@ -59,3 +60,60 @@ def test_schema_and_bar_invariants(spark):
     )
     diffs = {b.t - a.t for a, b in zip(ts, ts[1:])}
     assert diffs == {3600}
+
+
+def test_transient_failure_recovers_within_task_retries(spark):
+    """A ticker failing fewer times than max_attempts succeeds via the
+    in-task retry loop — same rows as a clean run, no task failure."""
+    clean = read_market_bars(spark, tickers="AAA,BBB", bars=4).collect()
+    retried = read_market_bars(
+        spark,
+        tickers="AAA,BBB",
+        bars=4,
+        fail_tickers="BBB",
+        fail_attempts=2,  # < max_attempts=3
+    ).collect()
+    assert sorted(retried) == sorted(clean)
+
+
+def test_poison_ticker_quarantined_not_batch(spark):
+    """on_error=skip: the permanently-failing ticker yields zero rows,
+    every other ticker's partition is untouched (the reference's
+    warn-and-continue, yf_collector.py:61-73, as task isolation)."""
+    df = read_market_bars(
+        spark,
+        tickers="AAA,BAD,CCC",
+        bars=4,
+        fail_tickers="BAD",
+        fail_attempts=99,
+        on_error="skip",
+    )
+    got = df.groupBy("ticker").count().collect()
+    assert {r.ticker: r["count"] for r in got} == {"AAA": 4, "CCC": 4}
+
+    report = quarantine_report(
+        spark,
+        tickers="AAA,BAD,CCC",
+        bars=4,
+        fail_tickers="BAD",
+        fail_attempts=99,
+        on_error="skip",
+    ).collect()
+    assert [(r.ticker, r.attempts) for r in report] == [("BAD", 3)]
+    assert "timeout" in report[0].error
+
+
+def test_poison_ticker_raises_by_default(spark):
+    """Default on_error=raise: the bad ticker's TASK fails (after in-task
+    retries) and the job surfaces the typed error."""
+    import pytest as _pytest
+
+    df = read_market_bars(
+        spark,
+        tickers="AAA,BAD",
+        bars=4,
+        fail_tickers="BAD",
+        fail_attempts=99,
+    )
+    with _pytest.raises(Exception, match="failed after 3 attempts"):
+        df.collect()
