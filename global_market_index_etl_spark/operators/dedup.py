@@ -22,7 +22,7 @@ from __future__ import annotations
 import warnings
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from .text import fingerprint_md5, shingles_from_words, words
 from .util import materialize as _materialize
@@ -91,46 +91,136 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| ≥ threshold.
 
-    Intersections come from a self-equi-join on shingle (only co-occurring
-    shingles produce join rows — no quadratic blowup when shingles are
-    discriminative); sizes join back broadcast-ably. Integer counts divide
-    once ⇒ engine-portable values.
+    Two physically different but result-identical candidate strategies,
+    chosen like a join strategy (cost-based, overridable):
 
-    The join/shuffle key is ``xxhash64(shingle)`` (8 bytes), not the
-    shingle string (~25 bytes for 3-word shingles): the self-join's
-    exchange + sort carries a third of the bytes and long comparison beats
-    string comparison in the sort-merge. Counts are identical unless two
-    DISTINCT shingles of the same doc pair collide in 64 bits (P ≈ 2⁻⁶⁴
-    per pair of shingles — the same accepted equivalence the MinHash
-    verify stage uses, dedup.py:232-241).
+    - ``naive``: shingle self-equi-join + groupBy(id_1, id_2) count.
+      Optimal for small corpora — two shuffles, no auxiliary stages —
+      but QUADRATIC in shingle document-frequency: at the 10× bench
+      corpus the join emits 95 M rows collapsing to 83 M candidate pairs
+      of which 2,891 qualify.
+    - ``prefix``: the All-Pairs/PPJoin prefix filter (Bayardo et al.,
+      WWW'07; exact, no false negatives). Order every doc's shingles by
+      a global canonical order — document frequency ascending, hash as
+      tie-break, so each doc's RAREST shingles come first — and join
+      only on its first ``n - ceil(t*n) + 1`` shingles: if J(A,B) ≥ t
+      then |A∩B| ≥ t·|A| , so B must hit A inside that prefix (missing
+      all of it caps the overlap at ceil(t·n)-1). A size-ratio prune
+      (J ≥ t ⇒ min/max ≥ t, epsilon-guarded so boundary pairs survive
+      float noise) runs inside the join; survivors are verified EXACTLY
+      per pair via ``array_intersect`` on per-doc hashed-shingle arrays.
+      Everything is a linear shuffle (df groupBy, join-back, per-doc
+      window, collect_list) — measured 42 s → 16 s at the 10× corpus,
+      growth factor 11.2× → 1.6×.
+
+    ``auto`` picks prefix at ≥ 10⁶ shingle rows (measured local[32]
+    crossover ≈ 1 M: below it the prefix path's extra stages cost more
+    than the naive join's quadratic term) — the count is free, the
+    shingle table is already materialized for branch reuse.
+
+    The shingle/shuffle key is ``xxhash64(shingle)`` (8 bytes, not the
+    ~25-byte string); set semantics identical up to 2⁻⁶⁴ collisions —
+    the same accepted equivalence as the MinHash verify stage.
     """
+    if strategy not in ("auto", "naive", "prefix"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
     d = _materialize(shingle_table(df, id_col, text_col, n, hashed=True))
-    sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = (
+    if strategy == "auto":
+        # d is persisted with its count already computed by materialize —
+        # this is a cached-plan lookup, not a new scan
+        strategy = "prefix" if d.count() >= 1_000_000 else "naive"
+    if strategy == "naive":
+        sizes = d.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        a = d.alias("a")
+        b = d.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_1"),
+                F.col(f"b.{id_col}").alias("id_2"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        s1 = sizes.select(
+            F.col(id_col).alias("id_1"), F.col("n_shingles").alias("n_1")
+        )
+        s2 = sizes.select(
+            F.col(id_col).alias("id_2"), F.col("n_shingles").alias("n_2")
+        )
+        return (
+            inter.join(s1, "id_1")
+            .join(s2, "id_2")
+            .withColumn(
+                "jaccard",
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_1", "id_2", "n_common", "jaccard")
+        )
+    sdf = d.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w_rank = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    w_doc = Window.partitionBy(id_col)
+    # prefix length n - ceil(t*n) + 1; the 1e-9 guards against double
+    # noise pushing an exactly-integer t*n up one (a SHORTER prefix would
+    # lose boundary pairs — longer only costs candidates)
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    pre = (
+        d.join(sdf, "shingle")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_doc))
+        .filter(F.col("__rn") <= prefix_len)
+        .select(id_col, "shingle", "__n")
+    )
+    a = pre.alias("a")
+    b = pre.alias("b")
+    size_ok = (
+        F.least(F.col("a.__n"), F.col("b.__n"))
+        / F.greatest(F.col("a.__n"), F.col("b.__n"))
+        >= F.lit(threshold) - F.lit(1e-9)
+    )
+    candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & size_ok,
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .distinct()
     )
-    s1 = sizes.select(
-        F.col(id_col).alias("id_1"), F.col("n_shingles").alias("n_1")
+    arrays = d.groupBy(id_col).agg(F.collect_list("shingle").alias("__sh"))
+    a1 = arrays.select(
+        F.col(id_col).alias("id_1"),
+        F.col("__sh").alias("__sh1"),
+        F.size("__sh").alias("n_1"),
     )
-    s2 = sizes.select(
-        F.col(id_col).alias("id_2"), F.col("n_shingles").alias("n_2")
+    a2 = arrays.select(
+        F.col(id_col).alias("id_2"),
+        F.col("__sh").alias("__sh2"),
+        F.size("__sh").alias("n_2"),
     )
+    n_common = F.size(F.array_intersect("__sh1", "__sh2")).cast("long")
     return (
-        inter.join(s1, "id_1")
-        .join(s2, "id_2")
+        candidates.join(a1, "id_1")
+        .join(a2, "id_2")
+        .withColumn("n_common", n_common)
         .withColumn(
             "jaccard",
             F.col("n_common")

@@ -433,3 +433,23 @@ def test_containment_pairs_matches_duckdb_twin_and_planted(spark, docs):
     assert [(r.id_1, r.id_2) for r in cont] == [(1, 2)]
     assert cont[0].containment == 1.0
     assert ngram_jaccard_pairs(df, n=3, threshold=0.8).count() == 0
+
+
+def test_ngram_jaccard_prefix_strategy_matches_naive(spark, docs):
+    """The All-Pairs prefix-filter candidate path must return exactly the
+    naive self-join's pair set (it is an exact filter, not approximate) —
+    both strategies pinned explicitly so the equivalence is tested even
+    at sizes where auto would pick only one."""
+    from global_market_index_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    naive = {
+        (r.id_1, r.id_2, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, strategy="naive").collect()
+    }
+    prefix = {
+        (r.id_1, r.id_2, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, strategy="prefix").collect()
+    }
+    assert prefix == naive and len(naive) > 0
