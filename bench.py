@@ -34,6 +34,8 @@ HEADLINE = [
     "flagship_regional_revenue",
     "tpch_q1_pricing_summary",
     "tpch_q3_top_revenue_orders",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_dominant_suppliers",
     "q1_top5_recent",
     "q4_per_key_topn",
     "j1_enrich_broadcast",
