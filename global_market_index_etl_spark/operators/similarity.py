@@ -737,3 +737,106 @@ def ivf_search_index(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int | None = None,
+    target_cluster: int = 256,
+    train_iterations: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partition the embedding space, call two
+    vectors semantic duplicates iff they land in the SAME cluster with
+    cosine ≥ threshold, and keep one representative per duplicate group.
+
+    Returns ``(id, cluster_id, group_id, keep)`` for every input vector:
+    ``group_id`` is the duplicate group's canonical (minimum) id,
+    ``keep`` marks the survivor — the group member closest to its cluster
+    centroid (the paper's "keep the most typical" policy), ties broken by
+    id. Non-duplicated vectors are their own group and always kept.
+
+    Scale shape — the paper's point, kept intact in the plan:
+
+    - clustering is :func:`_ivf_train_centroids` (farthest-first seeds +
+      exact-sum Lloyd, deterministic under any partitioning);
+    - the pairwise stage is a self-join ON THE CLUSTER ID, so its cost is
+      Σ|cluster|² not |corpus|²; ``n_clusters`` defaults to
+      n / target_cluster, making expected cluster population — and so
+      per-cluster work — constant as the corpus grows;
+    - duplicate groups come from :func:`..operators.dedup
+      .connected_components` over the in-cluster pair graph (O(group
+      diameter) rounds); survivor selection is one window over groups.
+
+    Like the paper, near-dups straddling a cluster boundary are missed —
+    that is the accepted approximation that removes the quadratic term
+    (the exact twin for tests is a numpy all-pairs reference).
+    """
+    from .dedup import connected_components
+
+    if n_clusters is None:
+        n = df.select(id_col).count()
+        n_clusters = max(2, min(65536, n // target_cluster))
+    centroids = _ivf_train_centroids(
+        df, id_col, vec_col, n_clusters, iterations=train_iterations
+    )
+    assign_one = _centroid_assign_batch(centroids, 1)
+    c_unit = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(c_unit)],
+        "__cl int, __cvec array<double>",
+    )
+    base = (
+        parallelize_small(
+            df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        )
+        .withColumn("__n", F.sqrt(_dot("__v", "__v")))
+        .withColumn("__cl", assign_one(F.col("__v"))[0])
+    )
+    # distance-to-centroid for the survivor policy (broadcast: centroid
+    # table is n_clusters rows, config-sized)
+    base = base.join(F.broadcast(cent_df), "__cl").withColumn(
+        "__cent_sim", _dot("__v", "__cvec") / F.col("__n")
+    ).drop("__cvec")
+    a = base.select(
+        F.col("__id").alias("id_1"),
+        F.col("__v").alias("__v1"),
+        F.col("__n").alias("__n1"),
+        "__cl",
+    )
+    b = base.select(
+        F.col("__id").alias("id_2"),
+        F.col("__v").alias("__v2"),
+        F.col("__n").alias("__n2"),
+        "__cl",
+    )
+    cos = _dot("__v1", "__v2") / (F.col("__n1") * F.col("__n2"))
+    pairs = (
+        a.join(b, "__cl")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(cos >= F.lit(threshold))
+        .select("id_1", "id_2")
+    )
+    vertices = base.select(F.col("__id").alias(id_col))
+    comp = connected_components(pairs, vertices, id_col).select(
+        F.col(id_col).alias("__id"), F.col("canonical_id").alias("group_id")
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("__cent_sim"), F.asc("__id")
+    )
+    return (
+        base.join(comp, "__id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cl").alias("cluster_id"),
+            "group_id",
+            "keep",
+        )
+    )

@@ -1105,3 +1105,72 @@ def test_ivf_training_deterministic_across_partitioning(spark):
         df.repartition(7), "vec_id", "embedding", 4, iterations=2
     )
     assert np.array_equal(a, b)
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """SemDeDup on a planted corpus: duplicate groups and survivor picks
+    must match a numpy all-pairs reference computed with the SAME
+    centroids (the clustering is part of the operator's contract; the
+    reference recomputes in-cluster pairs, components, and the
+    closest-to-centroid survivor policy exactly)."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.similarity import (
+        _centroid_assign_batch,
+        _ivf_train_centroids,
+        semantic_dedup,
+    )
+
+    # clustered corpus with planted in-cluster near-dup chains
+    df = _clustered_vectors(spark, n_clusters=3, per_cluster=80, dim=8)
+    rows = df.collect()
+    planted = [(r.vec_id, list(r.embedding)) for r in rows]
+    # add exact copies (cos = 1) of a few vectors under fresh ids
+    for i, src in enumerate([3, 3, 100, 170]):
+        planted.append((1000 + i, planted[src][1]))
+    pdf = spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+
+    out = {
+        r.vec_id: (r.group_id, r.keep)
+        for r in semantic_dedup(
+            pdf, threshold=0.95, n_clusters=3, train_iterations=2
+        ).collect()
+    }
+    assert len(out) == len(planted)
+
+    # numpy reference with the same centroids
+    cents = _ivf_train_centroids(pdf, "vec_id", "embedding", 3, iterations=2)
+    ids = np.array([p[0] for p in planted])
+    vecs = np.array([p[1] for p in planted])
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    c_unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = np.argsort(-(unit @ c_unit.T), axis=1)[:, 0]
+    # union-find over in-cluster pairs with cos >= threshold
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    sims = unit @ unit.T
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if assign[i] == assign[j] and sims[i, j] >= 0.95:
+                ri, rj = find(int(ids[i])), find(int(ids[j]))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    groups = {}
+    for idx, i in enumerate(ids):
+        groups.setdefault(find(int(i)), []).append(idx)
+    expected = {}
+    cent_sim = (unit * c_unit[assign]).sum(axis=1)
+    for g, members in groups.items():
+        best = min(members, key=lambda m: (-cent_sim[m], ids[m]))
+        for m in members:
+            expected[int(ids[m])] = (g, m == best)
+    assert out == expected
+    # sanity: the planted copies were actually grouped and pruned
+    n_dropped = sum(1 for _, keep in out.values() if not keep)
+    assert n_dropped >= 4
