@@ -600,3 +600,66 @@ def tpch_q20_dominant_suppliers(spark, sf):
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "s_acctbal", "n_name")
     )
+
+
+@query(
+    "w_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization of the event stream (6 h inactivity "
+    "boundary — the reference's own cron cadence): lag over (user, time, "
+    "id tie-break) marks session starts, a running sum numbers sessions, "
+    "one aggregate per (user, session). Two window passes + the final "
+    "aggregate all share ONE hash shuffle on user_id — Catalyst plans a "
+    "single Exchange because every window/group key is prefixed by the "
+    "partition key. Value sums are exact cents; the (ts, event_id) total "
+    "order makes session numbering deterministic under any partitioning.",
+)
+def w_sessionize(spark, sf):
+    events = load_table(spark, sf, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # ntz → ltz is wall-clock-preserving under the UTC session tz, and the
+    # ltz → long cast is epoch seconds — DuckDB's epoch(ts) twin
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w_lag)
+    new_session = (
+        prev.isNull() | ((epoch - prev) > F.lit(21600))
+    ).cast("int")
+    return (
+        events.withColumn("__new", new_session)
+        .withColumn("session_seq", F.sum("__new").over(w_run).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_money_sum(F.col("value")).alias("total_value"),
+        )
+    )
