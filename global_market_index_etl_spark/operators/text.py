@@ -296,3 +296,77 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
             "dup_bigram_frac": dup_bigram_frac,
         }
     )
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in a string array, computed
+    IN-ROW: sort the array (equal elements become adjacent), then one
+    aggregate pass tracks the longest equal run. No explode, no shuffle —
+    the per-doc "most frequent n-gram" statistic at corpus scale costs a
+    narrow projection instead of a (doc, gram) aggregation exchange.
+    Empty array → 0.
+    """
+    sorted_ = F.sort_array(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(acc.prev.isNull() | (acc.prev != x), F.lit(1))
+            .otherwise(acc.run + 1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(run, acc.best).alias("best"),
+        )
+
+    return F.aggregate(sorted_, init, step, lambda acc: acc.best)
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1), adapted word-level for single-line corpora:
+
+    - ``dup_word_frac``: 1 − distinct/total words — gross repetitiveness;
+    - ``top_word_frac`` / ``top_bigram_frac`` / ``top_trigram_frac``:
+      occurrence share of the single most frequent 1/2/3-gram (Gopher's
+      "fraction in most frequent n-gram", counted over grams).
+
+    Every metric is computed inside the row (split once, sorted-run max
+    multiplicity, distinct via array_distinct), so the whole table is one
+    narrow projection pass — no shuffle at any corpus size. Ratios are
+    exact-integer divisions, identical on any engine. Docs shorter than
+    the gram width get NULL for that gram's metric; empty docs are
+    excluded (no denominators).
+    """
+    w = F.col("__w")
+    n = F.size(w)
+    out = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("__w", words(F.lower(F.col(text_col))))
+        .withColumn("__w2", shingles_from_words(F.col("__w"), 2))
+        .withColumn("__w3", shingles_from_words(F.col("__w"), 3))
+        .select(
+            id_col,
+            n.cast("long").alias("n_words"),
+            (
+                F.lit(1.0) - F.size(F.array_distinct(w)) / n.cast("double")
+            ).alias("dup_word_frac"),
+            (max_multiplicity(w) / n.cast("double")).alias("top_word_frac"),
+            F.when(
+                n >= 2,
+                max_multiplicity(F.col("__w2")) / (n - 1).cast("double"),
+            ).alias("top_bigram_frac"),
+            F.when(
+                n >= 3,
+                max_multiplicity(F.col("__w3")) / (n - 2).cast("double"),
+            ).alias("top_trigram_frac"),
+        )
+    )
+    return out

@@ -650,3 +650,62 @@ def curation_pipeline(spark, sf):
     return train_val_test_split(out, "doc_id").select(
         "doc_id", F.round("quality_score", 6).alias("quality_score"), "split"
     )
+
+
+@query(
+    "text_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS i
+      FROM w
+    ), m1 AS (
+      SELECT doc_id, max(c) AS top1 FROM (
+        SELECT doc_id, t, count(*) AS c FROM pos GROUP BY 1, 2)
+      GROUP BY 1
+    ), g2 AS (
+      SELECT a.doc_id, a.t || ' ' || b.t AS g
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), m2 AS (
+      SELECT doc_id, max(c) AS top2 FROM (
+        SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+      GROUP BY 1
+    ), g3 AS (
+      SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+      FROM pos a
+      JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), m3 AS (
+      SELECT doc_id, max(c) AS top3 FROM (
+        SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+      GROUP BY 1
+    ), sizes AS (
+      SELECT doc_id, len(arr) AS n, len(list_distinct(arr)) AS nd FROM w
+    )
+    SELECT s.doc_id,
+           CAST(s.n AS BIGINT) AS n_words,
+           1.0 - s.nd / CAST(s.n AS DOUBLE) AS dup_word_frac,
+           m1.top1 / CAST(s.n AS DOUBLE) AS top_word_frac,
+           CASE WHEN s.n >= 2 THEN m2.top2 / CAST(s.n - 1 AS DOUBLE) END
+             AS top_bigram_frac,
+           CASE WHEN s.n >= 3 THEN m3.top3 / CAST(s.n - 2 AS DOUBLE) END
+             AS top_trigram_frac
+    FROM sizes s
+    JOIN m1 USING (doc_id)
+    LEFT JOIN m2 USING (doc_id)
+    LEFT JOIN m3 USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality signals (Rae et al. 2021 §A1.1), "
+    "word-level: duplicate-word fraction and the occurrence share of the "
+    "most frequent 1/2/3-gram per doc. Spark side is ONE narrow "
+    "projection — split once, in-row sorted-run max multiplicity "
+    "(operators/text.max_multiplicity), no explode or shuffle anywhere — "
+    "vs the oracle's four grouped aggregations over unnested gram rows. "
+    "Ratios are exact-integer divisions, bit-identical across engines.",
+)
+def text_repetition(spark, sf):
+    from ..operators.text import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf, "documents"))
