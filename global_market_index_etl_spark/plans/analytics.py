@@ -663,3 +663,105 @@ def w_sessionize(spark, sf):
             exact_money_sum(F.col("value")).alias("total_value"),
         )
     )
+
+
+@query(
+    "tpch_q22_idle_capital",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT (CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                / 100.0) / count(*)
+        FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape adapted to the fixture schema: above-average-"
+    "balance customers with no urgent orders, grouped by segment. Two "
+    "decorrelations in one plan: the scalar avg subquery becomes a "
+    "1-row aggregate broadcast-cross-joined below the filter (stays one "
+    "lazy plan — no driver-side collect of the threshold), and the "
+    "correlated NOT EXISTS becomes a LEFT ANTI join against the "
+    "pre-filtered urgent orders (reduced to distinct custkeys before "
+    "the join). The average is computed from exact-cents sums so the "
+    "threshold double is bit-identical on both engines.",
+)
+def tpch_q22_idle_capital(spark, sf):
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                exact_money_sum(F.col("c_acctbal")) / F.count(F.lit(1))
+            ).alias("__avg_bal")
+        )
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            urgent,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "r2_pivot_event_matrix",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click_n,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view_n,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS purchase_n,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+             AS signup_n,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error_n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'purchase') AS BIGINT) / 100.0
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Long→wide pivot (the reshape direction the reference lacks, "
+    "SURVEY §2.3): per-user event-type count matrix + pivoted exact-cents "
+    "purchase value. Pivot values are PINNED (no df.pivot() inference "
+    "job — an extra distinct scan at scale); Catalyst compiles the "
+    "pinned pivot to the same conditional partial aggregates the "
+    "oracle's FILTER clauses express, one shuffle total. A null pivoted "
+    "sum (user with no purchases) stays null on both engines.",
+)
+def r2_pivot_event_matrix(spark, sf):
+    events = load_table(spark, sf, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == k, 1)).alias(f"{k}_n")
+        for k in kinds
+    ]
+    purchase_cents = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+    )
+    return events.groupBy("user_id").agg(
+        *aggs, (purchase_cents / F.lit(100.0)).alias("purchase_value")
+    )
