@@ -765,3 +765,57 @@ def r2_pivot_event_matrix(spark, sf):
     return events.groupBy("user_id").agg(
         *aggs, (purchase_cents / F.lit(100.0)).alias("purchase_value")
     )
+
+
+@query(
+    "ts_resample_daily",
+    """
+    WITH numbered AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_asc,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_desc
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, day,
+           CAST(min(CASE WHEN rn_asc = 1 THEN value END) AS DOUBLE) AS open,
+           max(value) AS high, min(value) AS low,
+           CAST(min(CASE WHEN rn_desc = 1 THEN value END) AS DOUBLE) AS close,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM numbered GROUP BY user_id, day
+    """,
+    doc="Time-series resample to daily OHLC bars — the canonical "
+    "downstream query for the reference's 60-minute bar store "
+    "(README.md:7 'financial analysis, backtesting'), expressed over the "
+    "events stream. first/last are made deterministic with explicit "
+    "(ts, event_id) row numbering instead of engine-specific "
+    "first()/arg_min tie behavior; high/low/count are plain aggregates. "
+    "The two windows and the final aggregate share one hash shuffle on "
+    "(user_id, day) — Catalyst plans a single Exchange because the "
+    "window and group keys match.",
+)
+def ts_resample_daily(spark, sf):
+    events = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+    )
+    day = F.to_date("ts").alias("day")
+    base = events.select("user_id", day, "value", "ts", "event_id")
+    w_asc = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        base.withColumn("rn_asc", F.row_number().over(w_asc))
+        .withColumn("rn_desc", F.row_number().over(w_desc))
+        .groupBy("user_id", "day")
+        .agg(
+            F.min(F.when(F.col("rn_asc") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min(F.when(F.col("rn_desc") == 1, F.col("value"))).alias(
+                "close"
+            ),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
