@@ -327,11 +327,13 @@ def max_multiplicity(arr: Column) -> Column:
     return F.aggregate(sorted_, init, step, lambda acc: acc.best)
 
 
-def repetition_metrics(
+def word_repetition_metrics(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021,
-    arXiv:2112.11446 §A1.1), adapted word-level for single-line corpora:
+    arXiv:2112.11446 §A1.1), WORD-level — the complement of the
+    line-level :func:`repetition_metrics` above for corpora without
+    newline structure:
 
     - ``dup_word_frac``: 1 − distinct/total words — gross repetitiveness;
     - ``top_word_frac`` / ``top_bigram_frac`` / ``top_trigram_frac``:

@@ -706,6 +706,6 @@ def curation_pipeline(spark, sf):
     "Ratios are exact-integer divisions, bit-identical across engines.",
 )
 def text_repetition(spark, sf):
-    from ..operators.text import repetition_metrics
+    from ..operators.text import word_repetition_metrics
 
-    return repetition_metrics(load_table(spark, sf, "documents"))
+    return word_repetition_metrics(load_table(spark, sf, "documents"))
