@@ -72,31 +72,49 @@ def _hpath(jvm, p: str):
     return jvm.org.apache.hadoop.fs.Path(p)
 
 
-def _read_manifest(spark: SparkSession, path: str):
-    """Highest committed ``(version, manifest)`` at ``path``, or ``(0, None)``."""
+def table_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed manifest versions at ``path``, ascending. More than one
+    entry means history is available for ``read_table(version=...)``
+    (merges run with ``retain_versions > 1`` and not yet vacuumed)."""
     jvm, fs = _fs(spark, path)
     try:
         statuses = fs.listStatus(_hpath(jvm, path))
     except Exception:  # table root does not exist yet
-        return 0, None
-    best, best_v = None, 0
+        return []
+    versions = []
     for st in statuses:
         name = st.getPath().getName()
         if name.startswith(_MANIFEST_PREFIX) and name.endswith(".json"):
             try:
-                v = int(name[len(_MANIFEST_PREFIX) : -len(".json")])
+                versions.append(int(name[len(_MANIFEST_PREFIX) : -len(".json")]))
             except ValueError:
                 continue
-            if v > best_v:
-                best_v, best = v, st.getPath()
-    if best is None:
-        return 0, None
-    stream = fs.open(best)
+    return sorted(versions)
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int | None = None):
+    """``(version, manifest)`` at ``path`` — the highest committed version,
+    or the exact ``version`` if given. ``(0, None)`` when absent (no table
+    yet); a missing EXPLICIT version raises (already vacuumed or never
+    committed — silently serving a different version would be wrong)."""
+    versions = table_versions(spark, path)
+    if version is None:
+        if not versions:
+            return 0, None
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(
+            f"version {version} of table {path} is not available "
+            f"(committed: {versions or 'none'}) — vacuumed or never written"
+        )
+    jvm, fs = _fs(spark, path)
+    target = _hpath(jvm, f"{path}/{_MANIFEST_PREFIX}{version:010d}.json")
+    stream = fs.open(target)
     try:
         raw = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    return best_v, json.loads(raw.decode("utf-8"))
+    return version, json.loads(raw.decode("utf-8"))
 
 
 def _commit_manifest(
@@ -238,9 +256,15 @@ def merge_into_parquet(
     key_columns: list[str],
     order_column: str | None = None,
     n_buckets: int = 16,
+    retain_versions: int = 1,
     _crash_point: str | None = None,
 ) -> None:
     """MERGE ``updates`` into the bucketed table at ``path`` (last-write-wins).
+
+    ``retain_versions > 1`` keeps the replaced files and prior manifests on
+    disk after the commit, enabling ``read_table(version=...)`` time travel
+    over the table's history; ``vacuum_table``'s ``retain_versions`` is the
+    matching retention policy. The default (1) reclaims eagerly.
 
     Reads only the live files of buckets containing updated keys and
     replaces only those buckets — untouched buckets' files are never read,
@@ -353,31 +377,45 @@ def merge_into_parquet(
         },
     )
     # Post-commit cleanup (best-effort; a crash here leaves garbage that is
-    # invisible to readers — vacuum_table reclaims it).
-    for files in replaced.values():
-        for rel in files:
-            fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
+    # invisible to readers — vacuum_table reclaims it). With
+    # retain_versions > 1 the replaced files and prior manifest are KEPT:
+    # they are exactly what read_table(version=...) time travel reads, and
+    # vacuum_table(retain_versions=...) is the retention policy.
     fs.delete(_hpath(jvm, staging), True)
-    old_manifest = f"{path}/{_MANIFEST_PREFIX}{version:010d}.json"
-    if version > 0:
-        fs.delete(_hpath(jvm, old_manifest), False)
+    if retain_versions <= 1:
+        for files in replaced.values():
+            for rel in files:
+                fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
+        old_manifest = f"{path}/{_MANIFEST_PREFIX}{version:010d}.json"
+        if version > 0:
+            fs.delete(_hpath(jvm, old_manifest), False)
 
 
-def vacuum_table(spark: SparkSession, path: str) -> int:
-    """Reclaim files a crashed merge orphaned; returns the number removed.
+def vacuum_table(
+    spark: SparkSession, path: str, retain_versions: int = 1
+) -> int:
+    """Reclaim files a crashed merge orphaned and expire old history;
+    returns the number removed.
 
-    Deletes every ``.staging-*`` directory, every non-current manifest, and
-    every data file under a bucket directory that the current manifest does
-    not reference. Safe under the single-writer assumption (no merge is in
-    flight when vacuum runs); never touches live files.
+    Deletes every ``.staging-*`` directory, every manifest older than the
+    newest ``retain_versions``, and every data file under a bucket
+    directory that no RETAINED manifest references. ``retain_versions`` is
+    the time-travel retention policy: versions it keeps stay readable via
+    ``read_table(version=...)``; versions below it are gone for good. Safe
+    under the single-writer assumption (no merge is in flight when vacuum
+    runs); never touches files a retained manifest lists.
     """
-    version, manifest = _read_manifest(spark, path)
-    if manifest is None:
+    versions = table_versions(spark, path)
+    if not versions:
         return 0
-    live = {f for files in manifest["buckets"].values() for f in files}
+    retained = set(versions[-max(1, retain_versions) :])
+    live: set[str] = set()
+    for v in retained:
+        _, manifest = _read_manifest(spark, path, v)
+        live |= {f for files in manifest["buckets"].values() for f in files}
     jvm, fs = _fs(spark, path)
     removed = 0
-    current_manifest = f"{_MANIFEST_PREFIX}{version:010d}.json"
+    keep_names = {f"{_MANIFEST_PREFIX}{v:010d}.json" for v in retained}
     for st in fs.listStatus(_hpath(jvm, path)):
         name = st.getPath().getName()
         if name.startswith(".staging-") or name.startswith(".manifest-tmp-"):
@@ -385,7 +423,8 @@ def vacuum_table(spark: SparkSession, path: str) -> int:
             removed += 1
         elif (
             name.startswith(_MANIFEST_PREFIX)
-            and name != current_manifest
+            and name.endswith(".json")
+            and name not in keep_names
         ):
             fs.delete(st.getPath(), False)
             removed += 1
@@ -398,7 +437,12 @@ def vacuum_table(spark: SparkSession, path: str) -> int:
     return removed
 
 
-def read_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    version: int | None = None,
+) -> DataFrame:
     """Read the bucketed table back without the layout column.
 
     Manifest-committed tables read exactly the live file set (orphans from
@@ -406,8 +450,15 @@ def read_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     footer inference, and empty tables read fine. Pre-manifest directories
     fall back to a plain directory read, where passing the schema
     ``write_bucketed_table`` returned keeps empty tables readable.
+
+    ``version`` time-travels to an older committed snapshot: each manifest
+    is an immutable file list, so reading manifest N reproduces the table
+    exactly as of commit N — available while merges run with
+    ``retain_versions > 1`` and ``vacuum_table`` has not reclaimed the
+    version. A vacuumed/unknown version raises rather than serving the
+    wrong data.
     """
-    _, manifest = _read_manifest(spark, path)
+    _, manifest = _read_manifest(spark, path, version)
     if manifest is not None:
         return _read_live_files(spark, path, manifest, schema).drop(BUCKET)
     reader = spark.read.schema(schema) if schema is not None else spark.read

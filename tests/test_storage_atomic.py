@@ -207,3 +207,68 @@ def test_empty_initial_table_merge_roundtrip(spark, tmp_path):
     batch = target.limit(50)
     merge_into_parquet(spark, path, batch, ["o_orderkey"], n_buckets=8)
     assert read_table(spark, path).count() == 50
+
+
+def test_time_travel_reads_prior_versions(spark, tmp_path):
+    """Merges with retain_versions > 1 keep each committed snapshot
+    readable: read_table(version=N) reproduces the table exactly as of
+    commit N, the version list grows per merge, and a vacuumed version
+    raises instead of serving wrong data."""
+    from global_market_index_etl_spark.operators.storage import (
+        merge_into_parquet,
+        read_table,
+        table_versions,
+        vacuum_table,
+        write_bucketed_table,
+    )
+
+    path = str(tmp_path / "tt")
+    base = spark.createDataFrame(
+        [(i, "v1", i) for i in range(40)], "k long, val string, seq long"
+    )
+    write_bucketed_table(base, path, ["k"], n_buckets=4)
+
+    batch2 = spark.createDataFrame(
+        [(i, "v2", 100 + i) for i in range(0, 40, 2)],
+        "k long, val string, seq long",
+    )
+    merge_into_parquet(
+        spark, path, batch2, ["k"], order_column="seq", retain_versions=3
+    )
+    batch3 = spark.createDataFrame(
+        [(i, "v3", 200 + i) for i in range(0, 40, 4)],
+        "k long, val string, seq long",
+    )
+    merge_into_parquet(
+        spark, path, batch3, ["k"], order_column="seq", retain_versions=3
+    )
+
+    versions = table_versions(spark, path)
+    assert len(versions) == 3, versions
+    v1, v2, v3 = versions
+
+    def snap(version=None):
+        return {
+            r.k: r.val
+            for r in read_table(spark, path, version=version).collect()
+        }
+
+    assert snap(v1) == {i: "v1" for i in range(40)}
+    assert snap(v2) == {
+        i: ("v2" if i % 2 == 0 else "v1") for i in range(40)
+    }
+    expect_now = {
+        i: ("v3" if i % 4 == 0 else "v2" if i % 2 == 0 else "v1")
+        for i in range(40)
+    }
+    assert snap(v3) == expect_now
+    assert snap() == expect_now  # default = newest
+
+    # retention: keep 2 → oldest version is gone, newer two intact
+    vacuum_table(spark, path, retain_versions=2)
+    assert table_versions(spark, path) == [v2, v3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not available"):
+        read_table(spark, path, version=v1)
+    assert snap(v2)[1] == "v1" and snap(v3) == expect_now
