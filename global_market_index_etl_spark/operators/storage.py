@@ -266,6 +266,14 @@ def merge_into_parquet(
     over the table's history; ``vacuum_table``'s ``retain_versions`` is the
     matching retention policy. The default (1) reclaims eagerly.
 
+    Additive schema evolution — the reference's ``ALTER TABLE ADD COLUMN
+    IF NOT EXISTS`` pattern (postgres_writer.py:94-101) — is native: a
+    batch with NEW columns pins its schema on the read side (old parquet
+    files resolve by name, absent columns surface as NULL — including
+    rows in buckets the merge never rewrites) and commits that schema in
+    the manifest, so every later read resolves the column table-wide.
+    Asserted in ``test_merge_additive_schema_evolution``.
+
     Reads only the live files of buckets containing updated keys and
     replaces only those buckets — untouched buckets' files are never read,
     moved, or rewritten. Idempotent: replaying the same batch leaves the

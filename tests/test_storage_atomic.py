@@ -272,3 +272,40 @@ def test_time_travel_reads_prior_versions(spark, tmp_path):
     with _pytest.raises(ValueError, match="not available"):
         read_table(spark, path, version=v1)
     assert snap(v2)[1] == "v1" and snap(v3) == expect_now
+
+
+def test_merge_additive_schema_evolution(spark, tmp_path):
+    """A merge batch with a NEW column evolves the table additively — the
+    reference's ALTER TABLE ADD COLUMN IF NOT EXISTS pattern
+    (postgres_writer.py:94-101): old rows surface NULL for the new
+    column (including rows in buckets the merge never rewrote), new rows
+    carry values, and the committed manifest schema includes the column
+    so every later read resolves it."""
+    from global_market_index_etl_spark.operators.storage import (
+        merge_into_parquet,
+        read_table,
+        write_bucketed_table,
+    )
+
+    path = str(tmp_path / "evolve")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, close double"
+    )
+    write_bucketed_table(base, path, ["k"], n_buckets=4)
+
+    # updates add close_usd and touch only even keys (≈ half the buckets)
+    batch = spark.createDataFrame(
+        [(i, float(i), i * 1.1) for i in range(0, 40, 2)],
+        "k long, close double, close_usd double",
+    )
+    merge_into_parquet(spark, path, batch, ["k"])
+
+    back = read_table(spark, path)
+    assert set(back.columns) == {"k", "close", "close_usd"}
+    got = {r.k: r.close_usd for r in back.collect()}
+    assert len(got) == 40
+    for i in range(40):
+        if i % 2 == 0:
+            assert got[i] is not None and abs(got[i] - i * 1.1) < 1e-9
+        else:
+            assert got[i] is None  # untouched bucket, old file, new schema
