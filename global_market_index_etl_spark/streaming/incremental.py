@@ -260,3 +260,58 @@ def streaming_minhash_dedup(
         .foreachBatch(handle_batch)
         .start()
     )
+
+
+def streaming_decontaminate(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    eval_df: DataFrame,
+    clean_dir: str,
+    quarantine_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> StreamingQuery:
+    """Decontamination at ingestion time: every availableNow micro-batch
+    is split against the (static) eval-set gram probe — clean rows land
+    in ``clean_dir``, contaminated rows with their hit counts in
+    ``quarantine_dir`` for audit, both under idempotent ``batch=<id>``
+    overwrite subdirectories (same retry discipline as
+    :func:`streaming_minhash_dedup`).
+
+    The eval set is static and benchmark-sized, so each batch's check is
+    the batch-path broadcast probe (``operators.decontaminate``) applied
+    to |batch| rows — no growing state, no corpus rescans, and stream
+    output ≡ running the batch operator over the same rows (asserted in
+    tests). This is the shape that keeps a 100 TB/day ingest clean
+    WITHOUT ever re-decontaminating the at-rest corpus.
+    """
+    from ..operators.decontaminate import contamination_hits
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        hits = contamination_hits(
+            batch, eval_df, id_col, text_col, n, min_hits
+        )
+        contaminated = batch.join(hits, id_col)
+        clean = batch.join(hits.select(id_col), id_col, "left_anti")
+        clean.write.mode("overwrite").parquet(f"{clean_dir}/batch={batch_id}")
+        contaminated.write.mode("overwrite").parquet(
+            f"{quarantine_dir}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle_batch)
+        .start()
+    )

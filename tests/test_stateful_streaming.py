@@ -156,3 +156,50 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(args["pairs_dir"]).collect()
     }
     assert again == got, n_batches
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Two availableNow ticks of ingestion-time decontamination must
+    reproduce the batch operator's split exactly: clean ∪ quarantined =
+    all docs, clean set ≡ batch decontaminate over the same rows, and
+    quarantined rows carry their hit counts."""
+    from global_market_index_etl_spark.operators.decontaminate import (
+        decontaminate,
+    )
+    from global_market_index_etl_spark.sources.tables import load_table
+    from global_market_index_etl_spark.streaming.incremental import (
+        streaming_decontaminate,
+    )
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    # eval set = a slice of the corpus itself → guaranteed contamination
+    eval_df = docs.filter(F.col("doc_id") % 10 == 3).select("text")
+
+    src = str(tmp_path / "src")
+    args = dict(
+        source_dir=src,
+        schema=docs.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        eval_df=eval_df,
+        clean_dir=str(tmp_path / "clean"),
+        quarantine_dir=str(tmp_path / "quar"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    streaming_decontaminate(spark, **args).awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    streaming_decontaminate(spark, **args).awaitTermination(120)
+
+    clean = {r.doc_id for r in spark.read.parquet(args["clean_dir"]).collect()}
+    quar = spark.read.parquet(args["quarantine_dir"]).collect()
+    quar_ids = {r.doc_id for r in quar}
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert clean | quar_ids == all_ids and not (clean & quar_ids)
+    batch_clean = {
+        r.doc_id for r in decontaminate(docs, eval_df).collect()
+    }
+    assert clean == batch_clean
+    assert quar and all(r.n_hits >= 1 for r in quar)
