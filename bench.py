@@ -36,6 +36,11 @@ HEADLINE = [
     "tpch_q3_top_revenue_orders",
     "tpch_q17_small_qty_revenue",
     "tpch_q20_dominant_suppliers",
+    "tpch_q22_idle_capital",
+    "r2_pivot_event_matrix",
+    "w_sessionize",
+    "ts_resample_daily",
+    "text_repetition",
     "q1_top5_recent",
     "q4_per_key_topn",
     "j1_enrich_broadcast",

@@ -252,3 +252,38 @@ def test_decontamination_matches_python_reference(
         for r in contamination_hits(cdf, edf, n=2, min_hits=min_hits).collect()
     }
     assert got == expect
+
+
+WORDS_ST = st.lists(
+    st.sampled_from(["spark", "join", "scan", "agg", "sort", "table"]),
+    min_size=0,
+    max_size=12,
+)
+DOCS_ST = st.lists(WORDS_ST, min_size=0, max_size=10)
+
+
+@PROP_SETTINGS
+@given(corpus=DOCS_ST, threshold=st.sampled_from([0.5, 0.8, 1.0]))
+def test_prefix_filter_jaccard_equals_naive(spark, corpus, threshold):
+    """The All-Pairs prefix-filter candidate path is EXACT for any corpus
+    and threshold — identical pair set (ids, n_common, jaccard) to the
+    naive self-join, including duplicate texts (jaccard 1.0 at every
+    threshold) and short docs below the shingle width."""
+    from global_market_index_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+
+    def run(strategy):
+        return {
+            (r.id_1, r.id_2, r.n_common, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                df, n=2, threshold=threshold, strategy=strategy
+            ).collect()
+        }
+
+    assert run("prefix") == run("naive")
