@@ -315,3 +315,98 @@ def streaming_decontaminate(
         .foreachBatch(handle_batch)
         .start()
     )
+
+
+def streaming_embedding_neardup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 32,
+    seed: int = 42,
+) -> StreamingQuery:
+    """Embedding near-dup detection as an ingestion stream — the third leg
+    of the streaming curation trio (MinHash text dedup, decontamination,
+    embedding dedup), same availableNow/foreachBatch protocol.
+
+    Per batch: new vectors are signed once (Arrow-batched matmul),
+    bucket-joined against the PERSISTED signature index (new×indexed and
+    new×new candidates in one join), exact-cosine verified against only
+    the colliding vectors, and the signature + vector deltas are folded
+    into the index under idempotent ``batch=<id>`` overwrite
+    subdirectories. The LSH layout (bits/tables/seed) is pinned for the
+    index's lifetime — an index's signatures must outlive the corpus size
+    that sized them, so the auto-sizing path is deliberately NOT used
+    here.
+    """
+    from ..operators.similarity import (
+        embedding_lsh_index,
+        embedding_neardup_pairs_lsh,
+        incremental_embedding_neardup_pairs,
+    )
+
+    sigs_dir = index_dir + "/sigs"
+    vecs_dir = index_dir + "/vecs"
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        try:
+            stored_sigs = spark.read.parquet(sigs_dir).select(
+                id_col, "__tbl", "__sig"
+            )
+            stored_vecs = spark.read.parquet(vecs_dir).select(id_col, vec_col)
+            has_index = True
+        except Exception:
+            has_index = False
+        if has_index:
+            pairs, new_sigs = incremental_embedding_neardup_pairs(
+                batch,
+                stored_sigs,
+                stored_vecs,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+                bits=bits,
+                tables=tables,
+                seed=seed,
+            )
+        else:
+            pairs = embedding_neardup_pairs_lsh(
+                batch,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+                bits=bits,
+                tables=tables,
+                seed=seed,
+            )
+            new_sigs = embedding_lsh_index(
+                batch, id_col, vec_col, dim, bits, tables, seed
+            )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
+        new_sigs.write.mode("overwrite").parquet(f"{sigs_dir}/batch={batch_id}")
+        batch.select(id_col, vec_col).write.mode("overwrite").parquet(
+            f"{vecs_dir}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle_batch)
+        .start()
+    )

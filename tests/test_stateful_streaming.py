@@ -203,3 +203,59 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     }
     assert clean == batch_clean
     assert quar and all(r.n_hits >= 1 for r in quar)
+
+
+def test_streaming_embedding_neardup_matches_batch(spark, tmp_path):
+    """Two availableNow ticks of streaming embedding dedup must reproduce
+    the batch LSH pair set over the union — including planted duplicate
+    pairs that STRADDLE the batch boundary (found only via the persisted
+    index)."""
+    from global_market_index_etl_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+    from global_market_index_etl_spark.sources.tables import load_table
+    from global_market_index_etl_spark.streaming.incremental import (
+        streaming_embedding_neardup,
+    )
+
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # plant cross-batch duplicates: copies of even-id vectors under odd ids
+    copies = (
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .limit(5)
+        .select((F.col("vec_id") + 100001).alias("vec_id"), "embedding")
+    )
+    full = emb.unionByName(copies)
+    b1 = full.filter(F.col("vec_id") % 2 == 0)
+    b2 = full.filter(F.col("vec_id") % 2 == 1)  # copies land here
+
+    src = str(tmp_path / "src")
+    args = dict(
+        source_dir=src,
+        schema=full.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    streaming_embedding_neardup(spark, **args).awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    streaming_embedding_neardup(spark, **args).awaitTermination(120)
+
+    got = {
+        (r.id_1, r.id_2, r.cos_sim)
+        for r in spark.read.parquet(args["pairs_dir"]).collect()
+    }
+    expect = {
+        (r.id_1, r.id_2, r.cos_sim)
+        for r in embedding_neardup_pairs_lsh(
+            full, threshold=0.95, bits=8, tables=32
+        ).collect()
+    }
+    assert got == expect
+    # the planted cross-batch pairs were actually found
+    assert sum(1 for a, b, _ in got if b > 100000) >= 5
