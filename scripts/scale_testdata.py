@@ -98,12 +98,32 @@ def main() -> None:
                 if c in key_groups:
                     proj.append(f"{c} + {i * strides[key_groups[c]]} AS {c}")
                 elif t == "documents" and c == "text" and i > 0:
-                    # delete every (i+2)-th word: breaks 3-gram similarity
-                    # to the original and to other replicas, preserves
-                    # exact-dup structure within the replica
+                    # Two stacked perturbations so replicas stay below the
+                    # 0.8 Jaccard near-dup threshold at ANY replica count:
+                    # (a) delete every (i+2)-th word — strong for small i,
+                    #     weakens as the stride grows (~3/(i+2) of shingles
+                    #     die, and a stride longer than the doc deletes
+                    #     nothing); (b) prefix max(n/5, 9) VARIED
+                    #     replica-unique junk words ('r{i}w{k}') — adds
+                    #     that many distinct shingles no other replica
+                    #     shares, capping J at ≤ ~0.75 even when the
+                    #     deletion is inert (the floor covers short docs,
+                    #     where 2 junk words left J at 0.81 — observed as
+                    #     quadratic cross-replica pairs at 30 replicas).
+                    #     Exact-dup structure within a replica is preserved
+                    #     (the transform is a pure function of the text).
+                    body = (
+                        "list_filter(string_split(text, ' '),"
+                        f" (w, j) -> j % {i + 2} != 0)"
+                    )
+                    junk = (
+                        "list_transform(range(1, greatest(10, "
+                        f"len(string_split(text, ' ')) // 5 + 1)), x -> "
+                        f"'r{i}w' || x::VARCHAR)"
+                    )
                     proj.append(
-                        "array_to_string(list_filter(string_split(text, ' '),"
-                        f" (w, j) -> j % {i + 2} != 0), ' ') AS text"
+                        f"array_to_string(list_concat({junk}, {body}), ' ')"
+                        " AS text"
                     )
                 elif t == "embeddings" and c == "embedding" and i > 0:
                     # circular rotation: same norm/distribution, rotations
