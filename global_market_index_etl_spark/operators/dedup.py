@@ -863,3 +863,113 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_1", "id_2", "n_common", "containment")
     )
+
+
+def _canonical_edge_checksum(edges: DataFrame):
+    """Order-independent (count, hash-sum) fingerprint of an edge set —
+    one aggregate, used as the star-algorithm convergence test."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v")).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same output contract as :func:`connected_components`
+    (``(id, canonical_id)``, component minimum, singletons map to self).
+
+    Label propagation costs O(component diameter) joined rounds: right
+    for near-dup clusters (shallow stars around a source doc), quadratic
+    WORK on chain-shaped graphs — a 1,000-link containment chain
+    (doc A ⊂ doc B ⊂ doc C …) needs 1,000 rounds and trips the round
+    budget. The star operations instead rewire every node toward its
+    neighborhood minimum each round:
+
+    - large-star: for each node u, every STRICTLY LARGER neighbor is
+      re-linked to min(Γ(u) ∪ {u});
+    - small-star: edges canonicalized child→parent, every parent
+      neighbor re-linked to the same minimum;
+
+    halving component height per alternation ⇒ O(log n) rounds on ANY
+    topology, each round two groupBy shuffles on the node id. Convergence
+    is detected with an order-independent (count, hash-sum) edge-set
+    fingerprint — one scalar aggregate per round, no edge-set diff join.
+    """
+    sym = (
+        pairs.select(F.col("id_1").alias("u"), F.col("id_2").alias("v"))
+        .unionAll(
+            pairs.select(F.col("id_2").alias("u"), F.col("id_1").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def neighborhood_min(edges):
+        return edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    edges = sym
+    prev = _canonical_edge_checksum(edges)
+    converged = edges.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        # both ops need the UNDIRECTED adjacency; the round's outputs are
+        # canonical (larger → smaller), so re-symmetrize each round
+        und = (
+            edges.unionAll(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # large-star: (v, m) for v ∈ Γ(u), v > u, m = min(Γ(u) ∪ {u})
+        nm = neighborhood_min(und)
+        large = (
+            und.join(nm, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over canonical child→parent (u > v) edges
+        canon = und.filter(F.col("u") > F.col("v"))
+        nm2 = canon.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            canon.join(nm2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(nm2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        edges = (
+            large.unionAll(small)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _canonical_edge_checksum(edges)
+        converged, prev = cur == prev, cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — raise max_iter"
+        )
+    # converged edge set is child→root stars; roots/singletons map to self
+    labels = edges.select(
+        F.col("u").alias(id_col), F.col("v").alias("canonical_id")
+    )
+    verts = vertices.select(F.col(id_col))
+    return (
+        verts.join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+        )
+    )

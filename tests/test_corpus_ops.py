@@ -453,3 +453,56 @@ def test_ngram_jaccard_prefix_strategy_matches_naive(spark, docs):
         for r in ngram_jaccard_pairs(docs, strategy="prefix").collect()
     }
     assert prefix == naive and len(naive) > 0
+
+
+def test_star_connected_components_on_deep_chain(spark):
+    """A 400-link chain has diameter 400: min-label propagation would need
+    400 rounds (far past its budget); large-star/small-star must collapse
+    it to one component in O(log n) alternations."""
+    from global_market_index_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 400
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_1 long, id_2 long"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(n + 1)], "doc_id long"
+    )
+    out = {
+        r.doc_id: r.canonical_id
+        for r in connected_components_star(pairs, vertices).collect()
+    }
+    assert out == {i: 0 for i in range(n + 1)}
+
+
+def test_star_components_match_label_propagation(spark, docs):
+    """On the real near-dup pair graph (plus planted singletons) both
+    algorithms must emit identical (id, canonical_id) labelings."""
+    from global_market_index_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    a = {
+        (r.doc_id, r.canonical_id)
+        for r in connected_components(pairs, docs, "doc_id").collect()
+    }
+    b = {
+        (r.doc_id, r.canonical_id)
+        for r in connected_components_star(pairs, docs, "doc_id").collect()
+    }
+    assert a == b and len(a) == docs.count()
+
+
+def test_star_components_empty_pairs(spark, docs):
+    from global_market_index_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "id_1 long, id_2 long")
+    out = connected_components_star(empty, docs, "doc_id")
+    assert out.filter(F.col("doc_id") != F.col("canonical_id")).count() == 0
