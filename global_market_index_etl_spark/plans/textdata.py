@@ -709,3 +709,73 @@ def text_repetition(spark, sf):
     from ..operators.text import word_repetition_metrics
 
     return word_repetition_metrics(load_table(spark, sf, "documents"))
+
+
+@query(
+    "dedup_containment_clusters",
+    """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM pos a
+      JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_1, id_2 FROM inter
+      JOIN sizes s1 ON id_1 = s1.doc_id
+      JOIN sizes s2 ON id_2 = s2.doc_id
+      WHERE n_common * 1.0
+            / least(CAST(s1.n AS BIGINT), CAST(s2.n AS BIGINT)) >= 0.9
+    ), edges AS (
+      SELECT id_1 AS u, id_2 AS v FROM pairs
+      UNION ALL SELECT id_2, id_1 FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT d.doc_id,
+             CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
+               AS canonical_id
+      FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT canonical_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(max(doc_id) AS BIGINT) AS max_member
+    FROM comp GROUP BY canonical_id
+    """,
+    doc="Containment-chain clustering: near-containment pairs "
+    "(|A∩B|/min ≥ 0.9 — 'B is A plus a header') feed "
+    "connected_components_STAR (large-star/small-star, O(log n) rounds "
+    "on any topology). Containment graphs are precisely where the "
+    "min-label alternative degrades: A ⊂ B ⊂ C chains give diameter "
+    "proportional to chain length, and label propagation pays one "
+    "full-graph round per hop. Oracle = recursive-CTE transitive closure "
+    "over the identical pair SQL.",
+)
+def dedup_containment_clusters(spark, sf):
+    from ..operators.dedup import (
+        connected_components_star,
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = containment_pairs(docs, n=3, threshold=0.9)
+    comp = connected_components_star(pairs, docs, "doc_id")
+    return comp.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max("doc_id").alias("max_member"),
+    )
