@@ -201,13 +201,23 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     def _real_decode(payload: bytes, media_type: str) -> str:
         import numpy as np
 
-        if media_type != "image":
-            raise NotImplementedError(
-                "real decode for audio/video: soundfile.read(...) / pyav "
-                "keyframe iterator — codec libs not in this container"
+        if media_type == "image":
+            pixels = decode_png(payload)
+            hist = np.bincount(pixels.reshape(-1) >> 4, minlength=16)
+        elif media_type == "audio":
+            # 16-bin histogram over the decoded sample amplitude range —
+            # the audio analog of the pixel histogram (real RIFF/PCM
+            # parse, no codec libs)
+            samples = decode_wav(payload).astype(np.int64)
+            hist = np.bincount(
+                ((samples.reshape(-1) + 32768) >> 12).clip(0, 15),
+                minlength=16,
             )
-        pixels = decode_png(payload)
-        hist = np.bincount(pixels.reshape(-1) >> 4, minlength=16)
+        else:
+            raise NotImplementedError(
+                "real decode for video: pyav keyframe iterator — codec "
+                "libs not in this container"
+            )
         return "".join(f"{min(int(h), 255):02x}" for h in hist)
 
     def batches(it: Iterator) -> Iterator:
@@ -355,3 +365,72 @@ def resize_images(
             yield out
 
     return df.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE PCM payload to an ``(n_samples, channels)``
+    numpy array — pure stdlib + numpy, no codec libraries (the audio twin
+    of ``decode_png``; reference point: RIFF spec + WAVEFORMAT).
+
+    Supports integer PCM (format tag 1) at 8 bits (unsigned, rebased to
+    signed) and 16/32 bits (little-endian signed). Chunks are walked by
+    the declared sizes (word-aligned), so extra chunks (LIST, fact, cue)
+    are skipped, not tripped over. Raises ValueError on anything that is
+    not integer PCM — same contract as ``decode_png``'s unsupported
+    color types.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, _rate, _byte_rate, _align, bits = fmt
+    if tag != 1:
+        raise ValueError(f"unsupported WAVE format tag {tag} (PCM only)")
+    if bits == 8:
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+    elif bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif bits == 32:
+        arr = np.frombuffer(data, dtype="<i4")
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    n = (len(arr) // channels) * channels
+    return arr[:n].reshape(-1, channels)
+
+
+def encode_wav(arr, sample_rate: int = 16_000) -> bytes:
+    """Encode an ``(n_samples, channels)`` int16 array as 16-bit PCM
+    RIFF/WAVE — the inverse of ``decode_wav``; round-trip identity is
+    asserted in tests."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype="<i2")
+    n_samples, channels = arr.shape
+    data = arr.tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks

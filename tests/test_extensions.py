@@ -1174,3 +1174,64 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     # sanity: the planted copies were actually grouped and pruned
     n_dropped = sum(1 for _, keep in out.values() if not keep)
     assert n_dropped >= 4
+
+
+def test_wav_codec_roundtrip_and_audio_features(spark):
+    """Pure-numpy RIFF/PCM codec: encode→decode is identity (16-bit,
+    mono + stereo), extra chunks are skipped, and the real decode path
+    produces deterministic amplitude histograms for audio payloads
+    through the same mapInPandas plumbing as images."""
+    import struct
+
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        as_media_table,
+        decode_wav,
+        encode_wav,
+        extract_features,
+    )
+
+    t = np.arange(0, 2048, dtype=np.int64)
+    mono = ((np.sin(t / 16.0) * 12000).astype("<i2")).reshape(-1, 1)
+    stereo = np.stack(
+        [mono[:, 0], ((t * 13) % 4096 - 2048).astype("<i2")], axis=1
+    )
+    for arr in (mono, stereo):
+        assert (decode_wav(encode_wav(arr)) == arr).all()
+
+    # a LIST chunk between fmt and data must be skipped, not tripped over
+    raw = encode_wav(mono)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 6) + b"INFOxx"
+    with_extra = (
+        raw[:4]
+        + struct.pack("<I", struct.unpack("<I", raw[4:8])[0] + len(extra))
+        + raw[8:fmt_end]
+        + extra
+        + raw[fmt_end:]
+    )
+    assert (decode_wav(with_extra) == mono).all()
+
+    # 8-bit path rebases unsigned to signed
+    pcm8 = b"RIFF" + struct.pack("<I", 4 + 24 + 8 + 4) + b"WAVE" \
+        + b"fmt " + struct.pack("<I", 16) \
+        + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8) \
+        + b"data" + struct.pack("<I", 4) + bytes([0, 128, 255, 64])
+    assert decode_wav(pcm8)[:, 0].tolist() == [-128, 0, 127, -64]
+
+    # through the Spark plumbing: audio rows get REAL features now
+    rows = [(1, encode_wav(mono)), (2, encode_wav(stereo))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = as_media_table(df, "media_id", "payload", "audio")
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    assert len(feats) == 2 and all(len(f) == 32 for f in feats.values())
+    # deterministic: recompute matches
+    again = {
+        r.media_id: r.feature
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    assert again == feats
