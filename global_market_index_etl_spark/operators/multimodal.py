@@ -264,7 +264,11 @@ def sample_frames(
 
     Stub "frames" are byte slices at a fixed stride — the row-expansion
     plumbing (the part Spark cares about) is identical to real video
-    decoding with a frame stride.
+    decoding with a frame stride. ``decode_stub=False`` REALLY decodes
+    uncompressed RGB24 AVI containers (``decode_avi_frames``, pure
+    numpy): every ``max_frames``-strided frame is re-emitted as a PNG
+    payload — container parse, frame iteration, and per-frame re-encode
+    all exercised; compressed codecs remain the documented hook point.
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -272,9 +276,24 @@ def sample_frames(
 
         for pdf in it:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real path: ffmpeg/pyav keyframe iterator per payload"
+                out_ids, out_idx, out_payload = [], [], []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    if payload is None:
+                        continue
+                    frames = decode_avi_frames(bytes(payload))
+                    stride = max(1, len(frames) // max_frames)
+                    for i, frame in enumerate(frames[::stride][:max_frames]):
+                        out_ids.append(mid)
+                        out_idx.append(i)
+                        out_payload.append(encode_png(frame))
+                yield pd.DataFrame(
+                    {
+                        "media_id": out_ids,
+                        "frame_idx": out_idx,
+                        "frame_payload": out_payload,
+                    }
                 )
+                continue
             out_ids, out_idx, out_payload = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
@@ -434,3 +453,78 @@ def encode_wav(arr, sample_rate: int = 16_000) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_avi_frames(payload: bytes):
+    """Decode an uncompressed (DIB/RGB24) AVI payload to a list of
+    ``(h, w, 3)`` uint8 arrays — the video leg of the pure-numpy codec
+    trio (PNG images, WAV audio, raw AVI video). RIFF chunk walk like
+    ``decode_wav``: 'avih' gives (w, h), '00db'/'00dw' chunks inside the
+    'movi' LIST are bottom-up BGR24 rows (the DIB convention), flipped
+    and reordered to top-down RGB. Compressed streams raise ValueError —
+    real-world codecs stay a documented hook point; the CONTAINER
+    parsing, frame iteration, and array shapes are the tested surface.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = None
+    frames = []
+
+    def walk(buf, pos, end):
+        nonlocal width, height
+        while pos + 8 <= end:
+            ctype = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if ctype == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif ctype == b"avih":
+                w, h = struct.unpack("<II", buf[body_start + 32 : body_start + 40])
+                width, height = int(w), int(h)
+            elif ctype in (b"00db", b"00dw"):
+                if width is None:
+                    raise ValueError("frame chunk before avih header")
+                raw = np.frombuffer(
+                    buf, dtype=np.uint8, count=width * height * 3,
+                    offset=body_start,
+                ).reshape(height, width, 3)
+                # DIB: bottom-up rows, BGR order → top-down RGB
+                frames.append(raw[::-1, :, ::-1].copy())
+            pos = body_start + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if width is None:
+        raise ValueError("missing avih header")
+    return frames
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Encode ``(h, w, 3)`` uint8 frames as an uncompressed RGB24 AVI —
+    inverse of ``decode_avi_frames``; round-trip identity asserted in
+    tests."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = frames[0].shape
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, w * h * 3 * fps, 0, 0, len(frames), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    body = b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"LIST" + struct.pack(
+        "<I",
+        4 + sum(8 + w * h * 3 + ((w * h * 3) & 1) for _ in frames),
+    ) + b"movi"
+    for f in frames:
+        dib = np.asarray(f, dtype=np.uint8)[::-1, :, ::-1].tobytes()
+        movi += b"00db" + struct.pack("<I", len(dib)) + dib
+        if len(dib) & 1:
+            movi += b"\x00"
+    content = b"AVI " + body + movi
+    return b"RIFF" + struct.pack("<I", len(content)) + content

@@ -1235,3 +1235,40 @@ def test_wav_codec_roundtrip_and_audio_features(spark):
         for r in extract_features(media, decode_stub=False).collect()
     }
     assert again == feats
+
+
+def test_avi_codec_roundtrip_and_real_frame_sampling(spark):
+    """Pure-numpy uncompressed-AVI codec: encode→decode is frame-exact,
+    and the real sample_frames path walks the container, strides frames,
+    and re-emits each as a decodable PNG through mapInPandas."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        as_media_table,
+        decode_avi_frames,
+        decode_png,
+        encode_avi,
+        sample_frames,
+    )
+
+    h, w = 6, 8
+    frames = [
+        ((np.arange(h * w * 3).reshape(h, w, 3) * (k + 1)) % 251).astype(
+            np.uint8
+        )
+        for k in range(12)
+    ]
+    payload = encode_avi(frames)
+    back = decode_avi_frames(payload)
+    assert len(back) == 12
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+
+    df = spark.createDataFrame([(7, payload)], "media_id long, payload binary")
+    media = as_media_table(df, "media_id", "payload", "video")
+    out = sample_frames(media, max_frames=4, decode_stub=False).collect()
+    assert [r.frame_idx for r in out] == [0, 1, 2, 3]
+    # every emitted frame decodes back to the strided source frame
+    for r in out:
+        arr = decode_png(bytes(r.frame_payload))
+        assert (arr == frames[r.frame_idx * 3]).all()
