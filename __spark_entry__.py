@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from global_market_index_etl_spark.plans import REGISTRY
+from global_market_index_etl_spark.plans import REGISTRY, ordered_registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,12 +22,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator (SURVEY.md §2 + extensions)."""
-    return {name: qd.spark for name, qd in REGISTRY.items()}
+    """One entry per implemented operator (SURVEY.md §2 + extensions).
+
+    Ordered for the driver's 50-query correctness window: newest /
+    least-validated queries first, long-green redundant parity rows last
+    (see plans.ordered_registry).
+    """
+    return {name: qd.spark for name, qd in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL for every SQL-expressible query."""
     return {
-        name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None
+        name: qd.oracle
+        for name, qd in ordered_registry().items()
+        if qd.oracle is not None
     }

@@ -5,4 +5,64 @@ from . import parity  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import textdata  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "QueryDef", "query"]
+# --- driver correctness window management -------------------------------
+#
+# The driver runs the oracle comparison for the FIRST 50 queries in the
+# order ``queries()`` yields them.  Registration order alone let the
+# registry grow past 50 and pushed the newest queries outside the checked
+# window (round-5 verdict defect #1).  ``ordered_registry`` therefore
+# emits an explicit priority order:
+#
+#   1. PRIORITY_FIRST — queries that have never had (or most recently
+#      earned) a driver CORRECTNESS row: newest and riskiest first.
+#   2. everything else in registration order.
+#   3. ROTATE_LAST — long-green parity rows whose operators are also
+#      exercised inside other in-window queries; these recycle out of the
+#      window first when the registry outgrows it.
+#
+# Invariant (tested): PRIORITY_FIRST ∪ middle must fit in the 50-row
+# window, so every never-checked query earns a hard driver signal.
+
+DRIVER_WINDOW = 50
+
+# Newest / least-driver-validated first.
+PRIORITY_FIRST = [
+    # never driver-checked before round 6
+    "text_repetition",
+    "dedup_containment_clusters",
+    # green in r3/r4 but outside the r5 window
+    "curation_pipeline",
+    "dedup_cluster_survivors",
+    "samp_train_split",
+    "decon_eval_overlap",
+    "mm_decode_features",
+    "ann_ivf_topk",
+]
+
+# Long-green (r1-r5) parity rows, most-redundant last; each operator here
+# is also covered by another in-window query (see COVERAGE.md).
+ROTATE_LAST = [
+    "r1_unpivot_measures",
+    "a3_key_ranges",
+    "w_rank_in_group",
+    "set_ops_high_value",
+    "d1_distinct_pairs",
+    "f5_in_list_filter",
+    "q2_day_slice",
+    "p3_cast_json",
+    "p_string_funcs",
+    "p_date_funcs",
+    "q3_catalog",
+]
+
+
+def ordered_registry() -> dict[str, QueryDef]:
+    """REGISTRY re-ordered for the driver's 50-query correctness window."""
+    first = [n for n in PRIORITY_FIRST if n in REGISTRY]
+    last = [n for n in ROTATE_LAST if n in REGISTRY]
+    pinned = set(first) | set(last)
+    middle = [n for n in REGISTRY if n not in pinned]
+    return {n: REGISTRY[n] for n in first + middle + last}
+
+
+__all__ = ["REGISTRY", "QueryDef", "query", "ordered_registry", "DRIVER_WINDOW"]
