@@ -344,13 +344,37 @@ def auto_lsh_params(
       so tables = ceil(ln(miss_prob) / ln(1 - p^bits)) keeps
       P(miss) ≤ miss_prob for ANY bits choice — more buckets never costs
       recall, only tables (a linear explode factor).
+
+    When the derived table count would exceed ``max_tables`` (high
+    threshold × large corpus), the budget is re-spent on bucket width
+    instead of being silently dropped (round-5 advice): ``bits`` shrinks
+    toward 8 — halving the per-table miss rate costs 2× expected bucket
+    population, a measured trade, not a recall loss — until the table
+    count fits. Only if the budget is infeasible even at bits=8 does the
+    clamp bind, and then it WARNS with the effective miss probability so
+    callers see the real contract they are getting.
     """
     import math
+    import warnings
 
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     bits = max(8, min(max_bits, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))))
-    collide = p**bits
-    tables = math.ceil(math.log(miss_prob) / math.log(1.0 - collide))
+
+    def needed(b: int) -> int:
+        return math.ceil(math.log(miss_prob) / math.log(1.0 - p**b))
+
+    while bits > 8 and needed(bits) > max_tables:
+        bits -= 1
+    tables = needed(bits)
+    if tables > max_tables:
+        effective_miss = (1.0 - p**bits) ** max_tables
+        warnings.warn(
+            f"auto_lsh_params: recall budget infeasible — needs {tables} "
+            f"tables at bits={bits} but max_tables={max_tables}; effective "
+            f"P(miss a true pair at cos={threshold}) ≈ {effective_miss:.2e} "
+            f"instead of the requested {miss_prob:.2e}",
+            stacklevel=2,
+        )
     return bits, max(1, min(max_tables, tables))
 
 
@@ -553,6 +577,13 @@ def embedding_neardup_pairs(
     )
 
 
+# Driver-side training caps, independent of n_lists: the seed pool is at
+# most _SEED_POOL_CAP collected vectors (~32 MB at dim 64) and the O(seeds ×
+# pool × dim) farthest-first loop runs for at most _FARTHEST_FIRST_CAP seeds.
+_SEED_POOL_CAP = 65_536
+_FARTHEST_FIRST_CAP = 1_024
+
+
 def _ivf_train_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -567,26 +598,35 @@ def _ivf_train_centroids(
     clustered corpora (ids correlate with clusters), leaving one list with
     most of the corpus and skewed probe cost. Two deterministic fixes:
 
-    - **Seeding**: sample ``n_lists*16`` vectors ordered by ``xxhash64(id)``
-      — a uniform pseudo-random draw across the corpus regardless of id
-      layout, reproducible across runs — then run farthest-first traversal
+    - **Seeding**: sample vectors ordered by ``xxhash64(id)`` — a uniform
+      pseudo-random draw across the corpus regardless of id layout,
+      reproducible across runs — then run farthest-first traversal
       (Gonzalez) driver-side on that bounded sample: each next seed is the
       sample vector least similar (cosine) to its nearest existing seed,
-      ties broken by id. Sample is config-sized (n_lists×16 rows), so the
-      numpy loop is O(n_lists² ×16) driver work, never a corpus action.
+      ties broken by id. Driver work is capped INDEPENDENTLY of
+      ``n_lists`` (round-5 advice — semantic_dedup auto-sizes n_lists up
+      to 65536, where an uncapped n_lists×16 pool would be ~1M collected
+      vectors and ~4e12 seeding flops): the pool collects at most
+      ``_SEED_POOL_CAP`` vectors and farthest-first picks at most
+      ``_FARTHEST_FIRST_CAP`` seeds (O(cap × pool × dim) ≈ 4e9 flops worst
+      case); any remaining seeds are taken directly from the unchosen
+      hash-ordered sample — a uniform random init that the Lloyd rounds
+      then refine. For n_lists ≤ _FARTHEST_FIRST_CAP the behavior is
+      bit-identical to the uncapped algorithm.
     - **Lloyd refinement** (``iterations`` rounds): assignment is the same
       Arrow-batched matmul UDF the index uses (one corpus scan per
       iteration, no vector shuffle); per-dimension means are posexplode →
       groupBy(list, dim) over integer-scaled components (``round(x*1e6)``
       summed as longs) — exact, order-independent sums, so centroids are
       bit-identical under any partitioning or row order. The per-iteration
-      collect is ≤ n_lists×dim scalar rows; empty lists keep their
-      previous centroid.
+      collect is ≤ n_lists rows of dim-length arrays; empty lists keep
+      their previous centroid.
     """
+    pool_size = min(n_lists * 16, _SEED_POOL_CAP)
     sample = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(n_lists * 16)
+        .limit(pool_size)
         .collect()
     )
     if not sample:
@@ -596,13 +636,22 @@ def _ivf_train_centroids(
         np.linalg.norm(pool, axis=1, keepdims=True), 1e-12
     )
     n_seeds = min(n_lists, len(pool))
+    n_ff = min(n_seeds, _FARTHEST_FIRST_CAP)
     chosen = [0]  # first vector in hash order
     # min cosine-similarity of each pool vector to the chosen seed set
     best_sim = pool_unit @ pool_unit[0]
-    for _ in range(1, n_seeds):
+    for _ in range(1, n_ff):
         nxt = int(np.argmin(best_sim))  # farthest point; ties → lowest index
         chosen.append(nxt)
         best_sim = np.maximum(best_sim, pool_unit @ pool_unit[nxt])
+    if n_seeds > n_ff:
+        # remaining seeds: unchosen sample vectors in hash order (uniform
+        # random init); Lloyd refinement re-centers them
+        taken = set(chosen)
+        chosen.extend(
+            i for i in range(len(pool)) if i not in taken
+        )
+        chosen = chosen[:n_seeds]
     centroids = pool[chosen]
     if iterations <= 0 or len(centroids) < 2:
         return centroids
@@ -622,11 +671,18 @@ def _ivf_train_centroids(
                     / (F.count(F.lit(1)) * F.lit(float(scale)))
                 ).alias("__mean")
             )
+            .groupBy("__list")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__dim", "__mean"))),
+                    lambda s: s["__mean"],
+                ).alias("__means")
+            )
             .collect()
         )
         new = centroids.copy()
         for r in mean_rows:
-            new[r["__list"], r["__dim"]] = r["__mean"]
+            new[r["__list"], :] = r["__means"]
         centroids = new
     return centroids
 

@@ -530,7 +530,22 @@ def zorder_value(columns: list[str], mins: dict, maxs: dict, bits: int = 16):
     codegen-friendly; heavily skewed columns cluster less tightly — the
     standard trade the Delta/Iceberg OPTIMIZE ZORDER implementations also
     start from.
+
+    ``bits × len(columns)`` must fit in the 63 value bits of a signed
+    long: one bit more lands the top interleaved bit on the sign bit, and
+    beyond that JVM ``shiftleft`` wraps its distance mod 64 — either way
+    the curve ordering is silently scrambled and file pruning quietly
+    degrades, so that configuration RAISES instead (round-5 advice).
+    Callers wanting more columns lower ``bits`` (e.g. 4 columns → ≤15
+    bits); sub-16-bit grids still cluster far better than a plain sort.
     """
+    if not columns:
+        raise ValueError("zorder_value needs at least one column")
+    if bits * len(columns) > 63:
+        raise ValueError(
+            f"bits × columns = {bits}×{len(columns)} exceeds the 63 usable "
+            f"bits of a signed 64-bit Z key; use bits <= {63 // len(columns)}"
+        )
     scaled = {}
     for c in columns:
         lo, hi = float(mins[c]), float(maxs[c])
@@ -570,7 +585,13 @@ def write_zordered(
     z key — exactly one range exchange of data rows, no global sort, and
     the z key is dropped before write (pruning rides the data columns'
     own stats).
+
+    ``bits`` is clamped so the interleaved key fits a signed long (see
+    :func:`zorder_value`) — with 4+ columns the default 16-bit grid would
+    otherwise overflow; clamping trades grid resolution, never ordering
+    correctness.
     """
+    bits = min(bits, 63 // max(len(columns), 1))
     stats = df.agg(
         *[F.min(c).alias(f"__min_{c}") for c in columns],
         *[F.max(c).alias(f"__max_{c}") for c in columns],

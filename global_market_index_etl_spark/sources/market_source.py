@@ -61,6 +61,9 @@ class MarketBarsReader(DataSourceReader):
         }
         self.fail_attempts = int(options.get("fail_attempts", "0"))
         self.fail_kind = options.get("fail_kind", "timeout")
+        # < 0 ⇒ fail before the first bar; n ≥ 0 ⇒ fail after yielding n
+        # bars (the partial-stream HTTP failure case)
+        self.fail_after_bars = int(options.get("fail_after_bars", "-1"))
 
     def partitions(self):
         return [TickerPartition(t) for t in self.tickers]
@@ -89,7 +92,13 @@ class MarketBarsReader(DataSourceReader):
         while True:
             attempts += 1
             try:
-                yield from self._fetch(t, attempts)
+                # Buffer the whole attempt before yielding ANY row: a fetch
+                # that fails mid-stream (partial HTTP body) must not leave
+                # already-yielded rows in the task output, or the retry
+                # would duplicate those bars (round-5 advice). The buffer
+                # is one ticker × one window of bars — task-bounded.
+                rows = list(self._fetch(t, attempts))
+                yield from rows
                 return
             except MarketFetchError as err:
                 if attempts >= self.max_attempts:
@@ -103,7 +112,8 @@ class MarketBarsReader(DataSourceReader):
     def _fetch(self, t: str, attempt: int):
         # Deterministic synthetic walk — stands in for the per-ticker HTTP
         # fetch. LCG seeded by (seed, ticker) so every run/cluster agrees.
-        if t in self.fail_tickers and attempt <= self.fail_attempts:
+        failing = t in self.fail_tickers and attempt <= self.fail_attempts
+        if failing and self.fail_after_bars < 0:
             raise MarketFetchError(
                 f"synthetic {self.fail_kind} failure for {t} "
                 f"(attempt {attempt})"
@@ -121,7 +131,12 @@ class MarketBarsReader(DataSourceReader):
         ts = datetime.fromisoformat(self.start).replace(tzinfo=timezone.utc)
         step = timedelta(minutes=self.interval_minutes)
         price = base
-        for _ in range(self.bars):
+        for i in range(self.bars):
+            if failing and i == self.fail_after_bars:
+                raise MarketFetchError(
+                    f"synthetic mid-stream {self.fail_kind} failure for {t} "
+                    f"after {i} bars (attempt {attempt})"
+                )
             drift = (nxt() - 0.5) * 0.02 * price
             o = price
             c = price + drift
@@ -187,7 +202,9 @@ def quarantine_report(spark, **options):
         while attempts < reader.max_attempts:
             attempts += 1
             try:
-                next(reader._fetch(t, attempts))
+                # sentinel: a zero-bar fetch is a SUCCESSFUL empty window,
+                # not an error — bare next() would leak StopIteration here
+                next(reader._fetch(t, attempts), None)
                 err = None
                 break
             except MarketFetchError as e:

@@ -29,6 +29,51 @@ from pyspark.sql.types import StructType
 from ..operators.upsert import upsert
 
 
+def _prior_batch_dirs(
+    spark: SparkSession, path: str, current_batch_id: int
+) -> list[str]:
+    """Committed ``batch=<id>`` subdirectories under ``path``, EXCLUDING the
+    current batch — the stored-index read set for an incremental tick.
+
+    Two deliberate properties (round-5 advice):
+
+    - existence is decided by an explicit Hadoop FS listing, not by
+      catching the read's exception: a transient FS error RAISES and fails
+      the batch (foreachBatch retries it) instead of being silently
+      treated as "first batch ever", which would bootstrap a fresh index
+      and drop all cross-corpus pairs for the tick;
+    - a foreachBatch retry that already wrote its own ``batch=<id>`` delta
+      must not read that delta back as prior state — otherwise the batch's
+      docs appear on both sides of the dedup join and pair rows duplicate.
+      Excluding the current id makes the replay byte-identical.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    exclude = f"batch={current_batch_id}"
+    dirs = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch=") and name != exclude:
+            dirs.append(st.getPath().toString())
+    return sorted(dirs)
+
+
+def _read_prior_index(
+    spark: SparkSession, path: str, current_batch_id: int, columns: list[str]
+) -> DataFrame | None:
+    """Stored index at ``path`` minus the current batch's own delta, or
+    ``None`` when no PRIOR batch has committed (true first tick)."""
+    dirs = _prior_batch_dirs(spark, path, current_batch_id)
+    if not dirs:
+        return None
+    return (
+        spark.read.option("basePath", path).parquet(*dirs).select(*columns)
+    )
+
+
 def available_now_upsert(
     spark: SparkSession,
     source_dir: str,
@@ -221,17 +266,13 @@ def streaming_minhash_dedup(
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        try:
-            stored_bands = spark.read.parquet(bands_dir).select(
-                id_col, "band", "bucket"
-            )
-            stored_arrays = spark.read.parquet(arrays_dir).select(
-                id_col, "__sh"
-            )
-            has_index = True
-        except Exception:
-            has_index = False
-        if has_index:
+        stored_bands = _read_prior_index(
+            spark, bands_dir, batch_id, [id_col, "band", "bucket"]
+        )
+        stored_arrays = _read_prior_index(
+            spark, arrays_dir, batch_id, [id_col, "__sh"]
+        )
+        if stored_bands is not None and stored_arrays is not None:
             pairs, new_bands, new_arrays = incremental_minhash_pairs(
                 batch, stored_bands, stored_arrays, threshold=threshold,
                 **kwargs,
@@ -358,15 +399,13 @@ def streaming_embedding_neardup(
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        try:
-            stored_sigs = spark.read.parquet(sigs_dir).select(
-                id_col, "__tbl", "__sig"
-            )
-            stored_vecs = spark.read.parquet(vecs_dir).select(id_col, vec_col)
-            has_index = True
-        except Exception:
-            has_index = False
-        if has_index:
+        stored_sigs = _read_prior_index(
+            spark, sigs_dir, batch_id, [id_col, "__tbl", "__sig"]
+        )
+        stored_vecs = _read_prior_index(
+            spark, vecs_dir, batch_id, [id_col, vec_col]
+        )
+        if stored_sigs is not None and stored_vecs is not None:
             pairs, new_sigs = incremental_embedding_neardup_pairs(
                 batch,
                 stored_sigs,

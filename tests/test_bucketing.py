@@ -202,3 +202,35 @@ def test_zorder_write_tightens_file_ranges_on_both_dims(spark, tmp_path):
     assert back.agg(F.sum("event_id")).first()[0] == events.agg(
         F.sum("event_id")
     ).first()[0]
+
+
+def test_zorder_key_must_fit_signed_long(spark, tmp_path):
+    """bits × columns > 63 silently scrambles the curve (sign bit, JVM
+    shift wrap) — zorder_value must refuse it; write_zordered clamps bits
+    instead so default params keep working at any column count."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.storage import (
+        write_zordered,
+        zorder_value,
+    )
+    from global_market_index_etl_spark.sources.tables import load_table
+
+    mins = {c: 0 for c in "abcd"}
+    maxs = {c: 100 for c in "abcd"}
+    with _pytest.raises(ValueError, match="63"):
+        zorder_value(list("abcd"), mins, maxs, bits=16)
+    with _pytest.raises(ValueError, match="at least one column"):
+        zorder_value([], {}, {})
+    # 15 bits × 4 columns = 60 ≤ 63: fine
+    zorder_value(list("abcd"), mins, maxs, bits=15)
+
+    # the writer clamps: 4 columns at the default 16 bits must succeed
+    events = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value", "ts"
+    ).withColumn("ts", F.col("ts").cast("timestamp").cast("long"))
+    path = str(tmp_path / "z4")
+    write_zordered(
+        events, path, ["event_id", "user_id", "value", "ts"], n_files=4
+    )
+    assert spark.read.parquet(path).count() == events.count()

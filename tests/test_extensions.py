@@ -1107,6 +1107,59 @@ def test_ivf_training_deterministic_across_partitioning(spark):
     assert np.array_equal(a, b)
 
 
+def test_ivf_seeding_driver_work_capped(spark, monkeypatch):
+    """Driver-side seeding cost must be bounded independently of n_lists:
+    with the caps shrunk below n_lists, training still returns n_lists
+    distinct, deterministic centroids (farthest-first head + hash-order
+    fill, then Lloyd refinement)."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "_FARTHEST_FIRST_CAP", 3)
+    monkeypatch.setattr(sim, "_SEED_POOL_CAP", 64)
+    df = _clustered_vectors(spark)
+    a = sim._ivf_train_centroids(df, "vec_id", "embedding", 8, iterations=1)
+    assert a.shape[0] == 8
+    assert len({tuple(c) for c in a}) == 8  # all distinct seeds
+    b = sim._ivf_train_centroids(
+        df.repartition(5), "vec_id", "embedding", 8, iterations=1
+    )
+    assert np.array_equal(a, b)
+
+
+def test_auto_lsh_params_respends_budget_on_bits():
+    """When the derived table count exceeds max_tables, bits shrink until
+    the recall budget fits — the documented P(miss) ≤ miss_prob contract
+    must hold with the RETURNED parameters, not just the unclamped ones."""
+    import math
+
+    from global_market_index_etl_spark.operators.similarity import (
+        auto_lsh_params,
+    )
+
+    bits, tables = auto_lsh_params(1_000_000, 0.95)
+    assert tables <= 64
+    p = 1.0 - math.acos(0.95) / math.pi
+    assert (1.0 - p**bits) ** tables <= 1e-6  # guarantee actually held
+    # un-clamped case unchanged: small corpus needs few tables at bits=8+
+    assert auto_lsh_params(10_000, 0.8) == auto_lsh_params(10_000, 0.8)
+
+
+def test_auto_lsh_params_warns_when_infeasible():
+    """If even bits=8 cannot meet the budget within max_tables, the clamp
+    binds — loudly, with the effective miss probability."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.similarity import (
+        auto_lsh_params,
+    )
+
+    with _pytest.warns(UserWarning, match="effective"):
+        bits, tables = auto_lsh_params(1_000_000, 0.95, max_tables=8)
+    assert bits == 8 and tables == 8
+
+
 def test_semantic_dedup_matches_numpy_reference(spark):
     """SemDeDup on a planted corpus: duplicate groups and survivor picks
     must match a numpy all-pairs reference computed with the SAME

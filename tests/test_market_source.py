@@ -103,6 +103,35 @@ def test_poison_ticker_quarantined_not_batch(spark):
     assert "timeout" in report[0].error
 
 
+def test_midstream_failure_does_not_duplicate_rows(spark):
+    """A fetch that dies AFTER yielding some rows must not re-emit those
+    rows when the in-task retry succeeds: attempts are buffered and only
+    a complete attempt's rows reach the task output (round-5 advice —
+    the before-first-yield injection alone could never catch this)."""
+    clean = read_market_bars(spark, tickers="AAA,BBB", bars=8).collect()
+    retried = read_market_bars(
+        spark,
+        tickers="AAA,BBB",
+        bars=8,
+        fail_tickers="BBB",
+        fail_attempts=2,  # < max_attempts=3
+        fail_after_bars=5,  # dies mid-stream, 5 bars already produced
+    ).collect()
+    assert sorted(retried) == sorted(clean)
+    # sanity: the failing ticker has exactly bars rows, not bars + 2×5
+    n_bbb = sum(1 for r in retried if r.ticker == "BBB")
+    assert n_bbb == 8
+
+
+def test_zero_bar_fetch_is_not_quarantined(spark):
+    """bars=0 is a successful empty window: quarantine_report must not
+    crash on (or misreport) the exhausted iterator."""
+    report = quarantine_report(
+        spark, tickers="AAA,BBB", bars=0
+    ).collect()
+    assert report == []
+
+
 def test_poison_ticker_raises_by_default(spark):
     """Default on_error=raise: the bad ticker's TASK fails (after in-task
     retries) and the job surfaces the typed error."""

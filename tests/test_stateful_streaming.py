@@ -158,6 +158,92 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     assert again == got, n_batches
 
 
+def test_prior_index_read_excludes_current_batch(spark, tmp_path):
+    """The stored-index read for batch N must exclude N's own committed
+    delta (a foreachBatch retry otherwise sees its docs on both sides of
+    the dedup join and duplicates pair rows), and index absence must come
+    from an explicit FS listing, not a swallowed read error."""
+    from global_market_index_etl_spark.streaming.incremental import (
+        _read_prior_index,
+    )
+
+    root = str(tmp_path / "bands")
+    # no directory at all → true first batch
+    assert _read_prior_index(spark, root, 0, ["doc_id"]) is None
+
+    spark.range(3).withColumnRenamed("id", "doc_id").write.parquet(
+        f"{root}/batch=0"
+    )
+    spark.range(3, 5).withColumnRenamed("id", "doc_id").write.parquet(
+        f"{root}/batch=1"
+    )
+    # retry of batch 1: must see ONLY batch 0's rows
+    prior = _read_prior_index(spark, root, 1, ["doc_id"])
+    assert sorted(r.doc_id for r in prior.collect()) == [0, 1, 2]
+    # next batch (2): sees both committed deltas
+    both = _read_prior_index(spark, root, 2, ["doc_id"])
+    assert sorted(r.doc_id for r in both.collect()) == [0, 1, 2, 3, 4]
+    # only batch 1's own delta on disk and batch 1 retries → first-batch path
+    assert _read_prior_index(spark, str(tmp_path / "b2"), 7, ["doc_id"]) is None
+    spark.range(2).withColumnRenamed("id", "doc_id").write.parquet(
+        str(tmp_path / "b2") + "/batch=7"
+    )
+    assert _read_prior_index(spark, str(tmp_path / "b2"), 7, ["doc_id"]) is None
+
+
+def test_streaming_minhash_retry_is_idempotent(spark, tmp_path):
+    """Replaying a completed tick's foreachBatch body (same batch id) must
+    regenerate exactly the pairs already on disk for that batch — the
+    crash-after-write/before-checkpoint-commit case."""
+    from global_market_index_etl_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+    from global_market_index_etl_spark.sources.tables import load_table
+    from global_market_index_etl_spark.streaming.incremental import (
+        _read_prior_index,
+        streaming_minhash_dedup,
+    )
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    args = dict(
+        source_dir=src,
+        schema=docs.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_dir=index_dir,
+        pairs_dir=pairs_dir,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    streaming_minhash_dedup(spark, **args).awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    streaming_minhash_dedup(spark, **args).awaitTermination(120)
+
+    committed = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in spark.read.parquet(f"{pairs_dir}/batch=1").collect()
+    }
+    # replay tick 2's body: the prior-index read must skip batch=1's own
+    # delta, so the recomputed pairs equal the committed delta exactly
+    stored_bands = _read_prior_index(
+        spark, f"{index_dir}/bands", 1, ["doc_id", "band", "bucket"]
+    )
+    stored_arrays = _read_prior_index(
+        spark, f"{index_dir}/arrays", 1, ["doc_id", "__sh"]
+    )
+    replay, _, _ = incremental_minhash_pairs(
+        b2, stored_bands, stored_arrays, threshold=0.8
+    )
+    replayed = {(r.id_1, r.id_2): r.jaccard for r in replay.collect()}
+    assert replayed == committed and len(committed) > 0
+
+
 def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     """Two availableNow ticks of ingestion-time decontamination must
     reproduce the batch operator's split exactly: clean ∪ quarantined =
