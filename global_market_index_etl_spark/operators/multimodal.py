@@ -4,13 +4,18 @@ pipelines (driver north star).
 Design: payloads are opaque ``binary`` columns + typed metadata columns
 (media_type, width/height/duration, codec). All Spark-side plumbing —
 schemas, partitioning, Arrow batch shape, UDF signatures — is real and
-tested; the actual codec work is stubbed because decode libraries
-(PIL/ffmpeg/torchaudio) are not in this container:
+tested. Decode libraries (PIL/ffmpeg/torchaudio) are not in this
+container, so the codec work is a pure-numpy family instead: PNG
+(inflate+unfilter), baseline JPEG (``operators/jpeg.py`` — Huffman +
+batched IDCT + 4:2:0 upsample), RIFF/PCM WAV, and uncompressed RGB24 AVI.
+Compressed VIDEO codecs (H.264 etc.) remain the one documented
+``NotImplementedError`` hook — that is a codebase, not a function.
 
-- ``decode_stub=False`` paths raise ``NotImplementedError`` with the exact
-  library call they would make — drop-in replacement point.
+- ``decode_stub=False`` paths really decode via the codec family above;
+  unsupported containers raise ValueError for the quarantine path.
 - ``decode_stub=True`` paths run a deterministic fake decode (byte
-  histogram as "pixels") so the batch plumbing is exercisable end-to-end.
+  histogram as "pixels") so the batch plumbing is exercisable end-to-end
+  with payloads that aren't valid media files.
 
 Everything runs through ``mapInPandas``: Arrow-batched, streaming per
 partition (never materializes a partition in memory), and the iterator
@@ -181,15 +186,32 @@ def decode_png(payload: bytes):
     return out.reshape(height, width, channels)
 
 
+def decode_image(payload: bytes):
+    """Decode an image payload to ``(h, w, channels)`` uint8, dispatching
+    on the container's magic bytes: PNG (pure-numpy inflate+unfilter,
+    :func:`decode_png`) or baseline JPEG (pure-numpy Huffman+IDCT,
+    :func:`..operators.jpeg.decode_jpeg` — the format real crawl corpora
+    are actually in). Anything else raises ValueError for the quarantine
+    path."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unsupported image container (not PNG or JPEG)")
+
+
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     ``decode_stub=True``: 16-bin BYTE histogram of the raw payload,
     hex-encoded — deterministic, so tests can assert exact values without
     any codec. ``decode_stub=False``: REAL decode — image payloads go
-    through ``decode_png`` (pure numpy) and the feature is the 16-bin
-    PIXEL histogram of the decoded array; same schema, same batch shape,
-    so swapping in PIL/librosa/pyav for other codecs changes one function.
+    through ``decode_image`` (pure-numpy PNG *and* baseline JPEG) and the
+    feature is the 16-bin PIXEL histogram of the decoded array; same
+    schema, same batch shape, so swapping in PIL/librosa/pyav for other
+    codecs changes one function.
     """
 
     def _fake_decode(payload: bytes) -> str:
@@ -202,7 +224,7 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
         import numpy as np
 
         if media_type == "image":
-            pixels = decode_png(payload)
+            pixels = decode_image(payload)
             hist = np.bincount(pixels.reshape(-1) >> 4, minlength=16)
         elif media_type == "audio":
             # 16-bin histogram over the decoded sample amplitude range —
@@ -349,12 +371,13 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads to ``width × height`` via mapInPandas.
 
-    REAL path for PNG payloads: ``decode_png`` → nearest-neighbor index
-    sampling (one numpy fancy-index per image, no Python pixel loop) →
-    ``encode_png``; the width/height metadata columns come back filled.
+    REAL path for PNG and baseline-JPEG payloads: ``decode_image`` →
+    nearest-neighbor index sampling (one numpy fancy-index per image, no
+    Python pixel loop) → ``encode_png`` (thumbnails re-emit lossless; a
+    JPEG source stays decodable downstream without quality re-loss).
     Nearest-neighbor is the standard choice for training-data thumbnailing
     where throughput beats interpolation quality; swapping in PIL's
-    Lanczos later changes only the per-image function. Non-PNG payloads
+    Lanczos later changes only the per-image function. Other containers
     raise ValueError from the decoder — route exotic codecs through a
     quarantine filter first. ``decode_stub=True`` passes payloads through
     untouched (metadata-only update) for plumbing tests without codec
@@ -370,7 +393,7 @@ def resize_images(
                 return None
             if decode_stub:
                 return payload
-            px = decode_png(payload)
+            px = decode_image(payload)
             h0, w0, _c = px.shape
             ys = (np.arange(height) * h0 // height).astype(np.int64)
             xs = (np.arange(width) * w0 // width).astype(np.int64)

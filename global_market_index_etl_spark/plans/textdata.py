@@ -392,10 +392,11 @@ def mm_binary_stats(spark, sf):
     "streaming iterator — the row-expansion shape of real video keyframe "
     "extraction; stride slices stand in for codec output) feeding decode + "
     "feature-extract (frame bytes → deterministic 16-bin byte-histogram "
-    "features, Arrow-batched). The codec calls are the stubbed replacement "
-    "points (operators/multimodal.py; a real pure-numpy PNG decode path "
-    "exists behind decode_stub=False and is exercised in tests). Batch "
-    "shape, schema, row expansion, and determinism are asserted in tests.",
+    "features, Arrow-batched). Real pure-numpy codecs (PNG, baseline JPEG "
+    "incl. 4:2:0, WAV, uncompressed AVI) exist behind decode_stub=False "
+    "and are exercised in tests; this fixture feeds text bytes, so the "
+    "driver run uses the stub decode. Batch shape, schema, row expansion, "
+    "and determinism are asserted in tests.",
 )
 def mm_decode_features(spark, sf):
     from ..operators.multimodal import (

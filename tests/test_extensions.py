@@ -623,6 +623,135 @@ def test_extract_features_real_png_decode(spark):
         assert got[i] == want
 
 
+def test_jpeg_codec_fidelity_bounds(spark):
+    """Baseline JPEG encode→decode on smooth and uniform images: decoded
+    pixels must stay within tight error bounds (JPEG is lossy, so the
+    contract is fidelity, not identity like PNG/WAV/AVI); 4:2:0 exercises
+    the decoder's chroma upsample; unsupported processes raise."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 41, 57  # odd dims force partial MCUs on every edge
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 / (w - 1),
+            yy * 255 / (h - 1),
+            (xx + yy) * 255 / (w + h - 2),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    d444 = decode_jpeg(encode_jpeg(img, quality=90))
+    assert d444.shape == (h, w, 3)
+    assert np.abs(d444.astype(int) - img.astype(int)).max() <= 4
+
+    d420 = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+    assert d420.shape == (h, w, 3)
+    assert np.abs(d420.astype(int) - img.astype(int)).max() <= 8
+
+    uni = np.full((16, 16, 3), 200, np.uint8)
+    assert (decode_jpeg(encode_jpeg(uni, 90)) == 200).all()
+    assert (decode_jpeg(encode_jpeg(uni, 90, subsample=True)) == 200).all()
+
+    gray = (np.arange(17 * 13, dtype=np.uint64) * 2654435761 % 256).astype(
+        np.uint8
+    ).reshape(17, 13, 1)
+    dg = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert dg.shape == (17, 13, 1)
+    assert np.abs(dg.astype(int) - gray.astype(int)).mean() < 4
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 to SOF2 (progressive): must refuse, not mangle
+    payload = bytearray(encode_jpeg(uni, 90))
+    payload[payload.index(b"\xff\xc0", 2) + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(payload))
+
+
+def test_extract_features_real_jpeg_decode(spark):
+    """decode_stub=False on a JPEG fixture: the magic-byte dispatch routes
+    payloads through the pure-numpy baseline JPEG decoder inside the
+    mapInPandas plumbing — features are DECODED-pixel histograms, and a
+    mixed PNG+JPEG batch decodes per-row."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from global_market_index_etl_spark.operators.multimodal import (
+        as_media_table,
+        extract_features,
+    )
+
+    def hist_hex(arr):
+        hist = np.bincount(arr.reshape(-1) >> 4, minlength=16)
+        return "".join(f"{min(int(h), 255):02x}" for h in hist)
+
+    yy, xx = np.mgrid[0:24, 0:16]
+    base = np.stack([xx * 16, yy * 10, xx + yy], axis=-1).astype(np.uint8)
+    jpg = encode_jpeg(base, quality=90)
+    jpg420 = encode_jpeg(base, quality=85, subsample=True)
+    png = _encode_png(base)
+    rows = [(0, jpg), (1, jpg420), (2, png)]
+    media = as_media_table(
+        spark.createDataFrame(rows, "img_id long, payload binary"),
+        "img_id",
+        "payload",
+        "image",
+    )
+    got = {
+        r.media_id: r.feature
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    assert got[0] == hist_hex(decode_jpeg(jpg))
+    assert got[1] == hist_hex(decode_jpeg(jpg420))
+    assert got[2] == hist_hex(base)  # PNG is lossless
+
+
+def test_resize_images_jpeg_payload(spark):
+    """resize_images accepts JPEG payloads via the same dispatch and
+    re-emits lossless PNG thumbnails of the decoded pixels."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from global_market_index_etl_spark.operators.multimodal import (
+        as_media_table,
+        decode_png,
+        resize_images,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack([xx * 5, yy * 7, (xx * yy) % 251], axis=-1).astype(
+        np.uint8
+    )
+    media = as_media_table(
+        spark.createDataFrame(
+            [(1, encode_jpeg(img, quality=92))], "img_id long, payload binary"
+        ),
+        "img_id",
+        "payload",
+        "image",
+    )
+    out = resize_images(media, width=12, height=8).collect()[0]
+    assert (out.width, out.height) == (12, 8)
+    thumb = decode_png(bytes(out.payload))
+    # expected: nearest-neighbor sample of the JPEG-decoded pixels
+    px = decode_jpeg(encode_jpeg(img, quality=92))
+    ys = (np.arange(8) * 32 // 8).astype(np.int64)
+    xs = (np.arange(12) * 48 // 12).astype(np.int64)
+    assert (thumb == px[ys][:, xs]).all()
+
+
 def test_pii_redaction_and_counts(spark):
     """Redaction replaces each PII class with its token and the counts
     column agrees; the same patterns produce the identical redaction in
