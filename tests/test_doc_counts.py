@@ -1,0 +1,39 @@
+"""Docs must carry registry-derived counts (round-5 verdict: hand-edited
+totals drifted). ``scripts/gen_counts.py`` stamps them; this guard fails
+the suite whenever README.md / COVERAGE.md disagree with the registry."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from global_market_index_etl_spark.plans import REGISTRY
+
+REPO = Path(__file__).resolve().parent.parent
+
+TOTAL = len(REGISTRY)
+ORACLED = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+
+
+def test_coverage_totals_match_registry():
+    text = (REPO / "COVERAGE.md").read_text()
+    m = re.search(
+        r"(\d+) declared queries — (\d+) with full DuckDB oracles, "
+        r"(\d+) rows-only",
+        text,
+    )
+    assert m, "COVERAGE.md totals line missing"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        TOTAL,
+        ORACLED,
+        TOTAL - ORACLED,
+    ), "COVERAGE.md totals drifted — run scripts/gen_counts.py"
+
+
+def test_readme_counts_match_registry():
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"(\d+) declared queries, (\d+) with full DuckDB oracles", text)
+    assert m, "README.md query-count phrase missing"
+    assert (int(m.group(1)), int(m.group(2))) == (TOTAL, ORACLED), (
+        "README.md counts drifted — run scripts/gen_counts.py"
+    )
