@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "curation_pipeline",
     "text_metrics",
     "ann_cosine_topk",
     "fx_asof_rate_fill",

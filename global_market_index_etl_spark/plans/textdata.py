@@ -612,7 +612,7 @@ def dedup_cluster_survivors(spark, sf):
 @query(
     "curation_pipeline",
     """
-    WITH q AS (
+    WITH RECURSIVE q AS (
       SELECT doc_id, text,
 {quality}
       FROM documents
@@ -622,32 +622,88 @@ def dedup_cluster_survivors(spark, sf):
       SELECT min(doc_id) AS doc_id
       FROM kept
       GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ), base AS (
+      SELECT k.doc_id, k.text, k.quality_score
+      FROM kept k JOIN surv USING (doc_id)
+    ), words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM base WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM pos a
+      JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_1, id_2 FROM inter
+      JOIN sizes s1 ON id_1 = s1.doc_id
+      JOIN sizes s2 ON id_2 = s2.doc_id
+      WHERE n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
+                              - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_1 AS u, id_2 AS v FROM pairs
+      UNION ALL SELECT id_2, id_1 FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT b.doc_id,
+             CAST(least(b.doc_id, coalesce(min(r.v), b.doc_id)) AS BIGINT)
+               AS canonical_id
+      FROM base b LEFT JOIN reach r ON r.u = b.doc_id
+      GROUP BY b.doc_id
     )
-    SELECT k.doc_id,
-           round(k.quality_score, 6) AS quality_score,
+    SELECT b.doc_id,
+           round(b.quality_score, 6) AS quality_score,
 {split_case}
-    FROM kept k JOIN surv USING (doc_id)
-    """.format(quality=_SQL_QUALITY_SCORE, split_case=_sql_split_case("k.doc_id")),
+    FROM base b JOIN comp c
+      ON b.doc_id = c.doc_id AND b.doc_id = c.canonical_id
+    """.format(quality=_SQL_QUALITY_SCORE, split_case=_sql_split_case("b.doc_id")),
     doc="End-to-end training-data curation as ONE lazy plan: quality "
     "scoring (per-row codegen) → threshold filter → exact-dedup survivor "
-    "selection (min-id per fingerprint, one shuffle) → deterministic "
-    "hash-bucket train/val/test assignment. The flagship composition of "
-    "the text/dedup/sampling tiers; every stage individually oracle-"
-    "checked, and the composition itself matched value-for-value here.",
+    "selection (min-id per fingerprint, one shuffle) → NEAR-dedup at "
+    "scale (MinHash+LSH banded candidates, exact-Jaccard verify, "
+    "large-star/small-star connected components, min-id survivor per "
+    "cluster) → deterministic hash-bucket train/val/test assignment. The "
+    "flagship composition now exercises the declared 100 TB dedup path "
+    "(banded bucket join, O(log n) clustering), not just the exact tier. "
+    "Oracle = exact-Jaccard pairs + recursive-CTE closure over the same "
+    "staged corpus — sound for the same reason as dedup_minhash_lsh "
+    "(the verify stage recomputes exact Jaccard; banding recovers the "
+    "full ≥0.8 pair set on the fixture corpus, asserted in tests).",
 )
 def curation_pipeline(spark, sf):
+    from ..operators.dedup import connected_components_star
     from ..operators.sampling import train_val_test_split
     from ..operators.text import fingerprint_md5, quality_score
 
     docs = load_table(spark, sf, "documents")
     kept = quality_score(docs).filter(F.col("quality_score") >= 0.5)
-    survivors = (
+    exact_survivors = (
         kept.withColumn("fingerprint", fingerprint_md5("text"))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    out = kept.join(survivors, "doc_id")
+    base = kept.join(exact_survivors, "doc_id")
+    near_pairs = minhash_lsh_pairs(base, n=3, threshold=0.8)
+    comp = connected_components_star(
+        near_pairs.select("id_1", "id_2"), base, "doc_id"
+    )
+    near_survivors = comp.filter(
+        F.col("doc_id") == F.col("canonical_id")
+    ).select("doc_id")
+    out = base.join(near_survivors, "doc_id")
     return train_val_test_split(out, "doc_id").select(
         "doc_id", F.round("quality_score", 6).alias("quality_score"), "split"
     )
