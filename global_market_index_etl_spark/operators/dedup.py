@@ -385,6 +385,103 @@ def _verify_jaccard(
     )
 
 
+def _plain_bucket_pairs(band_rows: DataFrame, id_col: str) -> DataFrame:
+    """Per-(band, bucket) self-join candidates — the non-skewed path."""
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_1"),
+        F.col(f"b.{id_col}").alias("id_2"),
+    )
+
+
+def _tiled_bucket_pairs(
+    band_rows: DataFrame, id_col: str, n_tiles: int
+) -> DataFrame:
+    """Triangle-tiled self-join for HOT buckets: rows hash into ``n_tiles``
+    groups, each unordered group pair (p ≤ q) becomes its own join key, so
+    one bucket's |bucket|² pair work spreads over n_tiles(n_tiles+1)/2
+    independent tasks of ~(|bucket|/n_tiles)² each. Every (x, y) pair lands
+    in tile (min(gx,gy), max(gx,gy)) — with the lower-GROUP member on the
+    left — so the inequality must be on ids-differ, not id-order (the
+    smaller id may sit on either side), and the pair is normalized to
+    (least, greatest) afterward; the caller's ``distinct`` collapses the
+    double emission the diagonal tiles (gx = gy) produce."""
+    gid = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles))
+    g = band_rows.withColumn("__g", gid)
+    left = g.withColumn(
+        "__q", F.explode(F.sequence(F.col("__g"), F.lit(n_tiles - 1)))
+    ).withColumnRenamed("__g", "__p")
+    right = g.withColumn(
+        "__p", F.explode(F.sequence(F.lit(0), F.col("__g")))
+    ).withColumnRenamed("__g", "__q")
+    a = left.alias("a")
+    b = right.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.__p") == F.col("b.__p"))
+        & (F.col("a.__q") == F.col("b.__q"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_1"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_2"),
+    )
+
+
+def banded_candidate_pairs(
+    band_rows: DataFrame,
+    id_col: str = "doc_id",
+    hot_threshold: int = 4096,
+    n_tiles: int = 8,
+) -> DataFrame:
+    """Distinct candidate pairs from LSH band rows, skew-safe.
+
+    A boilerplate-heavy corpus (cookie banners, license headers, mirrored
+    pages) concentrates thousands of docs in ONE band bucket; the plain
+    per-bucket self-join then does that bucket's |bucket|² work in a
+    single task. AQE's skew-join split cannot save it: the skew is in the
+    join's OUTPUT rows, not its input bytes — a 100k-doc bucket is ~2.4 MB
+    of (id, band, bucket) input, far under any AQE partition-size
+    threshold, yet 10^10 output pairs. So the split is cost-based and
+    explicit here: one count aggregate over the (already materialized)
+    band rows finds buckets above ``hot_threshold``; those rows take the
+    triangle-tiled join (bounded ~(|bucket|/n_tiles)² per task), the rest
+    keep the plain single-key join; results union exactly (each pair
+    collides within one bucket, so it takes exactly one path; ``distinct``
+    dedups cross-band repeats as before). The hot set is broadcast —
+    bounded by |corpus|·bands / hot_threshold entries.
+    """
+    counts = band_rows.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    hot = counts.filter(F.col("__n") > hot_threshold).select("band", "bucket")
+    # cost-based short-circuit (one partial-agg probe over the already-
+    # materialized band rows, same discipline as ngram_jaccard_pairs'
+    # strategy pick): a skew-free corpus keeps the exact r5 plain plan —
+    # no second join leg, no union, no re-dedup overhead
+    if hot.isEmpty():
+        return _plain_bucket_pairs(band_rows, id_col).distinct()
+    marked = band_rows.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))),
+        ["band", "bucket"],
+        "left",
+    )
+    cold_rows = marked.filter(F.col("__hot").isNull()).drop("__hot")
+    hot_rows = marked.filter(F.col("__hot").isNotNull()).drop("__hot")
+    return (
+        _plain_bucket_pairs(cold_rows, id_col)
+        .unionByName(_tiled_bucket_pairs(hot_rows, id_col, n_tiles))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -394,33 +491,24 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     seed: int = 42,
+    hot_threshold: int = 4096,
+    n_tiles: int = 8,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
     Pipeline: shingles → signatures → band buckets (bands × rows/band
-    slices, bucket key = hash of the slice) → self-join per (band, bucket)
-    for candidates → exact Jaccard on candidates only. With b=8, r=4:
-    s=0.8 ⇒ P(candidate) ≈ 0.986; s=0.4 ⇒ ≈ 0.19 — the filter does the work,
-    the verify keeps precision at 1.
+    slices, bucket key = hash of the slice) → skew-safe self-join per
+    (band, bucket) for candidates (:func:`banded_candidate_pairs` —
+    hot buckets triangle-tiled) → exact Jaccard on candidates only. With
+    b=8, r=4: s=0.8 ⇒ P(candidate) ≈ 0.986; s=0.4 ⇒ ≈ 0.19 — the filter
+    does the work, the verify keeps precision at 1.
     """
     band_rows, arrays = minhash_index(
         df, id_col, text_col, n, num_hashes, bands, seed
     )
     band_rows = _materialize(band_rows)
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_1"),
-            F.col(f"b.{id_col}").alias("id_2"),
-        )
-        .distinct()
+    candidates = banded_candidate_pairs(
+        band_rows, id_col, hot_threshold, n_tiles
     )
     return _verify_jaccard(candidates, arrays, id_col, threshold)
 

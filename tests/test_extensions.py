@@ -62,6 +62,72 @@ def test_minhash_lsh_matches_exact_jaccard(spark, docs):
         assert j == exact[pair]  # verify stage recomputes the exact value
 
 
+def test_banded_pairs_hot_bucket_tiled_matches_plain(spark):
+    """A planted boilerplate corpus (one hot band bucket) must produce the
+    IDENTICAL pair set through the triangle-tiled skew path as through the
+    plain self-join, with the hot bucket's quadratic work spread across
+    balanced tile groups instead of one task."""
+    from global_market_index_etl_spark.operators.dedup import (
+        banded_candidate_pairs,
+        minhash_index,
+    )
+
+    n_hot, n_tiles = 120, 4
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog again and again")
+        for i in range(n_hot)
+    ] + [
+        (500 + i, f"unique document number {i} carrying distinct words "
+                  f"{i * 7} and {i * 13} here")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # identical docs share every band bucket → bucket population 120
+    plain = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(df, hot_threshold=10**9).collect()
+    }
+    tiled = {
+        (r.id_1, r.id_2)
+        for r in minhash_lsh_pairs(
+            df, hot_threshold=64, n_tiles=n_tiles
+        ).collect()
+    }
+    assert tiled == plain
+    assert len(plain) >= n_hot * (n_hot - 1) // 2  # all-identical clique
+
+    # candidate layer alone: tiled ≡ plain on the same band rows
+    band_rows, _ = minhash_index(df)
+    band_rows = band_rows.cache()
+    cand_plain = {
+        (r.id_1, r.id_2)
+        for r in banded_candidate_pairs(
+            band_rows, hot_threshold=10**9
+        ).collect()
+    }
+    cand_tiled = {
+        (r.id_1, r.id_2)
+        for r in banded_candidate_pairs(
+            band_rows, hot_threshold=64, n_tiles=n_tiles
+        ).collect()
+    }
+    assert cand_tiled == cand_plain
+
+    # bounded spread: the hot ids hash into n_tiles balanced groups, so the
+    # largest tile does ≤ (max_group)² ≪ n_hot² work
+    gsizes = [
+        r.n
+        for r in df.filter(F.col("doc_id") < n_hot)
+        .groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(n_tiles)).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(gsizes) == n_tiles
+    assert max(gsizes) <= 2 * n_hot // n_tiles
+    band_rows.unpersist()
+
+
 def test_simhash_finds_planted_neardups(spark, docs):
     pairs = simhash_near_pairs(docs, max_hamming=7)
     exact = {
