@@ -25,13 +25,19 @@ transaction log provides):
   pre-merge table. Recovery from a crashed merge is simply re-running it;
   ``vacuum_table`` reclaims any orphaned staging/data files.
 
-Crash-atomicity is for a SINGLE writer (like one Airflow task instance in
-the reference's DAG): concurrent merges into the same table race on the
-next manifest version; the loser is detected best-effort (an exists-check
-before the commit rename, guaranteed on HDFS where rename-onto-existing
-fails, advisory on POSIX file:) — serialize writers externally. (The
-reference holds a single Postgres connection with explicit commit/rollback,
-postgres_writer.py:107-113; true multi-writer OCC is what a full table
+Concurrent merges use optimistic concurrency control on the manifest
+version: the version-name rename is the commit point (guaranteed
+exclusive on HDFS where rename-onto-existing fails; an exists-check
+closes the race in practice on POSIX file:), and the LOSER retries —
+re-reads the winner's manifest, re-stages ONLY the buckets whose file
+sets changed under it (its already-moved files for unconflicted buckets
+stay valid: manifests never referenced them), and commits on top. Both
+batches' rows survive, in any interleaving; last-write-wins ties keep the
+upsert's deterministic survivor. Concurrent writers should run with
+``retain_versions > 1`` so the loser's in-flight read of the pre-commit
+file set cannot race the winner's eager cleanup. (The reference holds a
+single Postgres connection with explicit commit/rollback,
+postgres_writer.py:107-113; this is the MERGE-level OCC a full table
 format adds.)
 
 Cost scales with |touched buckets| ≍ |batch|, not |table| — the property
@@ -53,6 +59,18 @@ from .upsert import upsert
 
 BUCKET = "__bucket"
 _MANIFEST_PREFIX = "_gmie_manifest-v"
+
+
+class ManifestConflict(IOError):
+    """Another writer committed the manifest version this commit targeted —
+    the optimistic-concurrency retry signal (subclass of IOError for
+    backward compatibility with callers catching the old error)."""
+
+
+# OCC retry budget: each retry re-stages at most the conflicting buckets,
+# so the loop converges unless a competing writer commits faster than this
+# writer can stage — 8 lost races in a row means pathological contention.
+_MAX_COMMIT_ATTEMPTS = 8
 
 
 def _bucket_col(key_columns: list[str], n_buckets: int):
@@ -126,9 +144,9 @@ def _commit_manifest(
     (atomic on file:/hdfs:). Same-version collision detection is
     filesystem-dependent: on HDFS, rename-onto-existing fails and the loser
     errors out; on LocalFileSystem, POSIX rename(2) silently overwrites, so
-    we add a best-effort ``exists`` check before the rename. That closes
-    the race in practice but is not a lock — the protocol is single-writer
-    and concurrent merges must be serialized externally.
+    we add a best-effort ``exists`` check before the rename. The raised
+    ``ManifestConflict`` is the OCC signal ``merge_into_parquet`` retries
+    on (re-read, re-stage conflicting buckets, commit on top).
     """
     jvm, fs = _fs(spark, path)
     tmp = f"{path}/.manifest-tmp-{uuid.uuid4().hex}"
@@ -142,9 +160,9 @@ def _commit_manifest(
         _hpath(jvm, tmp), _hpath(jvm, final)
     ):
         fs.delete(_hpath(jvm, tmp), False)
-        raise IOError(
+        raise ManifestConflict(
             f"manifest commit failed for {final} — another writer committed "
-            "this version first (single-writer protocol; serialize merges)"
+            "this version first"
         )
 
 
@@ -258,6 +276,7 @@ def merge_into_parquet(
     n_buckets: int = 16,
     retain_versions: int = 1,
     _crash_point: str | None = None,
+    _race_hook=None,
 ) -> None:
     """MERGE ``updates`` into the bucketed table at ``path`` (last-write-wins).
 
@@ -285,7 +304,15 @@ def merge_into_parquet(
     visible only at the final manifest rename. A crash anywhere before that
     leaves the previous table version fully readable; re-running the merge
     is the recovery procedure. ``_crash_point`` is a test-only fault hook
-    ("after_stage" | "after_move") used by the kill-mid-merge tests.
+    ("after_stage" | "after_move") used by the kill-mid-merge tests;
+    ``_race_hook`` is a test-only callable run once between move and
+    commit, used to interleave a competing writer deterministically.
+
+    Multi-writer: the commit is optimistic — losing the manifest-version
+    race re-reads the winner's manifest, re-stages only the buckets whose
+    file sets changed, and commits on top (module docstring). Run
+    concurrent writers with ``retain_versions > 1`` so a winner's eager
+    cleanup cannot delete files a competing merge is still reading.
 
     The manifest is the source of truth for the table layout: when one
     exists, its ``n_buckets`` overrides the parameter (a mismatched caller
@@ -328,75 +355,142 @@ def merge_into_parquet(
         version = 1
         _commit_manifest(spark, path, version, manifest)
     affected_set = {str(b) for b in affected}
-    # Schema pinned from the batch (same columns by contract): parquet
-    # columns resolve by NAME, the partition column fills from dir names,
-    # a still-empty table reads as zero rows instead of failing inference,
-    # and planning skips the footer sweep entirely.
-    current = _read_live_files(spark, path, manifest, up.schema, affected_set)
-    merged = upsert(current, up, key_columns, order_column=order_column)
-    # Stage the replacement buckets OUTSIDE the live file set. The staged
-    # write reads the current files and writes new ones — nothing is
-    # deleted or overwritten, so no localCheckpoint materialization is
-    # needed (the pre-manifest implementation had to checkpoint because
-    # dynamic partition overwrite destroyed its own input files).
-    staging = f"{path}/.staging-{uuid.uuid4().hex}"
-    (
-        merged.repartition(len(affected), F.col(BUCKET))
-        .write.mode("overwrite")
-        .partitionBy(BUCKET)
-        .parquet(staging)
-    )
-    if _crash_point == "after_stage":
-        raise RuntimeError("injected crash: staged files written, not moved")
-    # Move staged files into the live bucket dirs under commit-unique names
-    # (rename = metadata op on the same filesystem; never overwrites).
+    bucket_vals = {str(b): b for b in affected}
     jvm, fs = _fs(spark, path)
-    new_version = version + 1
-    commit_tag = f"c{new_version:010d}-{uuid.uuid4().hex[:8]}"
-    new_bucket_files: dict[str, list[str]] = {}
-    for st in fs.listStatus(_hpath(jvm, staging)):
-        dirname = st.getPath().getName()
-        if not dirname.startswith(BUCKET + "="):
-            continue
-        bval = dirname.split("=", 1)[1]
-        fs.mkdirs(_hpath(jvm, f"{path}/{dirname}"))
-        moved = []
-        for f in fs.listStatus(st.getPath()):
-            fname = f.getPath().getName()
-            if not fname.endswith(".parquet"):
+
+    def _stage_and_move(base_manifest: dict, buckets: set[str], tag_version: int):
+        """Merge ``buckets``' live files with the matching update rows,
+        stage OUTSIDE the live set, move in under commit-unique names
+        (rename = metadata op; never overwrites). Returns
+        (bucket → moved rel paths, staging dir)."""
+        # Schema pinned from the batch (same columns by contract): parquet
+        # columns resolve by NAME, the partition column fills from dir
+        # names, a still-empty table reads as zero rows instead of failing
+        # inference, and planning skips the footer sweep entirely.
+        current = _read_live_files(
+            spark, path, base_manifest, up.schema, buckets
+        )
+        subset = (
+            up
+            if buckets == affected_set
+            else up.filter(
+                F.col(BUCKET).isin([bucket_vals[b] for b in buckets])
+            )
+        )
+        merged = upsert(current, subset, key_columns, order_column=order_column)
+        staging = f"{path}/.staging-{uuid.uuid4().hex}"
+        (
+            merged.repartition(len(buckets), F.col(BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET)
+            .parquet(staging)
+        )
+        if _crash_point == "after_stage":
+            raise RuntimeError("injected crash: staged files written, not moved")
+        commit_tag = f"c{tag_version:010d}-{uuid.uuid4().hex[:8]}"
+        moved_files: dict[str, list[str]] = {}
+        for st in fs.listStatus(_hpath(jvm, staging)):
+            dirname = st.getPath().getName()
+            if not dirname.startswith(BUCKET + "="):
                 continue
-            rel = f"{dirname}/{commit_tag}-{fname}"
-            if not fs.rename(f.getPath(), _hpath(jvm, f"{path}/{rel}")):
-                raise IOError(f"failed to move staged file into {path}/{rel}")
-            moved.append(rel)
-        new_bucket_files[bval] = sorted(moved)
-    if _crash_point == "after_move":
-        raise RuntimeError("injected crash: files moved, manifest not committed")
-    replaced = {b: manifest["buckets"].get(b, []) for b in new_bucket_files}
-    _commit_manifest(
-        spark,
-        path,
-        new_version,
-        {
-            "n_buckets": n_buckets,
-            "key_columns": list(key_columns),
-            "schema": up.schema.jsonValue(),
-            "buckets": {**manifest["buckets"], **new_bucket_files},
-        },
-    )
+            bval = dirname.split("=", 1)[1]
+            fs.mkdirs(_hpath(jvm, f"{path}/{dirname}"))
+            moved = []
+            for f in fs.listStatus(st.getPath()):
+                fname = f.getPath().getName()
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = f"{dirname}/{commit_tag}-{fname}"
+                if not fs.rename(f.getPath(), _hpath(jvm, f"{path}/{rel}")):
+                    raise IOError(
+                        f"failed to move staged file into {path}/{rel}"
+                    )
+                moved.append(rel)
+            moved_files[bval] = sorted(moved)
+        if _crash_point == "after_move":
+            raise RuntimeError(
+                "injected crash: files moved, manifest not committed"
+            )
+        return moved_files, staging
+
+    # Optimistic-concurrency commit loop. Staged-and-moved files are
+    # invisible until a manifest references them, so losing the version
+    # race costs re-staging ONLY the buckets the winner changed — files
+    # for unconflicted buckets are reused as-is in the retried commit.
+    base_version, base_manifest = version, manifest
+    base_files = {b: manifest["buckets"].get(b, []) for b in affected_set}
+    buckets_to_write = set(affected_set)
+    my_files: dict[str, list[str]] = {}
+    stagings: list[str] = []
+    replaced: dict[str, list[str]] = {}
+    committed_version = None
+    for _attempt in range(_MAX_COMMIT_ATTEMPTS):
+        if buckets_to_write:
+            moved_files, staging = _stage_and_move(
+                base_manifest, buckets_to_write, base_version + 1
+            )
+            stagings.append(staging)
+            # this attempt supersedes our own earlier files for these
+            # buckets (still unreferenced by any manifest — safe to drop)
+            for b in buckets_to_write:
+                for rel in my_files.get(b, []):
+                    fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
+            my_files.update(moved_files)
+        if _race_hook is not None:
+            hook, _race_hook = _race_hook, None
+            hook()  # test-only: interleave a competing writer deterministically
+        replaced = {b: base_manifest["buckets"].get(b, []) for b in my_files}
+        try:
+            _commit_manifest(
+                spark,
+                path,
+                base_version + 1,
+                {
+                    "n_buckets": n_buckets,
+                    "key_columns": list(key_columns),
+                    "schema": up.schema.jsonValue(),
+                    "buckets": {**base_manifest["buckets"], **my_files},
+                },
+            )
+            committed_version = base_version + 1
+            break
+        except ManifestConflict:
+            base_version, base_manifest = _read_manifest(spark, path)
+            # conflicting bucket = winner changed its file set since our
+            # merge read it; our staged output no longer contains their rows
+            buckets_to_write = {
+                b
+                for b in affected_set
+                if base_manifest["buckets"].get(b, []) != base_files[b]
+            }
+            base_files = {
+                b: base_manifest["buckets"].get(b, []) for b in affected_set
+            }
+    if committed_version is None:
+        raise IOError(
+            f"merge into {path} lost the manifest race "
+            f"{_MAX_COMMIT_ATTEMPTS} times — giving up (orphaned staged "
+            "files are invisible; vacuum_table reclaims them)"
+        )
     # Post-commit cleanup (best-effort; a crash here leaves garbage that is
     # invisible to readers — vacuum_table reclaims it). With
     # retain_versions > 1 the replaced files and prior manifest are KEPT:
     # they are exactly what read_table(version=...) time travel reads, and
-    # vacuum_table(retain_versions=...) is the retention policy.
-    fs.delete(_hpath(jvm, staging), True)
+    # vacuum_table(retain_versions=...) is the retention policy — and the
+    # retention concurrent writers need (an eager delete here can race a
+    # competing merge's in-flight read of the pre-commit file set).
+    for staging in stagings:
+        fs.delete(_hpath(jvm, staging), True)
     if retain_versions <= 1:
         for files in replaced.values():
             for rel in files:
                 fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
-        old_manifest = f"{path}/{_MANIFEST_PREFIX}{version:010d}.json"
-        if version > 0:
-            fs.delete(_hpath(jvm, old_manifest), False)
+        prev = committed_version - 1
+        if prev > 0:
+            fs.delete(
+                _hpath(jvm, f"{path}/{_MANIFEST_PREFIX}{prev:010d}.json"),
+                False,
+            )
 
 
 def vacuum_table(

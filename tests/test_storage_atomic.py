@@ -88,6 +88,94 @@ def test_merge_crash_leaves_premerge_table_intact(
     assert not glob.glob(f"{path}/.staging-*")
 
 
+def test_concurrent_merges_occ_same_buckets(spark, tmp_path):
+    """Two writers merging OVERLAPPING buckets: the loser must re-stage the
+    conflicting buckets against the winner's commit and both batches' rows
+    must survive (with the loser's value winning its own keys)."""
+    from global_market_index_etl_spark.operators.storage import (
+        table_versions,
+    )
+
+    path = str(tmp_path / "tbl")
+    target, _ = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=8)
+
+    # batch A and batch B touch every bucket (mod-7 / mod-11 keys spread
+    # across all 8 hash buckets) and overlap on keys divisible by 77
+    batch_a = target.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderstatus", F.lit("A")
+    )
+    batch_b = target.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderstatus", F.lit("B")
+    )
+
+    # writer B commits BETWEEN writer A's move and A's commit — the
+    # deterministic interleaving of the OCC race
+    merge_into_parquet(
+        spark,
+        path,
+        batch_a,
+        ["o_orderkey"],
+        retain_versions=10,
+        _race_hook=lambda: merge_into_parquet(
+            spark, path, batch_b, ["o_orderkey"], retain_versions=10
+        ),
+    )
+
+    got = _snapshot(spark, path)
+    for r in target.collect():
+        k = r.o_orderkey
+        # A retried on top of B's commit, so A's rows win overlapped keys
+        want = "A" if k % 7 == 0 else ("B" if k % 11 == 0 else r.o_orderstatus)
+        assert got[k][0] == r.o_totalprice
+        assert got[k][1] == want, k
+    # three commits: base, B (winner), A (OCC retry)
+    assert table_versions(spark, path) == [1, 2, 3]
+
+
+def test_concurrent_merges_occ_disjoint_buckets(spark, tmp_path):
+    """Two writers on DISJOINT bucket sets: the loser's already-moved files
+    stay valid, so the retry re-stages nothing and simply commits its
+    file set on top of the winner's manifest."""
+    path = str(tmp_path / "tbl")
+    target, _ = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=8)
+
+    from global_market_index_etl_spark.operators.storage import (
+        BUCKET,
+        _bucket_col,
+    )
+
+    with_bucket = target.withColumn(BUCKET, _bucket_col(["o_orderkey"], 8))
+    batch_a = with_bucket.filter(F.col(BUCKET) < 4).drop(BUCKET).withColumn(
+        "o_orderstatus", F.lit("A")
+    )
+    batch_b = with_bucket.filter(F.col(BUCKET) >= 4).drop(BUCKET).withColumn(
+        "o_orderstatus", F.lit("B")
+    )
+    merge_into_parquet(
+        spark,
+        path,
+        batch_a,
+        ["o_orderkey"],
+        retain_versions=10,
+        _race_hook=lambda: merge_into_parquet(
+            spark, path, batch_b, ["o_orderkey"], retain_versions=10
+        ),
+    )
+    got = _snapshot(spark, path)
+    bucket_of = {
+        r.o_orderkey: r.b
+        for r in with_bucket.select(
+            "o_orderkey", F.col(BUCKET).alias("b")
+        ).collect()
+    }
+    for r in target.collect():
+        want = "A" if bucket_of[r.o_orderkey] < 4 else "B"
+        assert got[r.o_orderkey][1] == want, r.o_orderkey
+    assert len(got) == target.count()
+
+
 def test_vacuum_noop_on_clean_table(spark, tmp_path):
     path = str(tmp_path / "tbl")
     target, updates = _orders_fixture(spark)
