@@ -4,12 +4,21 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
 
     {"metric": "headline_suite_wall", "value": <total_sec>, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": <sf>}
+     "queries": {"<name>": sec, ...}, "sf": <sf>,
+     "sf1": {"value": ..., "queries": {...}, ...}}
 
 Each query is materialized through the `noop` sink — full execution of the
 physical plan (scan→shuffle→agg) with no driver-side collect cost, i.e. the
 number a cluster job would see. A small warm-up query first absorbs one-time
 JVM/codegen startup so per-query numbers measure the plan, not the JIT.
+
+The ``sf1`` block is the round-over-round TRACKED scale leg (round-5
+verdict item 7): sf0.1 is fixed-overhead dominated for half the surface,
+so plan-quality deltas show up at the sf1-equivalent dataset
+(scripts/scale_testdata.py, built into /tmp/sf1 on first use and reused).
+Skip with SPARK_GRAFT_SKIP_SF1=1; override reps with SPARK_GRAFT_SF1_REPS.
+An sf1 failure never sinks the sf0.1 numbers — it degrades to an
+"sf1_error" key on the same line.
 """
 
 from __future__ import annotations
@@ -79,6 +88,61 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+SF1_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _ensure_sf1() -> str | None:
+    """Build the sf1-equivalent dataset once (deterministic replicas of
+    sf0.1); reuse it when complete. Returns the path or None on failure."""
+    if all(
+        os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet"))
+        for t in SF1_TABLES
+    ):
+        return SF1_DIR
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "scale_testdata.py"),
+            "--out", SF1_DIR,
+        ],
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        print(f"bench: sf1 build failed: {proc.stderr[-300:]}", file=sys.stderr)
+        return None
+    return SF1_DIR
+
+
+def _time_suite(spark, sf_dir: str, reps: int):
+    """(per-query median timings, errors) for the headline set at sf_dir."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in HEADLINE:
+        qd = REGISTRY[name]
+        samples: list[float] = []
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            try:
+                qd.spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+            except Exception as e:  # one broken query must not sink the suite
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                break
+        if samples:
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+    return timings, errors
+
+
 def main() -> None:
     spark = get_spark(app_name="gmie-bench")
     # Warm-up: run EVERY headline plan once at the smallest SF — same
@@ -99,23 +163,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in HEADLINE:
-        qd = REGISTRY[name]
-        reps: list[float] = []
-        for _ in range(max(1, REPS)):
-            t0 = time.perf_counter()
-            try:
-                qd.spark(spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                reps.append(time.perf_counter() - t0)
-            except Exception as e:  # one broken query must not sink the suite
-                errors[name] = f"{type(e).__name__}: {e}"[:200]
-                break
-        if reps:
-            timings[name] = round(sorted(reps)[len(reps) // 2], 3)
+    timings, errors = _time_suite(spark, SF_DIR, REPS)
 
     result = {
         "metric": "headline_suite_wall",
@@ -128,6 +176,25 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+
+    # tracked sf1 leg (same session — sf0.1 warm-up already absorbed JIT)
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        sf1_reps = int(os.environ.get("SPARK_GRAFT_SF1_REPS", "3"))
+        sf1_dir = _ensure_sf1()
+        if sf1_dir is None:
+            result["sf1_error"] = "dataset build failed (stderr above)"
+        else:
+            t1, e1 = _time_suite(spark, sf1_dir, sf1_reps)
+            result["sf1"] = {
+                "value": round(sum(t1.values()), 3),
+                "unit": "sec",
+                "queries": t1,
+                "sf": 1.0,
+                "reps": sf1_reps,
+                "stat": "median_per_query",
+            }
+            if e1:
+                result["sf1"]["errors"] = e1
     print(json.dumps(result))
 
 
