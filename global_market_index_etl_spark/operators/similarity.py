@@ -824,14 +824,15 @@ def semantic_dedup(
       n / target_cluster, making expected cluster population — and so
       per-cluster work — constant as the corpus grows;
     - duplicate groups come from :func:`..operators.dedup
-      .connected_components` over the in-cluster pair graph (O(group
-      diameter) rounds); survivor selection is one window over groups.
+      .connected_components_auto` over the in-cluster pair graph
+      (driver union-find on bounded pair sets, distributed star rounds
+      beyond); survivor selection is one window over groups.
 
     Like the paper, near-dups straddling a cluster boundary are missed —
     that is the accepted approximation that removes the quadratic term
     (the exact twin for tests is a numpy all-pairs reference).
     """
-    from .dedup import connected_components
+    from .dedup import connected_components_auto
 
     if n_clusters is None:
         n = df.select(id_col).count()
@@ -880,7 +881,7 @@ def semantic_dedup(
         .select("id_1", "id_2")
     )
     vertices = base.select(F.col("__id").alias(id_col))
-    comp = connected_components(pairs, vertices, id_col).select(
+    comp = connected_components_auto(pairs, vertices, id_col).select(
         F.col(id_col).alias("__id"), F.col("canonical_id").alias("group_id")
     )
     w = Window.partitionBy("group_id").orderBy(

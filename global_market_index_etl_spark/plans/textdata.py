@@ -586,12 +586,12 @@ def samp_train_split(spark, sf):
     "SQL + the same quality formula + min_by.",
 )
 def dedup_cluster_survivors(spark, sf):
-    from ..operators.dedup import connected_components
+    from ..operators.dedup import connected_components_auto
     from ..operators.text import quality_score
 
     docs = load_table(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
-    comp = connected_components(pairs, docs, "doc_id")
+    comp = connected_components_auto(pairs, docs, "doc_id")
     q = quality_score(docs).select("doc_id", "quality_score")
     joined = comp.join(q, "doc_id")
     w = W.partitionBy("canonical_id").orderBy(
@@ -683,7 +683,7 @@ def dedup_cluster_survivors(spark, sf):
     "full ≥0.8 pair set on the fixture corpus, asserted in tests).",
 )
 def curation_pipeline(spark, sf):
-    from ..operators.dedup import connected_components_star
+    from ..operators.dedup import connected_components_auto
     from ..operators.sampling import train_val_test_split
     from ..operators.text import fingerprint_md5, quality_score
 
@@ -697,7 +697,7 @@ def curation_pipeline(spark, sf):
     )
     base = kept.join(exact_survivors, "doc_id")
     near_pairs = minhash_lsh_pairs(base, n=3, threshold=0.8)
-    comp = connected_components_star(
+    comp = connected_components_auto(
         near_pairs.select("id_1", "id_2"), base, "doc_id"
     )
     near_survivors = comp.filter(
@@ -825,13 +825,13 @@ def text_repetition(spark, sf):
 )
 def dedup_containment_clusters(spark, sf):
     from ..operators.dedup import (
-        connected_components_star,
+        connected_components_auto,
         containment_pairs,
     )
 
     docs = load_table(spark, sf, "documents")
     pairs = containment_pairs(docs, n=3, threshold=0.9)
-    comp = connected_components_star(pairs, docs, "doc_id")
+    comp = connected_components_auto(pairs, docs, "doc_id")
     return comp.groupBy("canonical_id").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.max("doc_id").alias("max_member"),

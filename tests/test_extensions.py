@@ -425,6 +425,56 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_auto_both_paths_agree(spark):
+    """The cost-based pick (driver union-find vs distributed star) must be
+    invisible in the output: identical component-minimum labeling on a
+    graph with a deep chain, a clique, a pair, and singletons."""
+    import random
+
+    from global_market_index_etl_spark.operators.dedup import (
+        connected_components_auto,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    edges = [(i, i + 1) for i in range(1, 40)]  # chain 1..40
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(a + 1, 8)]
+    edges += [(500, 501)]
+    rng.shuffle(edges)
+    pairs = spark.createDataFrame(edges, "id_1 long, id_2 long")
+    nodes = sorted({x for e in edges for x in e} | {900, 901})
+    docs = spark.createDataFrame([(i,) for i in nodes], "doc_id long")
+
+    driver = {
+        r.doc_id: r.canonical_id
+        for r in connected_components_auto(pairs, docs, "doc_id").collect()
+    }
+    distributed = {
+        r.doc_id: r.canonical_id
+        for r in connected_components_auto(
+            pairs, docs, "doc_id", driver_max_edges=0
+        ).collect()
+    }
+    star = {
+        r.doc_id: r.canonical_id
+        for r in connected_components_star(pairs, docs, "doc_id").collect()
+    }
+    assert driver == distributed == star
+    assert driver[39] == 1 and driver[107] == 100 and driver[501] == 500
+    assert driver[900] == 900
+
+    # empty pair set: every vertex is its own component on both paths
+    empty = spark.createDataFrame([], "id_1 long, id_2 long")
+    for kw in ({}, {"driver_max_edges": 0}):
+        got = {
+            r.doc_id: r.canonical_id
+            for r in connected_components_auto(
+                empty, docs, "doc_id", **kw
+            ).collect()
+        }
+        assert got == {i: i for i in nodes}
+
+
 def test_deterministic_split_is_partitioning_independent(spark):
     from global_market_index_etl_spark.operators.sampling import (
         deterministic_sample,
