@@ -553,8 +553,21 @@ def incremental_minhash_pairs(
     all_bands = index_bands.select(id_col, "band", "bucket").unionByName(
         new_bands
     )
-    nb = new_bands.alias("nb")
-    ob = all_bands.alias("ob")
+    # Skew guard for the new×index bucket join: a boilerplate-heavy corpus
+    # concentrates the INDEX side in a few hot (band, bucket) keys. The
+    # index side gets an id-hash salt appended to the join key (no row
+    # duplication) and the batch side replicates across all salts —
+    # batch-sized overhead, and every hot bucket spreads across
+    # ``n_salts`` reducers unconditionally (cheaper than probing the
+    # corpus-sized index for hotness every tick). Each (new, indexed)
+    # pair still matches exactly once: on the indexed row's own salt.
+    n_salts = 8
+    nb = new_bands.withColumn(
+        "__s", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).alias("nb")
+    ob = all_bands.withColumn(
+        "__s", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    ).alias("ob")
     # new side joins the union: catches new×indexed AND new×new in one
     # bucket join; (least, greatest) normalizes so a pair found from both
     # directions dedups in the distinct
@@ -563,6 +576,7 @@ def incremental_minhash_pairs(
             ob,
             (F.col("nb.band") == F.col("ob.band"))
             & (F.col("nb.bucket") == F.col("ob.bucket"))
+            & (F.col("nb.__s") == F.col("ob.__s"))
             & (F.col(f"nb.{id_col}") != F.col(f"ob.{id_col}")),
         )
         .select(

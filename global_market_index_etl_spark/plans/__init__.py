@@ -27,6 +27,8 @@ DRIVER_WINDOW = 50
 
 # Newest / least-driver-validated first.
 PRIORITY_FIRST = [
+    # new in round 6
+    "dedup_semantic",
     # never driver-checked before round 6
     "text_repetition",
     "dedup_containment_clusters",

@@ -710,6 +710,28 @@ def curation_pipeline(spark, sf):
 
 
 @query(
+    "dedup_semantic",
+    None,  # Lloyd-trained k-means clustering — not SQL-expressible;
+    # semantics validated in tests vs a numpy all-pairs union-find
+    # reference computed with the SAME centroids
+    doc="SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540): "
+    "deterministic k-means partition of the embedding space (farthest-"
+    "first seeds + exact-integer-sum Lloyd — bit-identical under any "
+    "partitioning), in-cluster cosine pairs ONLY (self-join on the "
+    "cluster id: Σ|cluster|², never |corpus|²), duplicate groups via "
+    "cost-based connected components, survivor = the group member "
+    "closest to its cluster centroid. Returns (vec_id, cluster_id, "
+    "group_id, keep) for every vector.",
+)
+def dedup_semantic(spark, sf):
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf, "embeddings"), threshold=0.95
+    )
+
+
+@query(
     "text_repetition",
     """
     WITH w AS (
