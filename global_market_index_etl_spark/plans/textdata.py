@@ -125,8 +125,12 @@ def _sql_split_case(id_ref: str) -> str:
 )
 def text_metrics(spark, sf):
     from ..operators.text import quality_score
+    from ..operators.util import parallelize_small
 
-    docs = load_table(spark, sf, "documents")
+    # documents arrive as ONE parquet split at every test SF (a few MB —
+    # far under maxPartitionBytes); the regex-heavy scoring would run on
+    # one core without the spread (measured 7s → 0.9s at sf1)
+    docs = parallelize_small(load_table(spark, sf, "documents"))
     return T.language_id(quality_score(docs)).select(
         "doc_id",
         "n_tokens",
@@ -405,7 +409,9 @@ def mm_decode_features(spark, sf):
         sample_frames,
     )
 
-    docs = load_table(spark, sf, "documents").withColumn(
+    from ..operators.util import parallelize_small
+
+    docs = parallelize_small(load_table(spark, sf, "documents")).withColumn(
         "payload", F.encode("text", "UTF-8")
     )
     media = as_media_table(docs, "doc_id", "payload", "video")
@@ -589,7 +595,9 @@ def dedup_cluster_survivors(spark, sf):
     from ..operators.dedup import connected_components_auto
     from ..operators.text import quality_score
 
-    docs = load_table(spark, sf, "documents")
+    from ..operators.util import parallelize_small
+
+    docs = parallelize_small(load_table(spark, sf, "documents"))
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     comp = connected_components_auto(pairs, docs, "doc_id")
     q = quality_score(docs).select("doc_id", "quality_score")
@@ -686,8 +694,9 @@ def curation_pipeline(spark, sf):
     from ..operators.dedup import connected_components_auto
     from ..operators.sampling import train_val_test_split
     from ..operators.text import fingerprint_md5, quality_score
+    from ..operators.util import parallelize_small
 
-    docs = load_table(spark, sf, "documents")
+    docs = parallelize_small(load_table(spark, sf, "documents"))
     kept = quality_score(docs).filter(F.col("quality_score") >= 0.5)
     exact_survivors = (
         kept.withColumn("fingerprint", fingerprint_md5("text"))
@@ -786,8 +795,11 @@ def dedup_semantic(spark, sf):
 )
 def text_repetition(spark, sf):
     from ..operators.text import word_repetition_metrics
+    from ..operators.util import parallelize_small
 
-    return word_repetition_metrics(load_table(spark, sf, "documents"))
+    return word_repetition_metrics(
+        parallelize_small(load_table(spark, sf, "documents"))
+    )
 
 
 @query(
