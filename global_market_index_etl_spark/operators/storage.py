@@ -353,7 +353,21 @@ def merge_into_parquet(
             "buckets": _list_bucket_files(spark, path),
         }
         version = 1
-        _commit_manifest(spark, path, version, manifest)
+        try:
+            _commit_manifest(spark, path, version, manifest)
+        except ManifestConflict:
+            # a concurrent merge adopted the same legacy listing first —
+            # both adoption manifests describe the identical directory
+            # state, so the winner's is as good as ours: build on it
+            version, manifest = _read_manifest(spark, path)
+            if list(manifest.get("key_columns") or key_columns) != list(
+                key_columns
+            ):
+                raise ValueError(
+                    f"MERGE key mismatch for table {path}: concurrent "
+                    f"adoption used {manifest.get('key_columns')}, caller "
+                    f"passed {list(key_columns)}"
+                )
     affected_set = {str(b) for b in affected}
     bucket_vals = {str(b): b for b in affected}
     jvm, fs = _fs(spark, path)

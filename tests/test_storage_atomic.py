@@ -176,6 +176,56 @@ def test_concurrent_merges_occ_disjoint_buckets(spark, tmp_path):
     assert len(got) == target.count()
 
 
+def test_concurrent_adoption_occ(spark, tmp_path, monkeypatch):
+    """Two writers adopting the same pre-manifest (legacy) table: the loser
+    must build on the winner's identical adoption manifest instead of
+    erroring, and its merge must still land."""
+    import global_market_index_etl_spark.operators.storage as S
+
+    path = str(tmp_path / "tbl")
+    target, updates = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=8)
+    # strip the manifest → legacy directory-listing table
+    jvm, fs = S._fs(spark, path)
+    for v in S.table_versions(spark, path):
+        fs.delete(
+            S._hpath(jvm, f"{path}/{S._MANIFEST_PREFIX}{v:010d}.json"), False
+        )
+    assert S.table_versions(spark, path) == []
+
+    orig_listing = S._list_bucket_files
+
+    def racing_listing(sp, p):
+        listing = orig_listing(sp, p)
+        # winner commits its adoption between loser's read and commit
+        S._commit_manifest(
+            sp,
+            p,
+            1,
+            {
+                "n_buckets": 8,
+                "key_columns": ["o_orderkey"],
+                "schema": None,
+                "buckets": listing,
+            },
+        )
+        return listing
+
+    monkeypatch.setattr(S, "_list_bucket_files", racing_listing)
+    merge_into_parquet(spark, path, updates, ["o_orderkey"], n_buckets=8)
+
+    expected = {
+        r.o_orderkey: (
+            float(round(r.o_totalprice))
+            if r.o_orderkey % 100 == 0
+            else r.o_totalprice,
+            r.o_orderstatus,
+        )
+        for r in target.collect()
+    }
+    assert _snapshot(spark, path) == expected
+
+
 def test_vacuum_noop_on_clean_table(spark, tmp_path):
     path = str(tmp_path / "tbl")
     target, updates = _orders_fixture(spark)
