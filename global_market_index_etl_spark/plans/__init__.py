@@ -29,6 +29,11 @@ DRIVER_WINDOW = 50
 PRIORITY_FIRST = [
     # new in round 6
     "dedup_semantic",
+    "tpch_q10_returned_customers",
+    "tpch_q12_priority_buckets",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
     # never driver-checked before round 6
     "text_repetition",
     "dedup_containment_clusters",
@@ -42,8 +47,16 @@ PRIORITY_FIRST = [
 ]
 
 # Long-green (r1-r5) parity rows, most-redundant last; each operator here
-# is also covered by another in-window query (see COVERAGE.md).
+# is also covered by another in-window query (see COVERAGE.md):
+# j1's broadcast enrich runs inside flagship/q3/q10; j3's anti join inside
+# tpch_q22's NOT EXISTS and decon_eval_overlap; d2's keyed window dedup
+# inside d3/k2; w_running_total's unbounded-frame sum inside
+# w_window_suite's frame set.
 ROTATE_LAST = [
+    "j1_enrich_broadcast",
+    "j3_anti_fk_check",
+    "d2_dedup_latest",
+    "w_running_total",
     "r1_unpivot_measures",
     "a3_key_ranges",
     "w_rank_in_group",

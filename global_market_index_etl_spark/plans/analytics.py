@@ -819,3 +819,222 @@ def ts_resample_daily(spark, sf):
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+@query(
+    "tpch_q10_returned_customers",
+    """
+    SELECT c_custkey, c_name, {rev} AS revenue, c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """.format(rev=sql_exact_money_sum(REVENUE, 10_000)),
+    doc="TPC-H Q10 shape — top-20 customers by lost revenue on returned "
+    "items in a half-year window. Physical plan: the date predicate "
+    "pushes into the orders scan and the returnflag predicate into the "
+    "lineitem scan BEFORE the big join; customer/nation broadcast; "
+    "TakeOrderedAndProject keeps 20 rows per task. Revenue ties broken "
+    "by c_custkey so the LIMIT is deterministic.",
+)
+def tpch_q10_returned_customers(spark, sf):
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exact_money_sum(revenue, 10_000).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@query(
+    "tpch_q12_priority_buckets",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape adapted to the fixture schema (no l_shipmode/"
+    "commitdate): conditional-aggregate buckets — per return flag, how "
+    "many lines came from urgent vs non-urgent orders, restricted by a "
+    "CROSS-TABLE predicate (shipped on/after the order date) that can "
+    "only be evaluated after the join. The CASE buckets compile to one "
+    "conditional-sum pass inside the same partial aggregate — no second "
+    "scan, no pivot.",
+)
+def tpch_q12_priority_buckets(spark, sf):
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lineitem = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT 100.0 * ({promo}) / ({total}) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-02-01'
+    """.format(
+        promo=sql_exact_money_sum(
+            "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * "
+            "(1.0 - l_discount) ELSE 0.0 END",
+            10_000,
+        ),
+        total=sql_exact_money_sum(REVENUE, 10_000),
+    ),
+    doc="TPC-H Q14 shape — promotional revenue share for one month: a "
+    "conditional sum and a plain sum in the SAME aggregate pass, divided "
+    "once. Date range pushes into the lineitem scan; part is broadcast. "
+    "Both sums are integer-exact, so the single final division is "
+    "bit-identical across engines and partitionings.",
+)
+def tpch_q14_promo_revenue(spark, sf):
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(
+            F.broadcast(part), lineitem.l_partkey == part.p_partkey
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * exact_money_sum(promo, 10_000)
+                / exact_money_sum(revenue, 10_000)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18 shape — customers with very large orders: a HAVING "
+    "aggregate subquery decorrelated to a LEFT SEMI join. Spark plan: "
+    "one lineitem partial-agg shuffle produces the qualifying orderkeys "
+    "(already reduced to |orders| rows), the fact join semi-joins "
+    "against them BEFORE aggregating, customer broadcast. Quantities "
+    "sum as integers — exact on any engine.",
+)
+def tpch_q18_large_orders(spark, sf):
+    lineitem = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf, "orders").join(
+        big_orders,
+        F.col("o_orderkey") == big_orders.l_orderkey,
+        "left_semi",
+    )
+    customer = load_table(spark, sf, "customer")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT {rev} AS revenue, CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """.format(rev=sql_exact_money_sum(REVENUE, 10_000)),
+    doc="TPC-H Q19 shape — disjunction of three conjunctive predicate "
+    "blocks across BOTH join sides. Catalyst extracts the common "
+    "single-side conjuncts it can (brand/size reach the part scan, "
+    "quantity bounds the lineitem scan via the OR-envelope) and "
+    "evaluates the residual disjunction post-join; part is broadcast so "
+    "the fact side never shuffles.",
+)
+def tpch_q19_disjunctive_revenue(spark, sf):
+    lineitem = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#10") & sz.between(1, 15)
+         & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#17") & sz.between(10, 30)
+           & (q >= 10) & (q <= 30))
+        | ((F.col("p_brand") == "Brand#25") & sz.between(20, 50)
+           & (q >= 20) & (q <= 50))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part), lineitem.l_partkey == part.p_partkey
+        )
+        .filter(cond)
+        .agg(
+            exact_money_sum(revenue, 10_000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
