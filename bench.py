@@ -46,6 +46,8 @@ HEADLINE = [
     "tpch_q17_small_qty_revenue",
     "tpch_q20_dominant_suppliers",
     "tpch_q22_idle_capital",
+    "tpch_q10_returned_customers",
+    "tpch_q18_large_orders",
     "r2_pivot_event_matrix",
     "w_sessionize",
     "ts_resample_daily",
