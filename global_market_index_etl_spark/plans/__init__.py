@@ -34,6 +34,8 @@ PRIORITY_FIRST = [
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q7_nation_trade_flow",
+    "tpch_q16_supplier_diversity",
     # never driver-checked before round 6
     "text_repetition",
     "dedup_containment_clusters",
@@ -57,6 +59,7 @@ ROTATE_LAST = [
     "j3_anti_fk_check",
     "d2_dedup_latest",
     "w_running_total",
+    "k4_changed_rows",
     "r1_unpivot_measures",
     "a3_key_ranges",
     "w_rank_in_group",

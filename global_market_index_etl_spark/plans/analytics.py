@@ -1038,3 +1038,101 @@ def tpch_q19_disjunctive_revenue(spark, sf):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "tpch_q7_nation_trade_flow",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           {rev} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, l_year
+    """.format(rev=sql_exact_money_sum(REVENUE, 10_000)),
+    doc="TPC-H Q7 shape — cross-nation trade volume by year: the SAME "
+    "dimension table joined in TWO ROLES (supplier's nation vs "
+    "customer's nation, disambiguated aliases) with an inter-dimension "
+    "inequality that can only apply after both joins. Physical plan: "
+    "date filter pushed to the lineitem scan, one wide "
+    "lineitem⨝orders exchange, every dimension (customer, supplier, "
+    "nation ×2) broadcast, partial aggregation to |nations|² × years "
+    "rows.",
+)
+def tpch_q7_nation_trade_flow(spark, sf):
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(exact_money_sum(revenue, 10_000).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_diversity",
+    """
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#10'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape adapted to the fixture schema (no partsupp; "
+    "lineitem supplies the part↔supplier relation): per (brand, size) "
+    "DISTINCT supplier count under an exclusion predicate and an "
+    "IN-list. Spark plans count(DISTINCT) as a two-phase Expand "
+    "aggregate — partial dedup of (brand, size, suppkey) before the "
+    "final count, so the shuffle carries deduped triples, never raw "
+    "lineitem rows; both predicates push into the broadcast part scan.",
+)
+def tpch_q16_supplier_diversity(spark, sf):
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#10")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    lineitem = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
