@@ -790,6 +790,35 @@ def test_jpeg_codec_fidelity_bounds(spark):
         decode_jpeg(bytes(payload))
 
 
+def test_jpeg_codec_size_sweep(spark):
+    """Seeded sweep over image sizes (including degenerate 1×1 and
+    non-multiple-of-8/16 edges) in both 4:4:4 and 4:2:0: shape is always
+    preserved and smooth images stay within tight error bounds at q95."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (8, 8), (9, 7), (16, 16), (17, 33), (24, 15)]:
+        # smooth low-rank image: outer product of two random vectors
+        u = rng.uniform(0.2, 1.0, h)
+        v = rng.uniform(0.2, 1.0, w)
+        base = np.clip(np.outer(u, v) * 255, 0, 255)
+        # channels must be SMOOTH (scaled copies): a channel with a sharp
+        # discontinuity makes chroma loss at 4:2:0 inherent, not a bug
+        img = np.stack(
+            [base, base * 0.8, base * 0.6], axis=-1
+        ).astype(np.uint8)
+        for sub in (False, True):
+            dec = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+            assert dec.shape == (h, w, 3), (h, w, sub)
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.mean() < 6, (h, w, sub, err.mean())
+
+
 def test_extract_features_real_jpeg_decode(spark):
     """decode_stub=False on a JPEG fixture: the magic-byte dispatch routes
     payloads through the pure-numpy baseline JPEG decoder inside the
