@@ -18,6 +18,42 @@ _SMALL_SCAN_BYTES_PER_CORE = 8 * 1024 * 1024
 _STATS_UNAVAILABLE_BYTES = 1 << 62
 
 
+def broadcast_if_small(df: DataFrame) -> DataFrame:
+    """Apply a broadcast hint only when the plan's size statistics justify it.
+
+    An unconditional ``F.broadcast(dim)`` on a table that grows with the data
+    (customer, part, supplier in TPC-H all scale linearly with sf) overrides
+    the session's ``autoBroadcastJoinThreshold`` safety: correct and fast at
+    bench scale, an executor-OOM multi-GB broadcast at 100×.  This helper
+    keeps the *intent* ("broadcast this side when it is actually small")
+    while restoring the safety: it consults Catalyst's optimized-plan size
+    estimate (file statistics for parquet scans — a driver-side call, no job)
+    and attaches the hint only when the estimate is a real number under the
+    session's own auto-broadcast threshold.  When statistics are unavailable
+    or the side is large, the input passes through unhinted and AQE picks the
+    join strategy at runtime — graceful degradation to a shuffle join instead
+    of an OOM.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    try:
+        threshold = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        threshold = 10 * 1024 * 1024
+    if threshold <= 0:
+        return df
+    try:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est_bytes = None
+    if est_bytes is None or est_bytes >= _STATS_UNAVAILABLE_BYTES:
+        return df  # unknown size — let AQE decide at runtime
+    if est_bytes <= threshold:
+        return F.broadcast(df)
+    return df
+
+
 def parallelize_small(df: DataFrame) -> DataFrame:
     """Spread a narrow scan across all cores before expensive per-row work.
 

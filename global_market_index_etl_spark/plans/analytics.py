@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..functions.exact import cents, exact_money_sum, sql_exact_money_sum
+from ..operators.util import broadcast_if_small
 from ..sources import load_table
 from .registry import query
 
@@ -46,7 +47,7 @@ def flagship_regional_revenue(spark, sf):
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast_if_small(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -239,7 +240,7 @@ def w_rank_in_group(spark, sf):
     customer = load_table(spark, sf, "customer")
     nation = load_table(spark, sf, "nation")
     spend = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(broadcast_if_small(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "c_custkey")
         .agg(exact_money_sum("o_totalprice").alias("spend"))
@@ -855,7 +856,7 @@ def tpch_q10_returned_customers(spark, sf):
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast_if_small(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(exact_money_sum(revenue, 10_000).alias("revenue"))
@@ -935,7 +936,7 @@ def tpch_q14_promo_revenue(spark, sf):
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
     return (
         lineitem.join(
-            F.broadcast(part), lineitem.l_partkey == part.p_partkey
+            broadcast_if_small(part), lineitem.l_partkey == part.p_partkey
         )
         .agg(
             (
@@ -985,7 +986,7 @@ def tpch_q18_large_orders(spark, sf):
     customer = load_table(spark, sf, "customer")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast_if_small(customer), orders.o_custkey == customer.c_custkey)
         .groupBy(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
         )
@@ -1030,7 +1031,7 @@ def tpch_q19_disjunctive_revenue(spark, sf):
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         lineitem.join(
-            F.broadcast(part), lineitem.l_partkey == part.p_partkey
+            broadcast_if_small(part), lineitem.l_partkey == part.p_partkey
         )
         .filter(cond)
         .agg(
@@ -1088,8 +1089,8 @@ def tpch_q7_nation_trade_flow(spark, sf):
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(broadcast_if_small(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast_if_small(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1130,7 +1131,7 @@ def tpch_q16_supplier_diversity(spark, sf):
     )
     return (
         lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            broadcast_if_small(part.select("p_partkey", "p_brand", "p_size")),
             lineitem.l_partkey == part.p_partkey,
         )
         .groupBy("p_brand", "p_size")

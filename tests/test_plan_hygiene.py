@@ -11,11 +11,14 @@ edit cannot silently regress them.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
 
+from global_market_index_etl_spark.operators.util import broadcast_if_small
 from global_market_index_etl_spark.plans import REGISTRY
+from global_market_index_etl_spark.sources import load_table
 
 from .conftest import SF_SMALL
 
@@ -60,6 +63,73 @@ def test_no_accidental_cross_join(spark, name):
             r"BroadcastNestedLoopJoin[\s\S]{0,2000}?Scan parquet[^\n]*(lineitem|events|documents|embeddings)",
             plan,
         ), f"{name}: non-equi join against a fact table"
+
+
+# Tables whose row count grows linearly with the scale factor.  An
+# unconditional F.broadcast() on any of these overrides the session's
+# autoBroadcastJoinThreshold safety and OOMs at 100× — the hint must go
+# through the stats-guarded broadcast_if_small instead.
+_SF_SCALED = ("customer", "part", "supplier", "orders", "lineitem",
+              "events", "documents", "embeddings")
+_FORCED_HINT = re.compile(
+    r"F\.broadcast\(\s*(?:" + "|".join(_SF_SCALED) + r")\b"
+)
+
+
+def test_no_unconditional_broadcast_of_scaled_tables():
+    """Source lint: every broadcast of an sf-scaled table is stats-guarded.
+
+    `part_keys`, `avg_bal`, `sn`/`cn` etc. are bounded derivations and pass
+    (the regex requires the bare table identifier).  A new query that writes
+    `F.broadcast(customer)` fails here before it ever reaches the driver.
+    """
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "global_market_index_etl_spark",
+    )
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path, encoding="utf-8") as fh:
+                for i, line in enumerate(fh, 1):
+                    if _FORCED_HINT.search(line):
+                        offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, (
+        "unconditional broadcast hint on an sf-scaled table:\n"
+        + "\n".join(offenders)
+    )
+
+
+def test_broadcast_if_small_hints_only_under_threshold(spark):
+    nation = load_table(spark, SF_SMALL, "nation")
+    hinted = broadcast_if_small(nation)
+    assert "ResolvedHint" in str(hinted._jdf.queryExecution().analyzed()), (
+        "small parquet scan should receive the broadcast hint"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        unhinted = broadcast_if_small(nation)
+        assert "ResolvedHint" not in str(
+            unhinted._jdf.queryExecution().analyzed()
+        ), "side over the threshold must pass through unhinted"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert broadcast_if_small(nation) is nation, (
+            "disabled auto-broadcast must disable the hint too"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_if_small_skips_statless_plans(spark):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    out = broadcast_if_small(df)
+    assert "ResolvedHint" not in str(out._jdf.queryExecution().analyzed()), (
+        "no statistics ⇒ leave the decision to AQE"
+    )
 
 
 @pytest.mark.parametrize(
