@@ -172,7 +172,21 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG to an ``(h, w, channels)`` uint8 array
-    (channels = 3 RGB, or 1 for grayscale streams)."""
+    (channels = 3 RGB, or 1 for grayscale streams).
+
+    Raises ValueError on anything outside the supported scope — including
+    payloads truncated mid-segment or mid-entropy-stream, the most common
+    corrupt shape in crawl data — so pipelines can quarantine uniformly.
+    """
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as exc:
+        # a read past the end of the buffer anywhere in the marker walk or
+        # entropy decode means the stream stopped early
+        raise ValueError(f"truncated JPEG: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -378,6 +392,8 @@ def encode_jpeg(
     h, w, nch = arr.shape
     if nch not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
+    if not isinstance(quality, int) or not 1 <= quality <= 100:
+        raise ValueError(f"quality must be an int in [1, 100], got {quality!r}")
     arr = arr.astype(np.float64)
     if nch == 3:
         r_, g_, b_ = arr[..., 0], arr[..., 1], arr[..., 2]

@@ -26,9 +26,11 @@ transaction log provides):
   ``vacuum_table`` reclaims any orphaned staging/data files.
 
 Concurrent merges use optimistic concurrency control on the manifest
-version: the version-name rename is the commit point (guaranteed
-exclusive on HDFS where rename-onto-existing fails; an exists-check
-closes the race in practice on POSIX file:), and the LOSER retries —
+version: claiming the versioned manifest name is the commit point, using
+whichever primitive is exclusive on the filesystem at hand (HDFS: rename,
+which fails onto an existing path; POSIX file:, where rename silently
+overwrites: ``link(2)``, which fails with EEXIST atomically), and the
+LOSER retries —
 re-reads the winner's manifest, re-stages ONLY the buckets whose file
 sets changed under it (its already-moved files for unconflicted buckets
 stay valid: manifests never referenced them), and commits on top. Both
@@ -140,13 +142,21 @@ def _commit_manifest(
 ) -> None:
     """Atomically publish ``manifest`` as version ``version``.
 
-    Write to a hidden temp name, then rename to the final versioned name
-    (atomic on file:/hdfs:). Same-version collision detection is
-    filesystem-dependent: on HDFS, rename-onto-existing fails and the loser
-    errors out; on LocalFileSystem, POSIX rename(2) silently overwrites, so
-    we add a best-effort ``exists`` check before the rename. The raised
-    ``ManifestConflict`` is the OCC signal ``merge_into_parquet`` retries
-    on (re-read, re-stage conflicting buckets, commit on top).
+    Write to a hidden temp name, then claim the final versioned name with a
+    filesystem primitive that is exclusive on THAT filesystem:
+
+    - ``file:`` — POSIX ``rename(2)`` silently overwrites, so rename is NOT
+      a safe commit point locally. ``link(2)`` is: it fails with ``EEXIST``
+      if the target already exists, atomically, in the same syscall that
+      makes the fully-written content visible under the final name. Two
+      writers racing the same version ⇒ exactly one link succeeds.
+    - ``hdfs:`` and rename-atomic object stores — rename onto an existing
+      path fails, so the rename itself is the exclusive commit point (the
+      ``exists`` pre-check is just a cheap fast-path).
+
+    Either way the raised ``ManifestConflict`` is the OCC signal
+    ``merge_into_parquet`` retries on (re-read, re-stage conflicting
+    buckets, commit on top).
     """
     jvm, fs = _fs(spark, path)
     tmp = f"{path}/.manifest-tmp-{uuid.uuid4().hex}"
@@ -156,6 +166,24 @@ def _commit_manifest(
     finally:
         out.close()
     final = f"{path}/{_MANIFEST_PREFIX}{version:010d}.json"
+    if fs.getUri().getScheme() == "file":
+        tmp_local = fs.makeQualified(_hpath(jvm, tmp)).toUri().getPath()
+        final_local = fs.makeQualified(_hpath(jvm, final)).toUri().getPath()
+        try:
+            jvm.java.nio.file.Files.createLink(
+                jvm.java.io.File(final_local).toPath(),
+                jvm.java.io.File(tmp_local).toPath(),
+            )
+        except Exception as exc:
+            fs.delete(_hpath(jvm, tmp), False)
+            if fs.exists(_hpath(jvm, final)):
+                raise ManifestConflict(
+                    f"manifest commit failed for {final} — another writer "
+                    "committed this version first"
+                ) from exc
+            raise  # genuine IO failure, not a version race
+        fs.delete(_hpath(jvm, tmp), False)
+        return
     if fs.exists(_hpath(jvm, final)) or not fs.rename(
         _hpath(jvm, tmp), _hpath(jvm, final)
     ):

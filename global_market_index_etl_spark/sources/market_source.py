@@ -202,9 +202,13 @@ def quarantine_report(spark, **options):
         while attempts < reader.max_attempts:
             attempts += 1
             try:
-                # sentinel: a zero-bar fetch is a SUCCESSFUL empty window,
-                # not an error — bare next() would leak StopIteration here
-                next(reader._fetch(t, attempts), None)
+                # exhaust the generator: a mid-stream failure (fail_after_bars)
+                # raises only after the first bars have been yielded, so a
+                # first-bar probe would report the ticker healthy while the
+                # actual read keeps failing. A zero-bar fetch completing is a
+                # SUCCESSFUL empty window, not an error.
+                for _ in reader._fetch(t, attempts):
+                    pass
                 err = None
                 break
             except MarketFetchError as e:

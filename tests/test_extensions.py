@@ -790,6 +790,45 @@ def test_jpeg_codec_fidelity_bounds(spark):
         decode_jpeg(bytes(payload))
 
 
+def test_jpeg_truncated_payloads_raise_value_error(spark):
+    """The quarantine contract holds for truncated streams — the most common
+    corrupt-payload shape in crawl data: a cut ANYWHERE in the stream
+    (mid-marker-walk, mid-header, or mid-entropy-segment) must surface as
+    ValueError, never IndexError/struct.error."""
+    import numpy as np
+    import pytest
+
+    from global_market_index_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:31]
+    img = np.stack([xx * 8, yy * 10, xx + yy], axis=-1).astype(np.uint8)
+    full = encode_jpeg(img, quality=90)
+    # cuts landing in every phase: header markers, scan header, and several
+    # depths into the entropy-coded segment.  (Cutting ONLY the trailing EOI
+    # marker is legitimately decodable — every MCU is present — so the
+    # deepest cut here removes real entropy bytes.)
+    for cut in [3, 4, 20, 60, len(full) // 2, len(full) - 40]:
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut])
+
+
+def test_encode_jpeg_validates_quality(spark):
+    import numpy as np
+    import pytest
+
+    from global_market_index_etl_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((8, 8, 3), 128, np.uint8)
+    for bad in (0, -5, 101, 1000):
+        with pytest.raises(ValueError, match="quality"):
+            encode_jpeg(img, quality=bad)
+    encode_jpeg(img, quality=1)  # boundary values are legal
+    encode_jpeg(img, quality=100)
+
+
 def test_jpeg_codec_size_sweep(spark):
     """Seeded sweep over image sizes (including degenerate 1×1 and
     non-multiple-of-8/16 edges) in both 4:4:4 and 4:2:0: shape is always

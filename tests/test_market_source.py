@@ -132,6 +132,25 @@ def test_zero_bar_fetch_is_not_quarantined(spark):
     assert report == []
 
 
+def test_midstream_failure_is_quarantined(spark):
+    """A ticker that fails AFTER yielding its first bars must appear in the
+    quarantine report: the probe exhausts the fetch, so the report and the
+    reader agree about mid-stream failures (round-6 advice — a first-bar
+    probe reported these healthy while read() kept failing)."""
+    opts = dict(
+        tickers="AAA,BAD",
+        bars=6,
+        fail_tickers="BAD",
+        fail_attempts=99,
+        fail_after_bars=3,  # dies mid-stream, after 3 bars
+        on_error="skip",
+    )
+    got = read_market_bars(spark, **opts).groupBy("ticker").count().collect()
+    assert {r.ticker: r["count"] for r in got} == {"AAA": 6}
+    report = quarantine_report(spark, **opts).collect()
+    assert [(r.ticker, r.attempts) for r in report] == [("BAD", 3)]
+
+
 def test_poison_ticker_raises_by_default(spark):
     """Default on_error=raise: the bad ticker's TASK fails (after in-task
     retries) and the job surfaces the typed error."""
