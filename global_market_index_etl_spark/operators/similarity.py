@@ -803,6 +803,7 @@ def semantic_dedup(
     n_clusters: int | None = None,
     target_cluster: int = 256,
     train_iterations: int = 2,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means partition the embedding space, call two
@@ -874,6 +875,12 @@ def semantic_dedup(
         "__cl",
     )
     cos = _dot("__v1", "__v2") / (F.col("__n1") * F.col("__n2"))
+    if round_digits is not None:
+        # cross-engine determinism mode (same convention as
+        # embedding_neardup_pairs): round before the threshold compare so
+        # an oracle summing the dot product in a different order cannot
+        # disagree about boundary membership
+        cos = F.round(cos, round_digits)
     pairs = (
         a.join(b, "__cl")
         .filter(F.col("id_1") < F.col("id_2"))

@@ -5,82 +5,98 @@ from . import parity  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import textdata  # noqa: E402,F401
 
+import glob as _glob
+import json as _json
+import os as _os
+import re as _re
+
 # --- driver correctness window management -------------------------------
 #
 # The driver runs the oracle comparison for the FIRST 50 queries in the
 # order ``queries()`` yields them.  Registration order alone let the
 # registry grow past 50 and pushed the newest queries outside the checked
-# window (round-5 verdict defect #1).  ``ordered_registry`` therefore
-# emits an explicit priority order:
+# window (round-5 verdict defect #1).  A static rotate-out list fixed that
+# mechanically but had no way BACK IN: once rotated, a query never earned
+# a fresh driver row again (round-6 verdict item #2).
 #
-#   1. PRIORITY_FIRST — queries that have never had (or most recently
-#      earned) a driver CORRECTNESS row: newest and riskiest first.
-#   2. everything else in registration order.
-#   3. ROTATE_LAST — long-green parity rows whose operators are also
-#      exercised inside other in-window queries; these recycle out of the
-#      window first when the registry outgrows it.
+# ``ordered_registry`` therefore emits a staleness-driven order:
 #
-# Invariant (tested): PRIORITY_FIRST ∪ middle must fit in the 50-row
-# window, so every never-checked query earns a hard driver signal.
+#   1. PRIORITY_FIRST — queries that are new or materially changed this
+#      round: riskiest first, always inside the window.
+#   2. everything else, STALEST first — sorted ascending by the latest
+#      round in which the driver recorded a CORRECTNESS row for the query
+#      (parsed from the repo's own CORRECTNESS_r*.json history; a query
+#      with no row ever sorts before everything), tie-broken by
+#      registration order for determinism.
+#
+# The queries that fall outside the window are exactly the ones checked
+# most recently; next round they are the stalest and rotate back in.  As
+# long as the registry stays under 2× the window, every query gets a
+# fresh driver row at least every other round — no manual curation, the
+# schedule derives from the recorded history itself.  (Invariant tested in
+# tests/test_driver_window.py.)
 
 DRIVER_WINDOW = 50
 
-# Newest / least-driver-validated first.
+# New or materially changed in the current round — always in-window.
 PRIORITY_FIRST = [
-    # new in round 6
-    "dedup_semantic",
+    # new in round 7
+    "tpch_q21_waiting_suppliers",
+    "tpch_q9_product_profit",
+    "dedup_semantic_summary",
+    # broadcast hints replaced by the stats-guarded broadcast_if_small in
+    # round 7 — the plan changed, so each deserves a fresh driver row
+    "flagship_regional_revenue",
+    "w_rank_in_group",
     "tpch_q10_returned_customers",
-    "tpch_q12_priority_buckets",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
     "tpch_q7_nation_trade_flow",
     "tpch_q16_supplier_diversity",
-    # never driver-checked before round 6
-    "text_repetition",
-    "dedup_containment_clusters",
-    # green in r3/r4 but outside the r5 window
-    "curation_pipeline",
-    "dedup_cluster_survivors",
-    "samp_train_split",
-    "decon_eval_overlap",
-    "mm_decode_features",
-    "ann_ivf_topk",
 ]
 
-# Long-green (r1-r5) parity rows, most-redundant last; each operator here
-# is also covered by another in-window query (see COVERAGE.md):
-# j1's broadcast enrich runs inside flagship/q3/q10; j3's anti join inside
-# tpch_q22's NOT EXISTS and decon_eval_overlap; d2's keyed window dedup
-# inside d3/k2; w_running_total's unbounded-frame sum inside
-# w_window_suite's frame set.
-ROTATE_LAST = [
-    "j1_enrich_broadcast",
-    "j3_anti_fk_check",
-    "d2_dedup_latest",
-    "w_running_total",
-    "k4_changed_rows",
-    "r1_unpivot_measures",
-    "a3_key_ranges",
-    "w_rank_in_group",
-    "set_ops_high_value",
-    "d1_distinct_pairs",
-    "f5_in_list_filter",
-    "q2_day_slice",
-    "p3_cast_json",
-    "p_string_funcs",
-    "p_date_funcs",
-    "q3_catalog",
-]
+_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def last_driver_round(root: str = _ROOT) -> dict[str, int]:
+    """Query name → latest round with a recorded driver CORRECTNESS row."""
+    seen: dict[str, int] = {}
+    for path in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                seen[name] = max(seen.get(name, 0), rnd)
+    return seen
 
 
 def ordered_registry() -> dict[str, QueryDef]:
     """REGISTRY re-ordered for the driver's 50-query correctness window."""
     first = [n for n in PRIORITY_FIRST if n in REGISTRY]
-    last = [n for n in ROTATE_LAST if n in REGISTRY]
-    pinned = set(first) | set(last)
-    middle = [n for n in REGISTRY if n not in pinned]
-    return {n: REGISTRY[n] for n in first + middle + last}
+    pinned = set(first)
+    checked = last_driver_round()
+    rest = [n for n in REGISTRY if n not in pinned]
+    reg_index = {n: i for i, n in enumerate(REGISTRY)}
+    rest.sort(key=lambda n: (checked.get(n, 0), reg_index[n]))
+    return {n: REGISTRY[n] for n in first + rest}
 
 
-__all__ = ["REGISTRY", "QueryDef", "query", "ordered_registry", "DRIVER_WINDOW"]
+__all__ = [
+    "REGISTRY",
+    "QueryDef",
+    "query",
+    "ordered_registry",
+    "last_driver_round",
+    "DRIVER_WINDOW",
+    "PRIORITY_FIRST",
+]

@@ -1137,3 +1137,156 @@ def tpch_q16_supplier_diversity(spark, sf):
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE l1.l_returnflag = 'R'
+      AND o_orderstatus = 'F'
+      AND n_name = 'NATION_3'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape adapted to the fixture schema (no "
+    "l_receiptdate/l_commitdate; 'failed the order' = l_returnflag = "
+    "'R'): suppliers in one nation who were the ONLY supplier at fault "
+    "in a multi-supplier finalized order. The double-correlated "
+    "EXISTS/NOT EXISTS is the hardest public anti-join ordering "
+    "exercise: Spark plans it as a LEFT SEMI then a LEFT ANTI join "
+    "against lineitem on orderkey with a suppkey-inequality residual. "
+    "Physical plan at scale: the returnflag filter prunes l1 and l3 "
+    "before their shuffles, all three lineitem legs shuffle on "
+    "l_orderkey (co-partitioned, AQE coalesced), supplier/nation "
+    "broadcast, TakeOrderedAndProject caps the result.",
+)
+def tpch_q21_waiting_suppliers(spark, sf):
+    lineitem = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    supplier = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+
+    l1 = lineitem.select("l_orderkey", "l_suppkey", "l_returnflag").filter(
+        F.col("l_returnflag") == "R"
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderstatus") == "F")
+        .join(
+            broadcast_if_small(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_3")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {amt} AS sum_profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """.format(
+        amt=sql_exact_money_sum(
+            "l_extendedprice * (1.0 - l_discount)"
+            " - p_retailprice * l_quantity",
+            10_000,
+        )
+    ),
+    doc="TPC-H Q9 shape adapted to the fixture schema (no partsupp; "
+    "p_retailprice stands in for ps_supplycost as the unit cost): "
+    "5-way join with an EXPRESSION-keyed aggregation — profit per "
+    "(supplier nation, order year) over parts matching a name pattern. "
+    "Exercises join ordering nothing else in the set does: lineitem "
+    "joins two sf-scaled dimensions (part, supplier) plus orders, and "
+    "the grouping key year(o_orderdate) only exists post-join. "
+    "Physical plan at scale: the LIKE filter prunes part before its "
+    "(stats-guarded) broadcast, lineitem⨝orders is the one big "
+    "exchange, partial aggregation on (nationkey, year) before the "
+    "25×|years| final rows.",
+)
+def tpch_q9_product_profit(spark, sf):
+    lineitem = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supplier = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        lineitem.join(broadcast_if_small(part), lineitem.l_partkey == part.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            broadcast_if_small(supplier),
+            lineitem.l_suppkey == supplier.s_suppkey,
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(exact_money_sum(profit, 10_000).alias("sum_profit"))
+    )

@@ -741,6 +741,70 @@ def dedup_semantic(spark, sf):
 
 
 @query(
+    "dedup_semantic_summary",
+    """
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+             unnest(a.embedding) AS va, unnest(b.embedding) AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ), dots AS (
+      SELECT id_1, id_2,
+             SUM(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)) AS dot,
+             SUM(CAST(va AS DOUBLE) * CAST(va AS DOUBLE)) AS na,
+             SUM(CAST(vb AS DOUBLE) * CAST(vb AS DOUBLE)) AS nb
+      FROM p GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_1, id_2 FROM dots
+      WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.95
+    ), edges AS (
+      SELECT id_1 AS u, id_2 AS v FROM pairs
+      UNION ALL SELECT id_2, id_1 FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT e.vec_id,
+             CAST(least(e.vec_id, coalesce(min(r.v), e.vec_id)) AS BIGINT)
+               AS group_id
+      FROM embeddings e LEFT JOIN reach r ON r.u = e.vec_id
+      GROUP BY e.vec_id
+    )
+    SELECT group_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(vec_id) AS BIGINT) AS id_sum
+    FROM comp GROUP BY group_id
+    """,
+    doc="Semantic-duplicate GROUP STRUCTURE, hash-checked (round-6 "
+    "verdict item #6 — dedup_semantic itself is k-means-clustered and "
+    "stays rows-only): per duplicate group the canonical id, member "
+    "count, and member-id checksum, over the exact (single-cluster) "
+    "tier of the SemDeDup graph — cosine ≥ 0.95 pairs from the "
+    "LSH-bucketed scale kernel (the emb_neardup_cosine plan, already "
+    "hash-validated pairwise) fed through the SAME "
+    "connected_components_auto the clustered path uses. The oracle "
+    "recomputes the groups from scratch: all-pairs exact cosine + "
+    "recursive-CTE closure. pytest then ties semantic_dedup's "
+    "single-cluster grouping bit-for-bit to this summary, so the driver "
+    "row validates the production operator's pair→group machinery, not "
+    "just a row count.",
+)
+def dedup_semantic_summary(spark, sf):
+    from ..operators.dedup import connected_components_auto
+    from ..operators.similarity import embedding_neardup_pairs_lsh
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs = embedding_neardup_pairs_lsh(emb, threshold=0.95).select(
+        "id_1", "id_2"
+    )
+    comp = connected_components_auto(pairs, emb.select("vec_id"), "vec_id")
+    return comp.groupBy(F.col("canonical_id").alias("group_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").cast("long").alias("id_sum"),
+    )
+
+
+@query(
     "text_repetition",
     """
     WITH w AS (

@@ -1,7 +1,9 @@
 """The driver checks only the first DRIVER_WINDOW queries that
 ``__spark_entry__.queries()`` yields.  Round-5 verdict defect #1: registry
-growth silently pushed the newest queries outside that window.  These
-guards make the ordering contract mechanical.
+growth silently pushed the newest queries outside that window.  Round-6
+verdict item #2: a static rotate-out list never let rotated queries regain
+a driver row.  The ordering is now staleness-driven (stalest checked
+first); these guards make the contract mechanical.
 """
 
 from __future__ import annotations
@@ -10,7 +12,7 @@ from global_market_index_etl_spark.plans import (
     DRIVER_WINDOW,
     PRIORITY_FIRST,
     REGISTRY,
-    ROTATE_LAST,
+    last_driver_round,
     ordered_registry,
 )
 
@@ -23,25 +25,65 @@ def test_ordered_registry_is_a_permutation():
 def test_priority_first_names_exist():
     missing = [n for n in PRIORITY_FIRST if n not in REGISTRY]
     assert not missing, f"PRIORITY_FIRST references unknown queries: {missing}"
-    missing = [n for n in ROTATE_LAST if n not in REGISTRY]
-    assert not missing, f"ROTATE_LAST references unknown queries: {missing}"
-    assert not set(PRIORITY_FIRST) & set(ROTATE_LAST)
-
-
-def test_only_rotate_last_falls_outside_window():
-    """Every query beyond the driver window must be an explicitly rotated
-    long-green parity row — never a new or priority query."""
-    order = list(ordered_registry())
-    beyond = order[DRIVER_WINDOW:]
-    stray = [n for n in beyond if n not in ROTATE_LAST]
-    assert not stray, (
-        f"queries outside the {DRIVER_WINDOW}-row driver window that are not "
-        f"in ROTATE_LAST: {stray} — extend ROTATE_LAST with long-green rows "
-        f"or the driver will never check these"
-    )
 
 
 def test_priority_queries_lead_the_window():
     order = list(ordered_registry())
-    head = order[: len(PRIORITY_FIRST)]
+    head = order[: len([n for n in PRIORITY_FIRST if n in REGISTRY])]
     assert head == [n for n in PRIORITY_FIRST if n in REGISTRY]
+    assert len(head) < DRIVER_WINDOW
+
+
+def test_never_checked_queries_are_inside_window():
+    """A query with no CORRECTNESS row in any recorded round must be in the
+    checked window (right after the priority block)."""
+    checked = last_driver_round()
+    window = list(ordered_registry())[:DRIVER_WINDOW]
+    never = [n for n in REGISTRY if n not in checked]
+    outside = [n for n in never if n not in window]
+    assert not outside, (
+        f"never-driver-checked queries outside the {DRIVER_WINDOW}-row "
+        f"window: {outside}"
+    )
+
+
+def test_rotation_brings_stale_queries_back():
+    """Every query outside the window must have been checked at least as
+    recently as every non-priority query inside it — i.e. what rotates out
+    is exactly the freshest-checked set, so staleness monotonically drains.
+
+    Consequence (the round-6 'done' bar): with the registry under 2× the
+    window, a query rotated out in round N is among the stalest in round
+    N+1 and regains a driver row.
+    """
+    checked = last_driver_round()
+    order = list(ordered_registry())
+    inside = [n for n in order[:DRIVER_WINDOW] if n not in PRIORITY_FIRST]
+    outside = order[DRIVER_WINDOW:]
+    if not outside:
+        return
+    max_inside = max(checked.get(n, 0) for n in inside)
+    min_outside = min(checked.get(n, 0) for n in outside)
+    assert min_outside >= max_inside, (
+        "a stale query was rotated out while a fresher one stayed in: "
+        f"min outside round {min_outside} < max inside round {max_inside}"
+    )
+    assert len(REGISTRY) <= 2 * DRIVER_WINDOW - len(PRIORITY_FIRST), (
+        "registry has outgrown the every-other-round rotation guarantee — "
+        "widen the window or split the registry"
+    )
+
+
+def test_previously_rotated_queries_regain_rows_this_round():
+    """≥8 of the queries whose last driver row predates the latest recorded
+    round must sit inside the upcoming window (the round-6 'done' bar)."""
+    checked = last_driver_round()
+    if not checked:
+        return
+    latest = max(checked.values())
+    stale = {n for n in REGISTRY if checked.get(n, 0) < latest}
+    window = set(list(ordered_registry())[:DRIVER_WINDOW])
+    regained = stale & window
+    assert len(regained) >= min(8, len(stale)), (
+        f"only {sorted(regained)} stale queries regain a driver row"
+    )
