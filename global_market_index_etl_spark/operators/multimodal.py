@@ -7,8 +7,11 @@ schemas, partitioning, Arrow batch shape, UDF signatures — is real and
 tested. Decode libraries (PIL/ffmpeg/torchaudio) are not in this
 container, so the codec work is a pure-numpy family instead: PNG
 (inflate+unfilter), baseline JPEG (``operators/jpeg.py`` — Huffman +
-batched IDCT + 4:2:0 upsample), RIFF/PCM WAV, and uncompressed RGB24 AVI.
-Compressed VIDEO codecs (H.264 etc.) remain the one documented
+batched IDCT + 4:2:0 upsample), RIFF/PCM WAV, and AVI video in both
+uncompressed RGB24 ('00db' DIB chunks) and MJPEG ('00dc' chunks, each a
+baseline JPEG decoded by the same ``operators/jpeg.py`` codec — the
+dominant compressed format in webcam/drone/archival AVI). Inter-frame
+VIDEO codecs (H.264 etc.) remain the one documented
 ``NotImplementedError`` hook — that is a codebase, not a function.
 
 - ``decode_stub=False`` paths really decode via the codec family above;
@@ -287,10 +290,11 @@ def sample_frames(
     Stub "frames" are byte slices at a fixed stride — the row-expansion
     plumbing (the part Spark cares about) is identical to real video
     decoding with a frame stride. ``decode_stub=False`` REALLY decodes
-    uncompressed RGB24 AVI containers (``decode_avi_frames``, pure
-    numpy): every ``max_frames``-strided frame is re-emitted as a PNG
-    payload — container parse, frame iteration, and per-frame re-encode
-    all exercised; compressed codecs remain the documented hook point.
+    AVI containers (``decode_avi_frames``, pure numpy) — uncompressed
+    RGB24 and compressed MJPEG streams alike: every ``max_frames``-strided
+    frame is re-emitted as a PNG payload — container parse, per-frame
+    JPEG entropy decode, frame iteration, and per-frame re-encode all
+    exercised; inter-frame codecs remain the documented hook point.
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -479,18 +483,22 @@ def encode_wav(arr, sample_rate: int = 16_000) -> bytes:
 
 
 def decode_avi_frames(payload: bytes):
-    """Decode an uncompressed (DIB/RGB24) AVI payload to a list of
-    ``(h, w, 3)`` uint8 arrays — the video leg of the pure-numpy codec
-    trio (PNG images, WAV audio, raw AVI video). RIFF chunk walk like
-    ``decode_wav``: 'avih' gives (w, h), '00db'/'00dw' chunks inside the
-    'movi' LIST are bottom-up BGR24 rows (the DIB convention), flipped
-    and reordered to top-down RGB. Compressed streams raise ValueError —
-    real-world codecs stay a documented hook point; the CONTAINER
-    parsing, frame iteration, and array shapes are the tested surface.
+    """Decode an AVI payload to a list of ``(h, w, 3)`` uint8 arrays —
+    the video leg of the pure-numpy codec family. RIFF chunk walk like
+    ``decode_wav``: 'avih' gives (w, h); inside the 'movi' LIST,
+    '00db'/'00dw' chunks are uncompressed bottom-up BGR24 rows (the DIB
+    convention, flipped and reordered to top-down RGB) and '00dc'
+    chunks holding a baseline JPEG (SOI magic) are MJPEG frames decoded
+    by ``operators/jpeg.py`` — web/device AVIs are overwhelmingly one of
+    these two. Any OTHER compressed stream ('00dc' without a JPEG
+    signature: H.264, cinepak, …) raises ValueError — the documented
+    quarantine hook; inter-frame codecs are a codebase, not a function.
     """
     import struct
 
     import numpy as np
+
+    from .jpeg import decode_jpeg
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
@@ -517,6 +525,24 @@ def decode_avi_frames(payload: bytes):
                 ).reshape(height, width, 3)
                 # DIB: bottom-up rows, BGR order → top-down RGB
                 frames.append(raw[::-1, :, ::-1].copy())
+            elif ctype == b"00dc":
+                if width is None:
+                    raise ValueError("frame chunk before avih header")
+                body = buf[body_start : body_start + size]
+                if body[:2] != b"\xff\xd8":
+                    raise ValueError(
+                        "compressed AVI stream is not MJPEG — inter-frame "
+                        "codecs (H.264 etc.) unsupported"
+                    )
+                frame = decode_jpeg(bytes(body))
+                if frame.shape[2] == 1:  # grayscale MJPEG → replicate
+                    frame = np.repeat(frame, 3, axis=2)
+                if frame.shape[:2] != (height, width):
+                    raise ValueError(
+                        f"MJPEG frame is {frame.shape[1]}x{frame.shape[0]}, "
+                        f"avih declares {width}x{height}"
+                    )
+                frames.append(frame)
             pos = body_start + size + (size & 1)
 
     walk(payload, 12, len(payload))
@@ -525,14 +551,23 @@ def decode_avi_frames(payload: bytes):
     return frames
 
 
-def encode_avi(frames, fps: int = 10) -> bytes:
-    """Encode ``(h, w, 3)`` uint8 frames as an uncompressed RGB24 AVI —
-    inverse of ``decode_avi_frames``; round-trip identity asserted in
-    tests."""
+def encode_avi(
+    frames, fps: int = 10, codec: str = "rgb24", quality: int = 90
+) -> bytes:
+    """Encode ``(h, w, 3)`` uint8 frames as an AVI — inverse of
+    ``decode_avi_frames``. ``codec="rgb24"`` writes uncompressed '00db'
+    DIB chunks (round-trip identity asserted in tests); ``codec="mjpg"``
+    writes '00dc' chunks, each frame a baseline JPEG from
+    ``operators/jpeg.py`` at ``quality`` (round-trip fidelity-bounded,
+    like any lossy codec)."""
     import struct
 
     import numpy as np
 
+    from .jpeg import encode_jpeg
+
+    if codec not in ("rgb24", "mjpg"):
+        raise ValueError(f"unsupported AVI codec {codec!r}")
     h, w, _ = frames[0].shape
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
@@ -540,14 +575,23 @@ def encode_avi(frames, fps: int = 10) -> bytes:
         0, 0, 0, 0,
     )
     body = b"avih" + struct.pack("<I", len(avih)) + avih
+    if codec == "mjpg":
+        payloads = [
+            (b"00dc", encode_jpeg(np.asarray(f, dtype=np.uint8), quality=quality))
+            for f in frames
+        ]
+    else:
+        payloads = [
+            (b"00db", np.asarray(f, dtype=np.uint8)[::-1, :, ::-1].tobytes())
+            for f in frames
+        ]
     movi = b"LIST" + struct.pack(
         "<I",
-        4 + sum(8 + w * h * 3 + ((w * h * 3) & 1) for _ in frames),
+        4 + sum(8 + len(c) + (len(c) & 1) for _, c in payloads),
     ) + b"movi"
-    for f in frames:
-        dib = np.asarray(f, dtype=np.uint8)[::-1, :, ::-1].tobytes()
-        movi += b"00db" + struct.pack("<I", len(dib)) + dib
-        if len(dib) & 1:
+    for fourcc, c in payloads:
+        movi += fourcc + struct.pack("<I", len(c)) + c
+        if len(c) & 1:
             movi += b"\x00"
     content = b"AVI " + body + movi
     return b"RIFF" + struct.pack("<I", len(content)) + content

@@ -1705,3 +1705,65 @@ def test_avi_codec_roundtrip_and_real_frame_sampling(spark):
     for r in out:
         arr = decode_png(bytes(r.frame_payload))
         assert (arr == frames[r.frame_idx * 3]).all()
+
+
+def test_mjpeg_avi_compressed_frame_sampling(spark):
+    """MJPEG-in-AVI (round-6 advice item #4): '00dc' chunks each holding a
+    baseline JPEG decode through the same container walk, composing
+    operators/jpeg.py with the AVI parser — frame sampling exercises
+    COMPRESSED video end-to-end, and non-MJPEG compressed streams still
+    quarantine."""
+    import numpy as np
+    import pytest
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        as_media_table,
+        decode_avi_frames,
+        decode_png,
+        encode_avi,
+        sample_frames,
+    )
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    # smooth per-frame gradients so JPEG loss stays tightly bounded
+    frames = [
+        np.stack(
+            [xx * 7 + k * 9, yy * 9 + k * 5, (xx + yy) * 3 + k * 2], axis=-1
+        ).astype(np.uint8)
+        for k in range(10)
+    ]
+    payload = encode_avi(frames, codec="mjpg", quality=95)
+    back = decode_avi_frames(payload)
+    assert len(back) == 10
+    for a, b in zip(frames, back):
+        assert a.shape == b.shape
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 6
+
+    df = spark.createDataFrame([(9, payload)], "media_id long, payload binary")
+    media = as_media_table(df, "media_id", "payload", "video")
+    out = sample_frames(media, max_frames=5, decode_stub=False).collect()
+    assert [r.frame_idx for r in out] == [0, 1, 2, 3, 4]
+    for r in out:
+        arr = decode_png(bytes(r.frame_payload))
+        src = frames[r.frame_idx * 2]
+        assert np.abs(arr.astype(int) - src.astype(int)).max() <= 6
+
+    # a '00dc' chunk that is NOT a JPEG (e.g. H.264 NAL) must quarantine
+    h264ish = payload.replace(b"\xff\xd8\xff", b"\x00\x00\x01", 1)
+    with pytest.raises(ValueError, match="MJPEG"):
+        decode_avi_frames(h264ish)
+
+    # a truncated MJPEG frame surfaces the jpeg codec's ValueError, not
+    # an IndexError, through the container walk
+    cut = payload[: len(payload) - 20] + b"\x00" * 20
+    with pytest.raises(ValueError):
+        decode_avi_frames(cut)
+
+    # declared-size mismatch: frames must match the avih header dims
+    wrong = encode_avi(frames, codec="mjpg")
+    import struct
+    # patch avih width field (offset: RIFF(12) + 'avih'+size(8) + 32)
+    wrong = wrong[: 12 + 8 + 32] + struct.pack("<I", w + 8) + wrong[12 + 8 + 36 :]
+    with pytest.raises(ValueError, match="declares"):
+        decode_avi_frames(wrong)
