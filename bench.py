@@ -19,6 +19,13 @@ so plan-quality deltas show up at the sf1-equivalent dataset
 Skip with SPARK_GRAFT_SKIP_SF1=1; override reps with SPARK_GRAFT_SF1_REPS.
 An sf1 failure never sinks the sf0.1 numbers — it degrades to an
 "sf1_error" key on the same line.
+
+The ``scale_smoke`` block (round-6 verdict item 7) machine-tracks the 30×
+curation/dedup growth trend that previously lived in BASELINE.md prose:
+documents/embeddings scaled to 30 replicas (/tmp/sf3_corpus, built once),
+the four corpus-heavy queries timed once at 1× and 30×, with per-query
+growth ratios on the same JSON line. Skip with SPARK_GRAFT_SKIP_SMOKE=1;
+failures degrade to "scale_smoke_error".
 """
 
 from __future__ import annotations
@@ -96,6 +103,21 @@ SF1_TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# 30x curation/dedup scale smoke (round-6 verdict item 7): the numbers used
+# to live in BASELINE.md prose from ad-hoc runs; now they ride every bench
+# run as a machine-tracked block. Only the corpus tables are scaled (the
+# smoke queries read documents/embeddings exclusively), 1 rep — this is a
+# growth-trend probe, not a timing benchmark.
+SMOKE_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/tmp/sf3_corpus")
+SMOKE_REPLICAS = int(os.environ.get("SPARK_GRAFT_SMOKE_REPLICAS", "30"))
+SMOKE_TABLES = ["documents", "embeddings"]
+SMOKE_QUERIES = [
+    "curation_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "text_metrics",
+]
+
 
 def _ensure_sf1() -> str | None:
     """Build the sf1-equivalent dataset once (deterministic replicas of
@@ -121,6 +143,36 @@ def _ensure_sf1() -> str | None:
         print(f"bench: sf1 build failed: {proc.stderr[-300:]}", file=sys.stderr)
         return None
     return SF1_DIR
+
+
+def _ensure_smoke_corpus() -> str | None:
+    """Build the 30x documents/embeddings corpus once; reuse when complete."""
+    if all(
+        os.path.exists(os.path.join(SMOKE_DIR, f"{t}.parquet"))
+        for t in SMOKE_TABLES
+    ):
+        return SMOKE_DIR
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "scale_testdata.py"),
+            "--out", SMOKE_DIR,
+            "--replicas", str(SMOKE_REPLICAS),
+            "--tables", ",".join(SMOKE_TABLES),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        print(
+            f"bench: smoke corpus build failed: {proc.stderr[-300:]}",
+            file=sys.stderr,
+        )
+        return None
+    return SMOKE_DIR
 
 
 def _time_suite(spark, sf_dir: str, reps: int):
@@ -197,6 +249,41 @@ def main() -> None:
             }
             if e1:
                 result["sf1"]["errors"] = e1
+
+    # 30x corpus scale smoke: one rep per query at 1x and 30x so the block
+    # carries its own growth ratios (wall at 30x / wall at 1x data)
+    if os.environ.get("SPARK_GRAFT_SKIP_SMOKE") != "1":
+        smoke_dir = _ensure_smoke_corpus()
+        if smoke_dir is None:
+            result["scale_smoke_error"] = "corpus build failed (stderr above)"
+        else:
+            block = {"replicas": SMOKE_REPLICAS, "unit": "sec", "reps": 1}
+            base_t, big_t, errs = {}, {}, {}
+            for name in SMOKE_QUERIES:
+                qd = REGISTRY[name]
+                try:
+                    t0 = time.perf_counter()
+                    qd.spark(spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    base_t[name] = round(time.perf_counter() - t0, 3)
+                    t0 = time.perf_counter()
+                    qd.spark(spark, smoke_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    big_t[name] = round(time.perf_counter() - t0, 3)
+                except Exception as e:
+                    errs[name] = f"{type(e).__name__}: {e}"[:200]
+            block["queries_1x"] = base_t
+            block["queries_30x"] = big_t
+            block["growth"] = {
+                n: round(big_t[n] / base_t[n], 2)
+                for n in big_t
+                if n in base_t and base_t[n] > 0
+            }
+            if errs:
+                block["errors"] = errs
+            result["scale_smoke"] = block
     print(json.dumps(result))
 
 

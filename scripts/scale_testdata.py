@@ -73,7 +73,14 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--src", default=SRC)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset to build (default: all); the "
+        "30x scale smoke only needs documents,embeddings",
+    )
     args = ap.parse_args()
+    subset = set(args.tables.split(",")) if args.tables else None
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -86,10 +93,14 @@ def main() -> None:
     }
 
     for t in COPY_ONLY:
+        if subset is not None and t not in subset:
+            continue
         shutil.copyfile(f"{args.src}/{t}.parquet", out / f"{t}.parquet")
         print(f"{t}: copied")
 
     for t, key_groups in KEYED.items():
+        if subset is not None and t not in subset:
+            continue
         selects = []
         cols = con.sql(f"SELECT * FROM '{args.src}/{t}.parquet' LIMIT 0").columns
         for i in range(args.replicas):
