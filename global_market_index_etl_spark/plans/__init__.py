@@ -43,6 +43,11 @@ PRIORITY_FIRST = [
     # new in round 7
     "tpch_q21_waiting_suppliers",
     "tpch_q9_product_profit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q11_important_parts",
+    "tpch_q15_top_supplier",
     "dedup_semantic_summary",
     # broadcast hints replaced by the stats-guarded broadcast_if_small in
     # round 7 — the plan changed, so each deserves a fresh driver row

@@ -1290,3 +1290,340 @@ def tpch_q9_product_profit(spark, sf):
         )
         .agg(exact_money_sum(profit, 10_000).alias("sum_profit"))
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT {rev} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """.format(
+        rev=sql_exact_money_sum("l_extendedprice * l_discount", 100_000)
+    ),
+    doc="TPC-H Q6 shape — forecast revenue change: a pure scan-filter-"
+    "aggregate with NO joins, the canonical predicate-pushdown probe. "
+    "All three predicates (date range, discount band, quantity cap) are "
+    "sargable and reach the parquet scan as PushedFilters; the aggregate "
+    "is a single partial+final sum of exact integer units, so the "
+    "shuffle carries one row per task. At 100 TB this query is I/O-"
+    "bound by construction — exactly what you want.",
+)
+def tpch_q6_forecast_revenue(spark, sf):
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        exact_money_sum(
+            F.col("l_extendedprice") * F.col("l_discount"), 100_000
+        ).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {rev} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """.format(rev=sql_exact_money_sum(REVENUE, 10_000)),
+    doc="TPC-H Q15 shape — top supplier(s) by quarterly revenue: a "
+    "grouped revenue subquery consumed TWICE, once as the join input and "
+    "once reduced to a scalar max the filter compares against. The "
+    "revenue sums are exact integer cents, so the equality-to-max is "
+    "exact on any engine and any partitioning (a float sum here would "
+    "make the answer partitioning-dependent). Physical plan: lineitem "
+    "scans once per consumer with the date filter pushed down, the "
+    "1-row max broadcasts, supplier joins broadcast-wise.",
+)
+def tpch_q15_top_supplier(spark, sf):
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    revenue_col = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        exact_money_sum(revenue_col, 10_000).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    supplier = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(
+            broadcast_if_small(supplier),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE r_name = 'ASIA'
+      AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY year(o_orderdate)
+    """.format(
+        num="SUM(CASE WHEN sn.n_name = 'NATION_7' THEN "
+        "CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)"
+        " ELSE 0 END)",
+        den="SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000)"
+        " AS BIGINT))",
+    ),
+    doc="TPC-H Q8 shape — national market share: the widest join in the "
+    "set (lineitem⨝orders⨝customer⨝nation⨝region⨝supplier⨝nation⨝part, "
+    "nation again in two roles) feeding a conditional-aggregate ratio "
+    "per year. Both sums are exact integer units so the ratio is "
+    "bit-identical on any engine. Physical plan at scale: region/type/"
+    "date filters prune before the big lineitem⨝orders exchange; "
+    "customer/supplier/part broadcast only under the stats guard; the "
+    "CASE numerator costs nothing extra — one aggregation pass computes "
+    "both sums.",
+)
+def tpch_q8_market_share(spark, sf):
+    lineitem = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount",
+    )
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    customer = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev_units = cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", rev_units).otherwise(
+            F.lit(0)
+        )
+    )
+    den = F.sum(rev_units)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(broadcast_if_small(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(
+            broadcast_if_small(supplier),
+            lineitem.l_suppkey == supplier.s_suppkey,
+        )
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(broadcast_if_small(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (num.cast("double") / den.cast("double")).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey AS ps_partkey,
+             SUM(CAST(round((l_extendedprice * l_quantity) * 100) AS BIGINT))
+               AS value_units
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey
+    )
+    SELECT ps_partkey,
+           CAST(value_units AS BIGINT) / 100.0 AS part_value
+    FROM val
+    WHERE CAST(value_units AS DOUBLE)
+          > (SELECT CAST(SUM(value_units) AS DOUBLE) * 0.001 FROM val)
+    """,
+    doc="TPC-H Q11 shape adapted to the fixture schema (no partsupp; "
+    "traded value ≍ Σ extendedprice×quantity over one nation's "
+    "suppliers): per-part value with a HAVING against a fraction of the "
+    "GLOBAL total — the grouped subquery consumed twice, once per part "
+    "and once fully reduced. Values are exact integer units end-to-end, "
+    "so the threshold compare is engine- and partitioning-independent. "
+    "Physical plan: the nation filter prunes supplier before its "
+    "broadcast, one partial-agg shuffle on l_partkey, and the 1-row "
+    "total broadcasts back over the per-part rows.",
+)
+def tpch_q11_important_parts(spark, sf):
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supplier = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    ).select("n_nationkey")
+    val = (
+        li.join(
+            broadcast_if_small(supplier),
+            li.l_suppkey == supplier.s_suppkey,
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * F.col("l_quantity"), 100)
+            ).alias("value_units")
+        )
+    )
+    total = val.agg(
+        (F.sum("value_units").cast("double") * F.lit(0.001)).alias("__thresh")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_units").cast("double") > F.col("__thresh"))
+        .select(
+            "ps_partkey",
+            (F.col("value_units") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(unit_cost) AS min_cost
+      FROM cost GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+    FROM part
+    JOIN cost ON p_partkey = cost.l_partkey
+    JOIN best ON best.l_partkey = cost.l_partkey
+             AND cost.unit_cost = best.min_cost
+    JOIN supplier ON cost.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 10 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape adapted to the fixture schema (no partsupp; "
+    "supply cost ≍ the best unit price this supplier ever quoted for "
+    "the part, min(extendedprice/quantity) over its lineitems): for "
+    "small LARGE-type parts, the supplier(s) in one region achieving "
+    "the per-part minimum cost — the classic correlated-min subquery, "
+    "planned as an aggregate self-join instead of a per-row rescan. "
+    "The min is over identical IEEE doubles on both engines, so the "
+    "equality join is exact. Physical plan: region filter prunes the "
+    "supplier side BEFORE cost aggregation (the correlated subquery in "
+    "the spec has the same region predicate), one shuffle on "
+    "(partkey, suppkey), the per-part min rejoins on partkey, "
+    "TakeOrderedAndProject caps output at 100.",
+)
+def tpch_q2_min_cost_supplier(spark, sf):
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    euro_suppliers = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(
+            broadcast_if_small(euro_suppliers.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("__bp")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey")
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == F.col("__bp"))
+            & (cost.unit_cost == F.col("min_cost")),
+        )
+        .join(broadcast_if_small(part), cost.l_partkey == part.p_partkey)
+        .join(
+            broadcast_if_small(euro_suppliers),
+            cost.l_suppkey == euro_suppliers.s_suppkey,
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
