@@ -783,11 +783,113 @@ def test_jpeg_codec_fidelity_bounds(spark):
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
-    # flip SOF0 to SOF2 (progressive): must refuse, not mangle
+    # flip SOF0 to SOF1 (extended sequential): must refuse, not mangle
     payload = bytearray(encode_jpeg(uni, 90))
-    payload[payload.index(b"\xff\xc0", 2) + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
+    payload[payload.index(b"\xff\xc0", 2) + 1] = 0xC1
+    with pytest.raises(ValueError, match="SOF1"):
         decode_jpeg(bytes(payload))
+
+
+def test_progressive_jpeg_decodes_identically_to_baseline(spark):
+    """SOF2 support (the round-5/6 verdict codec gap): the progressive
+    encoder quantizes exactly like the baseline one, so decode must be
+    pixel-IDENTICAL across modes — every divergence in the multi-scan
+    coefficient accumulation (spectral bands, successive approximation,
+    EOB runs, AC refinement correction bits) shows up as a pixel diff.
+    Swept over subsampling, grayscale, quality levels, degenerate and
+    non-8-multiple shapes, and high-entropy noise (stresses ZRL/EOB)."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 41, 57
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), (xx + yy) * 255 / (w + h - 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    for sub in (False, True):
+        base = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=90, subsample=sub, progressive=True)
+        )
+        assert (base == prog).all(), f"subsample={sub}"
+
+    gray = (np.arange(17 * 13, dtype=np.uint64) * 2654435761 % 256).astype(
+        np.uint8
+    ).reshape(17, 13, 1)
+    assert (
+        decode_jpeg(encode_jpeg(gray, quality=95))
+        == decode_jpeg(encode_jpeg(gray, quality=95, progressive=True))
+    ).all()
+
+    rng = np.random.default_rng(3)
+    for q in (30, 75, 95):
+        for shape in [(64, 48, 3), (1, 1, 3), (9, 23, 1), (33, 17, 3)]:
+            noise = rng.integers(0, 256, shape, dtype=np.uint8)
+            for sub in [False, True] if shape[2] == 3 else [False]:
+                bn = decode_jpeg(encode_jpeg(noise, quality=q, subsample=sub))
+                pn = decode_jpeg(
+                    encode_jpeg(
+                        noise, quality=q, subsample=sub, progressive=True
+                    )
+                )
+                assert (bn == pn).all(), (q, shape, sub)
+
+    # quarantine contract holds for truncated progressive streams too
+    full = encode_jpeg(img, quality=90, progressive=True)
+    for cut in [20, len(full) // 3, len(full) // 2, len(full) - 30]:
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut])
+
+
+def test_progressive_ac_scan_property_roundtrip(spark):
+    """Property test on the progressive AC entropy layer in isolation:
+    random sparse coefficient blocks → first pass (Al=1) + refinement
+    (Al=0) → decoded coefficients must equal the originals exactly, for
+    several spectral bands. Catches run/EOB/correction-bit misorderings
+    that a smooth image would mask."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(17)
+    ac_codes = J._encode_codes(J.PROG_AC_BITS, J.PROG_AC_VALS)
+    table = J._build_huffman(J.PROG_AC_BITS, J.PROG_AC_VALS)
+    for trial in range(60):
+        nb_y, nb_x = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        blocks = np.zeros((nb_y, nb_x, 64), np.int64)
+        for by in range(nb_y):
+            for bx in range(nb_x):
+                nnz = rng.integers(0, 14)
+                ks = rng.choice(np.arange(1, 64), size=nnz, replace=False)
+                blocks[by, bx, ks] = rng.integers(-40, 41, size=nnz)
+        ss, se = [(1, 63), (1, 5), (6, 63), (20, 35)][trial % 4]
+        nb = (nb_y, nb_x)
+        state = {
+            "eobrun": 0, "mcus_x": nb_x, "mcus_y": nb_y,
+            "hmax": 1, "vmax": 1,
+            1: {
+                "coefs": np.zeros((nb_y, nb_x, 64), np.int64),
+                "pred": 0, "nb_y": nb_y, "nb_x": nb_x,
+            },
+        }
+        frame = (nb_y * 8, nb_x * 8, [{"id": 1, "h": 1, "v": 1, "tq": 0}])
+        first = J._ac_first_scan(blocks, nb, ss, se, 1, ac_codes)
+        J._decode_scan_progressive(
+            first + b"\xff\xd9", 0, frame, state, [1], {1: (0, 0)},
+            ss, se, 0, 1, {}, {0: table}, 0,
+        )
+        refine = J._ac_refine_scan(blocks, nb, ss, se, 0, ac_codes)
+        J._decode_scan_progressive(
+            refine + b"\xff\xd9", 0, frame, state, [1], {1: (0, 0)},
+            ss, se, 1, 0, {}, {0: table}, 0,
+        )
+        got = state[1]["coefs"][:, :, ss : se + 1]
+        assert (got == blocks[:, :, ss : se + 1]).all(), (trial, ss, se)
 
 
 def test_jpeg_truncated_payloads_raise_value_error(spark):
