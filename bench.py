@@ -284,7 +284,48 @@ def main() -> None:
             if errs:
                 block["errors"] = errs
             result["scale_smoke"] = block
-    print(json.dumps(result))
+    # The driver keeps only the last 2000 characters of stdout and parses
+    # the JSON line out of them — round 6's line outgrew that (sf1 block)
+    # and recorded parsed: None. The FULL result (per-query sf1 timings,
+    # smoke 1x timings) goes to BENCH_FULL.json next to this script; the
+    # printed line carries everything round-over-round grading needs,
+    # compacted to fit the driver's window with room to spare.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w", encoding="utf-8") as fh:
+        json.dump(result, fh, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": result["sf"],
+        "reps": REPS,
+        "stat": "median_per_query",
+        "full": "BENCH_FULL.json",
+    }
+    if errors:
+        compact["errors"] = errors
+    if "sf1" in result:
+        compact["sf1_wall"] = result["sf1"]["value"]
+        if result["sf1"].get("errors"):
+            compact["sf1_errors"] = list(result["sf1"]["errors"])
+    if "sf1_error" in result:
+        compact["sf1_error"] = result["sf1_error"]
+    if "scale_smoke" in result:
+        sm = result["scale_smoke"]
+        compact["smoke_30x_growth"] = sm.get("growth")
+        if sm.get("errors"):
+            compact["smoke_errors"] = list(sm["errors"])
+    if "scale_smoke_error" in result:
+        compact["scale_smoke_error"] = result["scale_smoke_error"]
+    line = json.dumps(compact)
+    if len(line) > 1900:  # last-resort: drop per-query map, keep walls
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
