@@ -164,3 +164,93 @@ def select_to_token_budget(
         .filter(F.col("cum_tokens") <= budget)
         .drop("__pid", "__offset")
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    priority_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, best-first — the per-domain /
+    per-source cap every web-corpus pipeline applies so no single site
+    dominates the training mix (C4/RefinedWeb-style host capping).
+
+    Survivors are the top ``cap`` by (priority desc, id asc) — a strict
+    total order, so the kept set is deterministic on any engine or
+    partitioning. One hash shuffle on the group key + one ranking window;
+    no driver state, no RNG. At 100 TB the window sorts within each
+    group's partition — AQE's skew handling splits oversized groups'
+    partitions, and the rank filter discards beyond ``cap`` without
+    materializing the tail.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(priority_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def corpus_mix(
+    df: DataFrame,
+    group_col: str,
+    targets: dict,
+    id_col: str,
+) -> DataFrame:
+    """Downsample groups to TARGET PROPORTIONS — the mixing step that
+    turns a raw corpus into a recipe like "50% en / 15% de / …" (the
+    Pile/RedPajama-style source-mix builder), keeping the corpus as large
+    as the scarcest group allows.
+
+    Let ``count_g`` be each group's size. The largest feasible total is
+    ``T = min_g floor(count_g / target_g)`` (any bigger total would need
+    more of some group than exists); each group then keeps
+    ``floor(target_g * T)`` rows. Survivors are chosen by the stable
+    md5-hash order of their ids — "random-looking" but a pure function of
+    the id, so the mix is reproducible on any engine/partitioning and a
+    document's membership never flips when OTHER groups grow (only when
+    its own group's hash ranking shifts past the quota).
+
+    Groups absent from ``targets`` are dropped (explicit allowlist, like
+    ``stratified_sample``). Plan shape: one partial-agg count per group
+    (|groups| rows), a 1-row global min broadcast back, and one ranking
+    window per group — two shuffles total, no driver collection, no RNG.
+    """
+    if not targets:
+        raise ValueError("targets is empty — every row would be dropped")
+    if any(not 0.0 < t <= 1.0 for t in targets.values()):
+        raise ValueError(f"targets must be in (0, 1]: {targets}")
+    spark = df.sparkSession
+    tdf = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in targets.items()],
+            f"{group_col} string, __target double",
+        )
+    )
+    counts = (
+        df.join(tdf, group_col)
+        .groupBy(group_col, "__target")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    total = counts.agg(
+        F.min(F.floor(F.col("__cnt") / F.col("__target"))).alias("__total")
+    )
+    quota = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        F.floor(F.col("__target") * F.col("__total")).alias("__quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(quota), group_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )

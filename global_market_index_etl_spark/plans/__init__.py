@@ -49,6 +49,8 @@ PRIORITY_FIRST = [
     "tpch_q11_important_parts",
     "tpch_q15_top_supplier",
     "dedup_semantic_summary",
+    "samp_source_cap",
+    "samp_corpus_mix",
     # broadcast hints replaced by the stats-guarded broadcast_if_small in
     # round 7 — the plan changed, so each deserves a fresh driver row
     "flagship_regional_revenue",

@@ -524,6 +524,84 @@ def samp_train_split(spark, sf):
 
 
 @query(
+    "samp_source_cap",
+    """
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 15
+    """,
+    doc="Per-source document cap (operators/sampling.per_group_cap) — the "
+    "C4/RefinedWeb-style host capping that stops any single source from "
+    "dominating the training mix: keep the best 15 docs per source by "
+    "(n_chars desc, doc_id), a strict total order so the survivor set is "
+    "deterministic on any engine or partitioning. One hash shuffle on "
+    "the group key + one ranking window; the rank filter discards the "
+    "tail without materializing it, and AQE skew-splitting handles a "
+    "pathological mega-source.",
+)
+def samp_source_cap(spark, sf):
+    from ..operators.sampling import per_group_cap
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return per_group_cap(
+        docs, "source", cap=15, priority_col="n_chars", id_col="doc_id"
+    ).select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@query(
+    "samp_corpus_mix",
+    """
+    WITH t(lang, target) AS (
+      VALUES ('en', 0.5), ('de', 0.15), ('fr', 0.15), ('es', 0.1), ('zh', 0.1)
+    ), c AS (
+      SELECT d.lang, target, count(*) AS cnt
+      FROM documents d JOIN t ON d.lang = t.lang
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT min(floor(cnt / target)) AS total FROM c
+    ), q AS (
+      SELECT lang, CAST(floor(target * total) AS BIGINT) AS quota
+      FROM c, tot
+    ), r AS (
+      SELECT doc_id, d.lang,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents d JOIN q ON d.lang = q.lang
+    )
+    SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rk <= quota
+    """,
+    doc="Corpus mixing to target language proportions (operators/sampling"
+    ".corpus_mix) — the Pile/RedPajama-style recipe builder: downsample "
+    "each language to a 50/15/15/10/10 en/de/fr/es/zh mix, sized by the "
+    "scarcest language (total = min_g floor(count_g/target_g)). "
+    "Survivors are the md5-hash order prefix of each group — a pure "
+    "function of the id, reproducible anywhere, membership stable under "
+    "other groups' growth. Two shuffles (group count + ranking window), "
+    "a 1-row global min broadcast, no driver collection, no RNG. The "
+    "oracle rebuilds the whole derivation in SQL.",
+)
+def samp_corpus_mix(spark, sf):
+    from ..operators.sampling import corpus_mix
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return corpus_mix(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1},
+        "doc_id",
+    ).select("doc_id", "lang")
+
+
+@query(
     "dedup_cluster_survivors",
     """
     WITH RECURSIVE words AS (

@@ -506,3 +506,70 @@ def test_star_components_empty_pairs(spark, docs):
     empty = spark.createDataFrame([], "id_1 long, id_2 long")
     out = connected_components_star(empty, docs, "doc_id")
     assert out.filter(F.col("doc_id") != F.col("canonical_id")).count() == 0
+
+
+def test_per_group_cap_semantics(spark, docs):
+    from global_market_index_etl_spark.operators.sampling import (
+        per_group_cap,
+    )
+
+    d = docs.select("doc_id", "source", "n_chars")
+    capped = per_group_cap(d, "source", 5, "n_chars", "doc_id")
+    counts = {
+        r.source: r["count"]
+        for r in capped.groupBy("source").count().collect()
+    }
+    orig = {
+        r.source: r["count"] for r in d.groupBy("source").count().collect()
+    }
+    for src, n in orig.items():
+        assert counts.get(src, 0) == min(n, 5), src
+    # survivors are the TOP-n_chars rows of each group (ties by doc_id)
+    rows = d.collect()
+    kept = {(r.doc_id) for r in capped.collect()}
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, members in by_src.items():
+        want = {
+            r.doc_id
+            for r in sorted(members, key=lambda r: (-r.n_chars, r.doc_id))[:5]
+        }
+        assert {r for r in kept if r in {m.doc_id for m in members}} == want
+
+    with pytest.raises(ValueError, match="cap"):
+        per_group_cap(d, "source", 0, "n_chars", "doc_id")
+
+
+def test_corpus_mix_proportions_and_determinism(spark, docs):
+    from global_market_index_etl_spark.operators.sampling import corpus_mix
+
+    targets = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    d = docs.select("doc_id", "lang")
+    mixed = corpus_mix(d, "lang", targets, "doc_id")
+    got = {r.lang: r["count"] for r in mixed.groupBy("lang").count().collect()}
+    orig = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    # quotas follow the scarcest-group derivation exactly
+    total = min(int(orig[g] // t) for g, t in targets.items())
+    for g, t in targets.items():
+        assert got.get(g, 0) == int(t * total // 1), g
+    # groups outside the allowlist are dropped
+    assert set(got) <= set(targets)
+    # achieved mix is within one row of the target proportions
+    n = sum(got.values())
+    for g, t in targets.items():
+        assert abs(got[g] / n - t / sum(targets.values())) < 2 / n + 0.02
+
+    # pure function of ids: identical survivor set under any partitioning
+    ids1 = {r.doc_id for r in mixed.collect()}
+    ids2 = {
+        r.doc_id
+        for r in corpus_mix(d.repartition(7), "lang", targets, "doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+
+    with pytest.raises(ValueError, match="empty"):
+        corpus_mix(d, "lang", {}, "doc_id")
+    with pytest.raises(ValueError, match="targets"):
+        corpus_mix(d, "lang", {"en": 1.5}, "doc_id")
