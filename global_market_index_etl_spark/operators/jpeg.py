@@ -604,6 +604,11 @@ class _BitWriter:
         if self.n:
             self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
 
+    def restart(self, idx: int) -> None:
+        """Byte-align and emit RSTn (markers are raw — never stuffed)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (idx % 8)])
+
 
 def _encode_codes(bits: list[int], vals: list[int]) -> dict:
     """symbol → (code, length) for the encoder side."""
@@ -622,6 +627,7 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an ``(h, w, 3)`` RGB or ``(h, w, 1)`` gray uint8 array as a
     JPEG — baseline SOF0 by default; ``progressive=True`` emits a SOF2
@@ -637,6 +643,10 @@ def encode_jpeg(
         raise ValueError("encode_jpeg expects 1 or 3 channels")
     if not isinstance(quality, int) or not 1 <= quality <= 100:
         raise ValueError(f"quality must be an int in [1, 100], got {quality!r}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError(
+            f"restart_interval must be in [0, 65535], got {restart_interval}"
+        )
     arr = arr.astype(np.float64)
     if nch == 3:
         r_, g_, b_ = arr[..., 0], arr[..., 1], arr[..., 2]
@@ -698,22 +708,35 @@ def encode_jpeg(
         0xC2 if progressive else 0xC0,
         struct.pack(">BHHB", 8, h, w, len(planes)) + sof_comps,
     )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     if progressive:
         body = _encode_progressive_scans(
-            comp_blocks, factors, mcus_x, mcus_y, hmax, vmax, h, w, seg
+            comp_blocks, factors, mcus_x, mcus_y, hmax, vmax, h, w, seg,
+            restart_interval,
         )
     else:
-        body = _encode_baseline_scan(comp_blocks, factors, mcus_x, mcus_y, seg)
-    return b"\xff\xd8" + dqt + sof + body + b"\xff\xd9"
+        body = _encode_baseline_scan(
+            comp_blocks, factors, mcus_x, mcus_y, seg, restart_interval
+        )
+    return b"\xff\xd8" + dqt + sof + dri + body + b"\xff\xd9"
 
 
-def _encode_baseline_scan(comp_blocks, factors, mcus_x, mcus_y, seg) -> bytes:
+def _encode_baseline_scan(
+    comp_blocks, factors, mcus_x, mcus_y, seg, dri=0
+) -> bytes:
     """DHT + single interleaved SOS covering the full spectrum (SOF0)."""
     dc_codes = _encode_codes(DC_BITS, DC_VALS)
     ac_codes = _encode_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
     preds = [0] * len(comp_blocks)
     for mcu in range(mcus_y * mcus_x):
+        if dri and mcu and mcu % dri == 0:
+            bw.restart(mcu // dri - 1)
+            preds = [0] * len(comp_blocks)
         my, mx = divmod(mcu, mcus_x)
         for ci, (fh, fv) in enumerate(factors):
             for v in range(fv):
@@ -773,7 +796,7 @@ PROG_AC_VALS = list(range(0xFF))
 
 
 def _encode_progressive_scans(
-    comp_blocks, factors, mcus_x, mcus_y, hmax, vmax, h, w, seg
+    comp_blocks, factors, mcus_x, mcus_y, hmax, vmax, h, w, seg, dri=0
 ) -> bytes:
     """The SOF2 scan script: DHT + 2 DC scans + 4·ncomp AC band scans.
 
@@ -814,6 +837,9 @@ def _encode_progressive_scans(
     bw = _BitWriter()
     preds = [0] * ncomp
     for mcu in range(mcus_y * mcus_x):
+        if dri and mcu and mcu % dri == 0:
+            bw.restart(mcu // dri - 1)
+            preds = [0] * ncomp
         my, mx = divmod(mcu, mcus_x)
         for ci, (fh, fv) in enumerate(factors):
             for v in range(fv):
@@ -835,6 +861,8 @@ def _encode_progressive_scans(
     # --- scan 2: DC refinement, Ah=1 → Al=0: one raw bit per block ---
     bw = _BitWriter()
     for mcu in range(mcus_y * mcus_x):
+        if dri and mcu and mcu % dri == 0:
+            bw.restart(mcu // dri - 1)
         my, mx = divmod(mcu, mcus_x)
         for ci, (fh, fv) in enumerate(factors):
             for v in range(fv):
@@ -849,17 +877,17 @@ def _encode_progressive_scans(
     for ss, se in bands:
         for ci in range(ncomp):
             out += sos_header([ci + 1], ss, se, 0, 1) + _ac_first_scan(
-                comp_blocks[ci], nb[ci], ss, se, 1, ac_codes
+                comp_blocks[ci], nb[ci], ss, se, 1, ac_codes, dri
             )
     for ss, se in bands:
         for ci in range(ncomp):
             out += sos_header([ci + 1], ss, se, 1, 0) + _ac_refine_scan(
-                comp_blocks[ci], nb[ci], ss, se, 0, ac_codes
+                comp_blocks[ci], nb[ci], ss, se, 0, ac_codes, dri
             )
     return out
 
 
-def _ac_first_scan(blocks, nb, ss, se, al, ac_codes) -> bytes:
+def _ac_first_scan(blocks, nb, ss, se, al, ac_codes, dri=0) -> bytes:
     """AC first pass over one band (T.81 G.1.2.2): magnitude-shifted
     coefficients, zero runs, EOB runs aggregated across blocks."""
     bw = _BitWriter()
@@ -876,8 +904,13 @@ def _ac_first_scan(blocks, nb, ss, se, al, ac_codes) -> bytes:
             eobrun = 0
 
     nb_y, nb_x = nb
+    n = 0
     for by in range(nb_y):
         for bx in range(nb_x):
+            if dri and n and n % dri == 0:
+                emit_eobrun()
+                bw.restart(n // dri - 1)
+            n += 1
             blk = blocks[by, bx]
             vals = []
             for k in range(ss, se + 1):
@@ -914,7 +947,7 @@ def _ac_first_scan(blocks, nb, ss, se, al, ac_codes) -> bytes:
     return bytes(bw.out)
 
 
-def _ac_refine_scan(blocks, nb, ss, se, al, ac_codes) -> bytes:
+def _ac_refine_scan(blocks, nb, ss, se, al, ac_codes, dri=0) -> bytes:
     """AC refinement pass over one band (T.81 G.1.2.3): runs count only
     zero-history positions, already-significant coefficients contribute
     buffered correction bits flushed after each emitted symbol."""
@@ -947,8 +980,13 @@ def _ac_refine_scan(blocks, nb, ss, se, al, ac_codes) -> bytes:
             eobrun = 0
 
     nb_y, nb_x = nb
+    n = 0
     for by in range(nb_y):
         for bx in range(nb_x):
+            if dri and n and n % dri == 0:
+                emit_eobrun()
+                bw.restart(n // dri - 1)
+            n += 1
             blk = blocks[by, bx]
             absvals = []
             last_new = -1

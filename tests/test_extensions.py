@@ -846,6 +846,43 @@ def test_progressive_jpeg_decodes_identically_to_baseline(spark):
             decode_jpeg(full[:cut])
 
 
+def test_jpeg_restart_intervals_both_modes(spark):
+    """DRI/RSTn: the encoder now emits restart intervals, so the decoder's
+    restart paths (byte-align, marker consume, DC-pred + EOB-run reset) are
+    exercised for BASELINE and PROGRESSIVE streams alike — decode with any
+    interval must equal the non-DRI decode exactly."""
+    import numpy as np
+    import pytest
+
+    from global_market_index_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    h, w = 41, 57
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), (xx + yy) * 255 / (w + h - 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)
+    for pic in (smooth, noise):
+        for dri in (1, 3, 7):
+            for sub in (False, True):
+                want = decode_jpeg(encode_jpeg(pic, quality=90, subsample=sub))
+                for prog in (False, True):
+                    got = decode_jpeg(
+                        encode_jpeg(
+                            pic, quality=90, subsample=sub,
+                            progressive=prog, restart_interval=dri,
+                        )
+                    )
+                    assert (got == want).all(), (dri, sub, prog)
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(smooth, restart_interval=-1)
+
+
 def test_progressive_ac_scan_property_roundtrip(spark):
     """Property test on the progressive AC entropy layer in isolation:
     random sparse coefficient blocks → first pass (Al=1) + refinement
