@@ -634,10 +634,12 @@ def encode_jpeg(
     stream with a full spectral-selection + successive-approximation scan
     script (DC first at Al=1, DC refinement, per-component AC bands 1-5
     and 6-63 at Al=1 with EOB runs, then the two matching AC refinement
-    passes). 4:4:4 by default, 4:2:0 (box-averaged chroma, the web
-    default) with ``subsample=True``. Lossy by nature — tests assert
-    fidelity bounds, not identity, EXCEPT progressive-vs-baseline: both
-    modes quantize identically, so their decodes are pixel-identical."""
+    passes). Chroma layout: 4:4:4 by default; ``subsample=True`` or
+    ``"420"`` for 4:2:0 (box-averaged, the web default), ``"422"`` for
+    horizontal-only halving (the broadcast/camera default). Lossy by
+    nature — tests assert fidelity bounds, not identity, EXCEPT
+    progressive-vs-baseline: both modes quantize identically, so their
+    decodes are pixel-identical."""
     h, w, nch = arr.shape
     if nch not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
@@ -655,7 +657,17 @@ def encode_jpeg(
             -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128,
             0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128,
         ]
-        factors = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        if subsample in (False, None, "444"):
+            factors = [(1, 1)] * 3
+        elif subsample in (True, "420"):
+            factors = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "422":  # horizontal-only chroma halving
+            factors = [(2, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(
+                f"subsample must be False/True or '444'/'420'/'422', "
+                f"got {subsample!r}"
+            )
     else:
         planes = [arr[..., 0]]
         factors = [(1, 1)]

@@ -846,6 +846,39 @@ def test_progressive_jpeg_decodes_identically_to_baseline(spark):
             decode_jpeg(full[:cut])
 
 
+def test_jpeg_422_encode_path(spark):
+    """4:2:2 (horizontal-only chroma halving — the broadcast/camera
+    default) now encodes natively, so the decoder's (2,1) sampling path
+    is exercised by a genuine stream rather than a header flip; identical
+    across baseline/progressive/DRI variants."""
+    import numpy as np
+    import pytest
+
+    from global_market_index_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 41, 57
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), (xx + yy) * 255 / (w + h - 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=90, subsample="422"))
+    assert d.shape == (h, w, 3)
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 6
+    p = decode_jpeg(
+        encode_jpeg(img, quality=90, subsample="422", progressive=True)
+    )
+    r = decode_jpeg(
+        encode_jpeg(img, quality=90, subsample="422", restart_interval=3)
+    )
+    assert (d == p).all() and (d == r).all()
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(img, subsample="411")
+
+
 def test_jpeg_restart_intervals_both_modes(spark):
     """DRI/RSTn: the encoder now emits restart intervals, so the decoder's
     restart paths (byte-align, marker consume, DC-pred + EOB-run reset) are
