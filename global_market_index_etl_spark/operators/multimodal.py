@@ -7,12 +7,14 @@ schemas, partitioning, Arrow batch shape, UDF signatures — is real and
 tested. Decode libraries (PIL/ffmpeg/torchaudio) are not in this
 container, so the codec work is a pure-numpy family instead: PNG
 (inflate+unfilter), baseline JPEG (``operators/jpeg.py`` — Huffman +
-batched IDCT + 4:2:0 upsample), RIFF/PCM WAV, and AVI video in both
-uncompressed RGB24 ('00db' DIB chunks) and MJPEG ('00dc' chunks, each a
-baseline JPEG decoded by the same ``operators/jpeg.py`` codec — the
-dominant compressed format in webcam/drone/archival AVI). Inter-frame
-VIDEO codecs (H.264 etc.) remain the one documented
-``NotImplementedError`` hook — that is a codebase, not a function.
+batched IDCT + 4:2:0 upsample, baseline AND progressive), RIFF/PCM WAV,
+and AVI video in both uncompressed RGB24 ('00db' DIB chunks) and MJPEG
+('00dc' chunks, each a JPEG decoded by the same ``operators/jpeg.py``
+codec — the dominant compressed format in webcam/drone/archival AVI).
+Every decode path is real; what remains OUT of scope — inter-frame video
+codecs (H.264 etc., a codebase, not a function) and non-AVI containers
+(MP4/MKV) — raises ValueError uniformly, so pipelines quarantine rather
+than special-case.
 
 - ``decode_stub=False`` paths really decode via the codec family above;
   unsupported containers raise ValueError for the quarantine path.
@@ -210,11 +212,12 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
 
     ``decode_stub=True``: 16-bin BYTE histogram of the raw payload,
     hex-encoded — deterministic, so tests can assert exact values without
-    any codec. ``decode_stub=False``: REAL decode — image payloads go
-    through ``decode_image`` (pure-numpy PNG *and* baseline JPEG) and the
-    feature is the 16-bin PIXEL histogram of the decoded array; same
-    schema, same batch shape, so swapping in PIL/librosa/pyav for other
-    codecs changes one function.
+    any codec. ``decode_stub=False``: REAL decode on every media type —
+    images through ``decode_image`` (pure-numpy PNG + baseline/progressive
+    JPEG, 16-bin pixel histogram), audio through ``decode_wav`` (amplitude
+    histogram), video through ``decode_avi_frames`` (RGB24/MJPEG AVI,
+    whole-clip pixel histogram); same schema, same batch shape, so
+    swapping in PIL/librosa/pyav for other formats changes one function.
     """
 
     def _fake_decode(payload: bytes) -> str:
@@ -239,10 +242,17 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                 minlength=16,
             )
         else:
-            raise NotImplementedError(
-                "real decode for video: pyav keyframe iterator — codec "
-                "libs not in this container"
-            )
+            # video: decode every frame through the AVI walk (RGB24 DIB
+            # or MJPEG via the engine's JPEG codec) and histogram the
+            # pixels of the whole clip — non-AVI containers and
+            # inter-frame codecs raise ValueError for the quarantine
+            # path, same contract as image decode
+            frames = decode_avi_frames(bytes(payload))
+            if not frames:
+                hist = np.zeros(16, dtype=np.int64)
+            else:
+                stack = np.concatenate([f.reshape(-1) for f in frames])
+                hist = np.bincount(stack >> 4, minlength=16)
         return "".join(f"{min(int(h), 255):02x}" for h in hist)
 
     def batches(it: Iterator) -> Iterator:

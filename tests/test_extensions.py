@@ -1879,6 +1879,49 @@ def test_avi_codec_roundtrip_and_real_frame_sampling(spark):
         assert (arr == frames[r.frame_idx * 3]).all()
 
 
+def test_extract_features_real_video_decode(spark):
+    """decode_stub=False for VIDEO payloads: the feature is the decoded
+    whole-clip pixel histogram via the AVI walk (RGB24 and MJPEG), closing
+    the last NotImplementedError in the multimodal tier — only inter-frame
+    codecs / non-AVI containers quarantine now."""
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        as_media_table,
+        decode_avi_frames,
+        encode_avi,
+        extract_features,
+    )
+
+    def hist_hex(frames):
+        stack = np.concatenate([f.reshape(-1) for f in frames])
+        hist = np.bincount(stack >> 4, minlength=16)
+        return "".join(f"{min(int(h), 255):02x}" for h in hist)
+
+    h, w = 16, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = [
+        np.stack([xx * 9 + k, yy * 11, (xx + yy) * 4], axis=-1).astype(
+            np.uint8
+        )
+        for k in range(5)
+    ]
+    raw = encode_avi(frames)
+    mjpg = encode_avi(frames, codec="mjpg", quality=95)
+    media = as_media_table(
+        spark.createDataFrame(
+            [(0, raw), (1, mjpg)], "vid_id long, payload binary"
+        ),
+        "vid_id", "payload", "video",
+    )
+    got = {
+        r.media_id: r.feature
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    assert got[0] == hist_hex(frames)
+    assert got[1] == hist_hex(decode_avi_frames(mjpg))
+
+
 def test_mjpeg_avi_compressed_frame_sampling(spark):
     """MJPEG-in-AVI (round-6 advice item #4): '00dc' chunks each holding a
     baseline JPEG decode through the same container walk, composing
