@@ -912,6 +912,20 @@ def test_jpeg_restart_intervals_both_modes(spark):
                         )
                     )
                     assert (got == want).all(), (dri, sub, prog)
+    # grayscale: the single-component DC scan takes the NON-interleaved
+    # restart path (per-block, not per-MCU) in progressive mode
+    gray = (
+        np.arange(33 * 29, dtype=np.uint64) * 2654435761 % 256
+    ).astype(np.uint8).reshape(33, 29, 1)
+    gwant = decode_jpeg(encode_jpeg(gray, quality=90))
+    for dri in (1, 3, 7):
+        for prog in (False, True):
+            got = decode_jpeg(
+                encode_jpeg(
+                    gray, quality=90, progressive=prog, restart_interval=dri
+                )
+            )
+            assert (got == gwant).all(), (dri, prog)
     with pytest.raises(ValueError, match="restart_interval"):
         encode_jpeg(smooth, restart_interval=-1)
 
