@@ -51,6 +51,7 @@ PRIORITY_FIRST = [
     "dedup_semantic_summary",
     "samp_source_cap",
     "samp_corpus_mix",
+    "jdbc_store_verify",
     # broadcast hints replaced by the stats-guarded broadcast_if_small in
     # round 7 — the plan changed, so each deserves a fresh driver row
     "flagship_regional_revenue",

@@ -729,3 +729,33 @@ def e1_pipeline_market_bars(spark, sf):
     return load_batch(None, batch, ["ticker", "timestamp_utc"], "batch_ts")
 
 
+
+
+@query(
+    "jdbc_store_verify",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="S7 made LIVE — the reference's write-then-verify cycle "
+    "(postgres_writer.py:368-377) against a REAL JDBC database: the "
+    "nation dimension is written through the JDBC sink adapter into an "
+    "embedded Apache Derby database (Spark bundles Derby for the Hive "
+    "metastore — same driver model as PostgreSQL, different URL) and "
+    "read back through the JDBC source adapter; the oracle is the "
+    "original table, so the driver hash-verifies that the store-and-"
+    "retrieve cycle is lossless. Each invocation writes to a fresh "
+    "temp database (Derby keeps booted databases open in-JVM, so "
+    "re-using a path would append). The partitioned parallel read and "
+    "append semantics are covered in tests/test_jdbc.py.",
+)
+def jdbc_store_verify(spark, sf):
+    import tempfile
+
+    from ..sources.jdbc import read_jdbc, write_jdbc
+
+    nation = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='gmie_jdbc_')}/db;create=true"
+    write_jdbc(nation, url, "nation")
+    return read_jdbc(spark, url, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
