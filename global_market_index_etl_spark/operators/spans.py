@@ -1,0 +1,94 @@
+"""Exact duplicate-span detection — token-window fingerprinting across docs.
+
+MinHash/SimHash (operators/dedup.py) find documents that are near-copies of
+each other as wholes.  Web-crawl training data also carries the orthogonal
+failure: boilerplate PARAGRAPHS (license headers, navigation chrome, quoted
+chain mail) duplicated verbatim across millions of otherwise-distinct
+pages.  The published treatment (suffix-array exact substring dedup over
+the concatenated corpus) is inherently sequential; the distributed
+re-expression is token-window fingerprinting:
+
+1. normalize + whitespace-tokenize each document (codegen, no Python);
+2. slide a ``k``-token window over every position → one row per window
+   occurrence (``transform(sequence(...))`` + ``explode`` — JVM-side);
+3. a window string is a DUPLICATE SPAN iff it occurs in more than one
+   distinct document.
+
+``duplicate_window_profile`` returns the per-document summary (how much of
+the document is covered by cross-document duplicate spans) that a curation
+pipeline thresholds on.  The plan is two shuffles, no joins:
+
+- groupBy (doc_id, window) counts in-document occurrences (partial-agg
+  combines the duplicated windows map-side);
+- a count-over-window partitioned by the window string yields the distinct
+  document frequency WITHOUT a second pass or a self-join — the rows are
+  already one-per-(doc, window);
+- the final groupBy doc_id reduces to one summary row per document.
+
+At 100 TB the window-string shuffle dominates; it is the same key-space
+shape as the shingle shuffle in minhash_signatures (operators/dedup.py)
+and shares its skew remedy: a boilerplate window appearing in millions of
+docs lands as one hot key, but it arrives PRE-AGGREGATED to one row per
+(doc, window), so the hot key's row count equals its document frequency —
+bounded by the corpus, not by occurrences.  Window strings of k tokens cap
+the shuffle payload at ~k× the text size; fingerprinting the window with a
+64-bit hash would shrink that k×, at the cost of engine-portable exactness
+(xxhash64 is Spark-internal), so the profile keeps the string form and the
+incremental/persisted variants are free to hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["duplicate_window_profile"]
+
+
+def _norm_tokens(text_col: str):
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+
+
+def duplicate_window_profile(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document duplicate-span summary.
+
+    Returns one row per document with at least ``k`` tokens:
+    ``(doc_id, n_windows, n_dup_windows)`` where a window counts as dup
+    when its exact k-token string occurs in >1 distinct document.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = docs.select(doc_id, _norm_tokens(text_col).alias("__t")).where(
+        F.size("__t") >= k
+    )
+    wins = toks.select(
+        doc_id,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(__t, i, {k})))"
+            )
+        ).alias("__w"),
+    )
+    per_doc_win = wins.groupBy(doc_id, "__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("__w"))
+    return (
+        per_doc_win.withColumn("__df", doc_freq)
+        .groupBy(doc_id)
+        .agg(
+            F.sum("__c").alias("n_windows"),
+            F.sum(F.when(F.col("__df") > 1, F.col("__c")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )

@@ -39,19 +39,13 @@ import re as _re
 DRIVER_WINDOW = 50
 
 # New or materially changed in the current round — always in-window.
+# Queries that already have a recent driver row but whose PLAN materially
+# changed this round — staleness alone would rotate them out, so they are
+# pinned.  Brand-new queries need no pin: a query with no recorded row ever
+# sorts at staleness 0, ahead of everything, and lands in-window by itself.
+# Keeping this list to genuinely-changed queries maximizes the staleness
+# slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
-    # new in round 7
-    "tpch_q21_waiting_suppliers",
-    "tpch_q9_product_profit",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q11_important_parts",
-    "tpch_q15_top_supplier",
-    "dedup_semantic_summary",
-    "samp_source_cap",
-    "samp_corpus_mix",
-    "jdbc_store_verify",
     # broadcast hints replaced by the stats-guarded broadcast_if_small in
     # round 7 — the plan changed, so each deserves a fresh driver row
     "flagship_regional_revenue",

@@ -1627,3 +1627,65 @@ def tpch_q2_min_cost_supplier(spark, sf):
         )
         .limit(100)
     )
+
+
+@query(
+    "j4_interval_join",
+    """
+    WITH incidents AS (
+      SELECT event_id AS incident_id,
+             epoch_us(ts) AS lo,
+             epoch_us(ts) + 1800 * 1000000 AS hi
+      FROM events
+      WHERE event_type = 'error' AND value >= 15.0
+    ), pts AS (
+      SELECT epoch_us(ts) AS pt, value
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT incident_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM incidents JOIN pts ON pt >= lo AND pt < hi
+    GROUP BY incident_id
+    """,
+    doc="Interval (range) join with NO equality key — 30-minute incident "
+    "windows opened by high-value error events, matched against the "
+    "click/view stream. Spark's native plan for a pure non-equi predicate "
+    "is BroadcastNestedLoopJoin (quadratic); this runs the bucketized "
+    "rewrite instead (operators/rangejoin.py): points map to one time "
+    "bucket, intervals explode to ≤2 covered buckets (bucket = window "
+    "width), equi-join on bucket id + exact residual — a plain hash "
+    "shuffle that scales linearly with both sides. Epoch-micros on both "
+    "engines (unix_micros ≡ epoch_us under the UTC session) keep the "
+    "half-open boundary bit-exact; value sums are exact cents.",
+)
+def j4_interval_join(spark, sf):
+    from ..operators.rangejoin import interval_join_bucketed
+
+    events = load_table(spark, sf, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    window_us = 1800 * 1_000_000
+    incidents = (
+        events.filter((F.col("event_type") == "error") & (F.col("value") >= 15.0))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            micros.alias("__lo"),
+            (micros + F.lit(window_us)).alias("__hi"),
+        )
+    )
+    points = events.filter(F.col("event_type").isin("click", "view")).select(
+        micros.alias("__pt"), "value"
+    )
+    joined = interval_join_bucketed(
+        points,
+        incidents,
+        ts_col="__pt",
+        lo_col="__lo",
+        hi_col="__hi",
+        bucket_width=window_us,
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_money_sum(F.col("value")).alias("total_value"),
+    )

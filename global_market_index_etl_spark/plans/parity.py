@@ -759,3 +759,53 @@ def jdbc_store_verify(spark, sf):
     return read_jdbc(spark, url, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@query(
+    "k5_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev_p,
+             lag(o_orderdate) OVER w AS prev_d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), versions AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered
+      WHERE prev_d IS NULL OR o_orderpriority IS DISTINCT FROM prev_p
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM versions
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Type-2 SCD history build (operators/scd2.py) — the type-2 "
+    "counterpart of the reference's type-1 dimension upsert "
+    "(postgres_writer.py:214-266): each customer's order-priority "
+    "changelog collapses to versioned rows with [valid_from, valid_to) "
+    "intervals and an is_current flag. Change compression (null-safe lag "
+    "inequality) + lead intervals run as two window passes over ONE hash "
+    "shuffle on the business key; replaying the feed is idempotent. "
+    "(o_orderdate, o_orderkey) is the deterministic total order.",
+)
+def k5_scd2_history(spark, sf):
+    from ..operators.scd2 import scd2_from_changelog
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return scd2_from_changelog(
+        orders,
+        key_cols=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        attr_cols=["o_orderpriority"],
+    ).select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

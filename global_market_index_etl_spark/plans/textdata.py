@@ -1012,3 +1012,42 @@ def dedup_containment_clusters(spark, sf):
         F.count(F.lit(1)).alias("cluster_size"),
         F.max("doc_id").alias("max_member"),
     )
+
+
+@query(
+    "dedup_span_windows",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS w
+      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - 6)) AS g(i)
+      WHERE len(t) >= 8
+    ), dup AS (
+      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT wins.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(dup.w) AS BIGINT) AS n_dup_windows
+    FROM wins LEFT JOIN dup ON wins.w = dup.w
+    GROUP BY wins.doc_id
+    """,
+    doc="Exact duplicate-SPAN detection (operators/spans.py) — the "
+    "distributed re-expression of suffix-array substring dedup: 8-token "
+    "windows fingerprint boilerplate paragraphs shared verbatim across "
+    "otherwise-distinct documents, the per-doc summary counts how much "
+    "of each document is cross-doc duplicated text. Spark plan: "
+    "codegen tokenize → transform/explode windows → ONE shuffle on "
+    "(doc,window) with map-side combine → count-over-window for the "
+    "document frequency (no self-join) → per-doc aggregate. The oracle "
+    "computes the same profile via an explicit dup-set join.",
+)
+def dedup_span_windows(spark, sf):
+    from ..operators.spans import duplicate_window_profile
+    from ..operators.util import parallelize_small
+
+    docs = parallelize_small(load_table(spark, sf, "documents"))
+    return duplicate_window_profile(docs, doc_id="doc_id", text_col="text", k=8)

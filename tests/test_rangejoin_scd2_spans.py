@@ -1,0 +1,217 @@
+"""Semantics tests for the round-7 operators: bucketized interval join,
+SCD2 changelog history, duplicate-span profiling.
+
+The oracle-parity suite already checks the registered queries end-to-end;
+these tests pin the OPERATOR contracts on adversarial synthetic inputs
+(boundaries, ties, nulls, degenerate sizes) and the scale-critical plan
+property (no nested-loop join in the interval join's physical plan).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from global_market_index_etl_spark.operators.rangejoin import (
+    interval_join_bucketed,
+)
+from global_market_index_etl_spark.operators.scd2 import scd2_from_changelog
+from global_market_index_etl_spark.operators.spans import (
+    duplicate_window_profile,
+)
+
+from .conftest import SF_SMALL
+
+
+# --------------------------------------------------------------------- #
+# interval join
+# --------------------------------------------------------------------- #
+
+
+def _brute_pairs(points, intervals):
+    """Reference: per-pair membership via python loops."""
+    out = set()
+    for pid, pt in points:
+        for iid, lo, hi in intervals:
+            if lo <= pt < hi:
+                out.add((pid, iid))
+    return out
+
+
+def _run_pairs(spark, points, intervals, bucket_width, equality_keys=None):
+    p = spark.createDataFrame(points, "pid long, pt long, pk long")
+    i = spark.createDataFrame(intervals, "iid long, lo long, hi long, ik long")
+    j = interval_join_bucketed(
+        p,
+        i,
+        ts_col="pt",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=bucket_width,
+        equality_keys=equality_keys,
+    )
+    return {(r.pid, r.iid) for r in j.select("pid", "iid").collect()}
+
+
+def test_interval_join_boundaries_and_fanout(spark):
+    # intervals: [10,20) [19,40) [40,40)(empty) [0,1000)(many buckets)
+    intervals3 = [(1, 10, 20), (2, 19, 40), (3, 40, 40), (4, 0, 1000)]
+    # points at lo (in), at hi (out), mid, far outside
+    points2 = [(100, 10), (101, 20), (102, 19), (103, 39), (104, 40),
+               (105, 999), (106, 1000), (107, 5)]
+    expect = _brute_pairs(points2, intervals3)
+    for bucket in (1, 3, 7, 10, 64, 1000, 10_000):
+        got = _run_pairs(
+            spark,
+            [(pid, pt, 0) for pid, pt in points2],
+            [(iid, lo, hi, 0) for iid, lo, hi in intervals3],
+            bucket,
+        )
+        assert got == expect, f"bucket={bucket}"
+
+
+def test_interval_join_exactly_once_per_pair(spark):
+    # an interval spanning many buckets must not duplicate matches
+    p = spark.createDataFrame([(1, 500, 0)], "pid long, pt long, pk long")
+    i = spark.createDataFrame(
+        [(7, 0, 1000, 0)], "iid long, lo long, hi long, ik long"
+    )
+    j = interval_join_bucketed(
+        p, i, ts_col="pt", lo_col="lo", hi_col="hi", bucket_width=10
+    )
+    assert j.count() == 1
+
+
+def test_interval_join_equality_keys(spark):
+    points = [(1, 15, 1), (2, 15, 2)]
+    intervals = [(10, 10, 20, 1)]
+    got = _run_pairs(spark, points, intervals, 10, equality_keys=[("pk", "ik")])
+    assert got == {(1, 10)}
+
+
+def test_interval_join_epoch_micros_magnitude(spark):
+    # epoch-micros ≈ 1.7e15: double division would round near boundaries;
+    # the operator must bucket exactly at this magnitude
+    base = 1_704_067_207_179_575
+    w = 1800 * 1_000_000
+    # point exactly at a bucket multiple boundary, interval starting there
+    lo = (base // w + 1) * w
+    points = [(1, lo, 0), (2, lo - 1, 0), (3, lo + w - 1, 0), (4, lo + w, 0)]
+    intervals = [(9, lo, lo + w, 0)]
+    got = _run_pairs(spark, points, intervals, w)
+    assert got == {(1, 9), (3, 9)}
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    """The scale claim: bucketization yields an equi-join, never BNLJ."""
+    from global_market_index_etl_spark.plans import REGISTRY
+
+    df = REGISTRY["j4_interval_join"].spark(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------- #
+# SCD2
+# --------------------------------------------------------------------- #
+
+
+def _scd2(spark, rows):
+    df = spark.createDataFrame(rows, "k long, seq long, tie long, attr string")
+    return scd2_from_changelog(
+        df, key_cols=["k"], order_cols=["seq", "tie"], attr_cols=["attr"]
+    )
+
+
+def test_scd2_compresses_runs_and_builds_intervals(spark):
+    rows = [
+        (1, 10, 0, "a"),
+        (1, 20, 0, "a"),  # unchanged — collapsed
+        (1, 30, 0, "b"),
+        (1, 40, 0, "b"),  # unchanged — collapsed
+        (1, 50, 0, "a"),  # change back — new version
+    ]
+    got = sorted(
+        _scd2(spark, rows).select(
+            "k", "attr", "valid_from", "valid_to", "is_current"
+        ).collect()
+    )
+    assert [tuple(r) for r in got] == [
+        (1, "a", 10, 30, False),
+        (1, "a", 50, None, True),
+        (1, "b", 30, 50, False),
+    ]
+
+
+def test_scd2_null_safe_changes_and_single_current(spark):
+    rows = [
+        (1, 10, 0, None),
+        (1, 20, 0, "x"),   # null -> value IS a change
+        (1, 30, 0, None),  # value -> null IS a change
+        (2, 10, 0, "y"),
+    ]
+    df = _scd2(spark, rows)
+    assert df.count() == 4
+    current = df.filter("is_current").groupBy("k").count().collect()
+    assert {(r.k, r["count"]) for r in current} == {(1, 1), (2, 1)}
+
+
+def test_scd2_intervals_are_contiguous_per_key(spark):
+    rows = [(1, s, s % 3, "v%d" % (s // 25)) for s in range(0, 200, 10)]
+    df = _scd2(spark, rows).orderBy("k", "valid_from").collect()
+    for prev, nxt in zip(df, df[1:]):
+        if prev.k == nxt.k:
+            assert prev.valid_to == nxt.valid_from
+
+
+def test_scd2_replay_idempotent(spark):
+    rows = [(1, 10, 0, "a"), (1, 30, 0, "b"), (1, 50, 0, "a")]
+    once = sorted(map(tuple, _scd2(spark, rows).collect()))
+    # replaying the same feed (duplicate rows at same seq) yields the
+    # same history — duplicates compress away
+    twice = sorted(map(tuple, _scd2(spark, rows + rows).collect()))
+    assert once == twice
+
+
+# --------------------------------------------------------------------- #
+# duplicate spans
+# --------------------------------------------------------------------- #
+
+
+def _profile(spark, docs, k=4):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = duplicate_window_profile(df, doc_id="doc_id", text_col="text", k=k)
+    return {r.doc_id: (r.n_windows, r.n_dup_windows) for r in out.collect()}
+
+
+def test_spans_cross_doc_duplicate_detected(spark):
+    shared = "one two three four"
+    docs = [
+        (1, f"{shared} alpha beta"),
+        (2, f"gamma {shared} delta"),
+        (3, "completely different words here now"),
+    ]
+    got = _profile(spark, docs, k=4)
+    # doc1: windows at pos 1..3 → 3 windows, 1 dup (the shared one)
+    assert got[1] == (3, 1)
+    assert got[2] == (3, 1)
+    assert got[3] == (2, 0)
+
+
+def test_spans_within_doc_repeat_is_not_cross_doc_dup(spark):
+    docs = [(1, "a b c d a b c d"), (2, "x y z w q r s t")]
+    got = _profile(spark, docs, k=4)
+    # "a b c d" occurs twice in doc1 only — not a cross-doc duplicate
+    assert got[1][1] == 0
+
+
+def test_spans_short_docs_excluded_and_normalization(spark):
+    docs = [
+        (1, "only three words"),
+        (2, "  ONE   two\tthree\nfour  "),  # whitespace + case noise
+        (3, "one two three four"),
+    ]
+    got = _profile(spark, docs, k=4)
+    assert 1 not in got  # < k tokens
+    assert got[2] == (1, 1)  # normalizes to the same window as doc3
+    assert got[3] == (1, 1)
