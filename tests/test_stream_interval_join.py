@@ -1,0 +1,132 @@
+"""Stream-stream interval join: batch parity + cross-micro-batch buffering.
+
+The bucketization rewrite (operators/rangejoin.py) is what makes a pure
+range join POSSIBLE between two streams — Structured Streaming's symmetric
+hash join demands an equality key. These tests assert the streaming pair
+set equals the batch operator's on identical rows, including when the two
+sides arrive interleaved across separate files (micro-batch boundaries).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from global_market_index_etl_spark.operators.rangejoin import (
+    interval_join_bucketed,
+)
+from global_market_index_etl_spark.streaming.joins import (
+    stream_interval_join_bucketed,
+)
+
+P_SCHEMA = "pid long, p_ts timestamp"
+I_SCHEMA = "iid long, i_ts timestamp"
+
+POINTS = [
+    (1, "2024-01-01 10:00:00"),  # == interval open: IN
+    (2, "2024-01-01 10:29:59"),  # last second: IN
+    (3, "2024-01-01 10:30:00"),  # == hi bound: OUT
+    (4, "2024-01-01 11:05:00"),  # inside second interval
+    (5, "2024-01-01 09:59:59"),  # before any interval
+]
+INTERVALS = [
+    (10, "2024-01-01 10:00:00"),
+    (11, "2024-01-01 10:45:00"),
+]
+WINDOW = 1800
+EXPECTED = {(1, 10), (2, 10), (4, 11)}
+
+
+def _typed(spark, rows, schema, ts):
+    raw = spark.createDataFrame(
+        rows, schema.replace("timestamp", "string")
+    )
+    return raw.select(
+        *[c for c in raw.columns if c != ts],
+        F.col(ts).cast("timestamp").alias(ts),
+    )
+
+
+def _run_stream(spark, tmp_path, p_files, i_files, one_file_per_batch=False):
+    psrc, isrc = str(tmp_path / "p"), str(tmp_path / "i")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in p_files:
+        _typed(spark, chunk, P_SCHEMA, "p_ts").coalesce(1).write.mode(
+            "append"
+        ).parquet(psrc)
+    for chunk in i_files:
+        _typed(spark, chunk, I_SCHEMA, "i_ts").coalesce(1).write.mode(
+            "append"
+        ).parquet(isrc)
+
+    pairs: set[tuple[int, int]] = set()
+
+    def handle(batch, _bid):
+        pairs.update((r.pid, r.iid) for r in batch.select("pid", "iid").collect())
+
+    def reader(schema, src):
+        r = spark.readStream.schema(schema)
+        if one_file_per_batch:
+            r = r.option("maxFilesPerTrigger", 1)
+        return r.parquet(src)
+
+    joined = stream_interval_join_bucketed(
+        reader("pid long, p_ts timestamp", psrc),
+        reader("iid long, i_ts timestamp", isrc),
+        point_ts_col="p_ts",
+        interval_ts_col="i_ts",
+        window_seconds=WINDOW,
+    )
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch(handle)
+        .start()
+    )
+    q.awaitTermination(180)
+    return pairs
+
+
+def _batch_pairs(spark):
+    p = _typed(spark, POINTS, P_SCHEMA, "p_ts").withColumn(
+        "__pt", F.col("p_ts").cast("long")
+    )
+    i = _typed(spark, INTERVALS, I_SCHEMA, "i_ts").select(
+        "iid",
+        F.col("i_ts").cast("long").alias("__lo"),
+        (F.col("i_ts").cast("long") + WINDOW).alias("__hi"),
+    )
+    j = interval_join_bucketed(
+        p, i, ts_col="__pt", lo_col="__lo", hi_col="__hi", bucket_width=WINDOW
+    )
+    return {(r.pid, r.iid) for r in j.select("pid", "iid").collect()}
+
+
+def test_stream_matches_batch_single_batch(spark, tmp_path):
+    got = _run_stream(spark, tmp_path, [POINTS], [INTERVALS])
+    assert got == EXPECTED
+    assert _batch_pairs(spark) == EXPECTED
+
+
+def test_stream_matches_batch_across_micro_batches(spark, tmp_path):
+    """Points and intervals split across files: the symmetric join must
+    buffer each side until the other's rows arrive."""
+    got = _run_stream(
+        spark,
+        tmp_path,
+        [POINTS[:2], POINTS[2:]],
+        [INTERVALS[:1], INTERVALS[1:]],
+        one_file_per_batch=True,
+    )
+    assert got == EXPECTED
+
+
+def test_stream_rejects_overlapping_or_equal_columns(spark):
+    import pytest
+
+    df = _typed(spark, POINTS, P_SCHEMA, "p_ts")
+    with pytest.raises(ValueError):
+        stream_interval_join_bucketed(
+            df, df, point_ts_col="p_ts", interval_ts_col="p_ts",
+            window_seconds=60,
+        )
