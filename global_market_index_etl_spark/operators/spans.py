@@ -42,7 +42,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["duplicate_window_profile"]
+__all__ = ["duplicate_window_profile", "remove_duplicate_spans"]
 
 
 def _norm_tokens(text_col: str):
@@ -90,5 +90,100 @@ def duplicate_window_profile(
             F.sum(F.when(F.col("__df") > 1, F.col("__c")).otherwise(0)).alias(
                 "n_dup_windows"
             ),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Rewrite each document with cross-document duplicate spans REMOVED.
+
+    The cleaning step of exact substring dedup: every token covered by at
+    least one k-token window that also occurs in another document is
+    dropped; the survivors are rejoined in order.  Returns one row per
+    (whitespace-normalized non-empty) document:
+    ``(doc_id, cleaned_text, n_tokens, n_removed_tokens)``.
+
+    Entirely JVM-side — no Python in the pipeline:
+
+    1. tokenize; windows with positions (``posexplode`` of the transform);
+    2. duplicate-window set = windows with distinct-doc count > 1
+       (one aggregation, map-side combined);
+    3. covered token indexes = dup window starts exploded to their k
+       positions, de-duplicated — fan-out exactly k, merging of
+       overlapping spans falls out of the DISTINCT;
+    4. surviving tokens = left-anti join of token positions against the
+       covered set; reconstruction = sort_array over (position, token)
+       structs + array_join, giving deterministic order without a
+       per-doc window sort.
+
+    All shuffles are keyed by window string or (doc, position) — linear in
+    corpus size; the per-doc state (one array of that doc's tokens) is
+    bounded by document length, same as every other text operator.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = (
+        docs.select(doc_id, _norm_tokens(text_col).alias("__t"))
+        .where(F.length(F.trim(F.col(text_col))) > 0)
+    )
+    winpos = toks.where(F.size("__t") >= k).select(
+        doc_id,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(__t, i, {k})))"
+            )
+        ).alias("__p0", "__w"),
+    ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
+    dup = (
+        winpos.groupBy("__w")
+        .agg(F.count_distinct(F.col(doc_id)).alias("__nd"))
+        .where(F.col("__nd") > 1)
+        .select("__w")
+    )
+    covered = (
+        winpos.join(dup, "__w")
+        .select(
+            doc_id,
+            F.explode(
+                F.sequence(F.col("__i"), F.col("__i") + F.lit(k - 1))
+            ).alias("__j"),
+        )
+        .distinct()
+    )
+    tokens = toks.select(
+        doc_id,
+        F.size("__t").alias("__n"),
+        F.posexplode("__t").alias("__j0", "__tok"),
+    ).select(doc_id, "__n", (F.col("__j0") + 1).alias("__j"), "__tok")
+    kept = tokens.join(covered, [doc_id, "__j"], "left_anti")
+    kept_agg = kept.groupBy(doc_id).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__j"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__cleaned"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    base = toks.select(doc_id, F.size("__t").alias("n_tokens"))
+    return (
+        base.join(kept_agg, doc_id, "left")
+        .select(
+            doc_id,
+            F.coalesce(F.col("__cleaned"), F.lit("")).alias("cleaned_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0))
+            ).cast("long").alias("n_removed_tokens"),
         )
     )

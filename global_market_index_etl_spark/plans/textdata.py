@@ -1051,3 +1051,57 @@ def dedup_span_windows(spark, sf):
 
     docs = parallelize_small(load_table(spark, sf, "documents"))
     return duplicate_window_profile(docs, doc_id="doc_id", text_col="text", k=8)
+
+
+@query(
+    "dedup_span_removal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), wins AS (
+      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS w
+      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - 6)) AS g(i)
+      WHERE len(t) >= 8
+    ), dup AS (
+      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) > 1
+    ), covered AS (
+      SELECT DISTINCT wins.doc_id, c.j
+      FROM wins JOIN dup ON wins.w = dup.w
+      CROSS JOIN LATERAL unnest(range(i, i + 8)) AS c(j)
+    ), tokens AS (
+      SELECT doc_id, x.j, t[x.j] AS tok
+      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) + 1)) AS x(j)
+    ), kept AS (
+      SELECT tokens.doc_id, tokens.j, tokens.tok
+      FROM tokens ANTI JOIN covered USING (doc_id, j)
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS cleaned,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           coalesce(agg.cleaned, '') AS cleaned_text,
+           CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(len(toks.t) - coalesce(agg.kept_n, 0) AS BIGINT)
+             AS n_removed_tokens
+    FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+    """,
+    doc="Exact duplicate-span REMOVAL (operators/spans.py) — the cleaning "
+    "step of suffix-array-style substring dedup, distributed: tokens "
+    "covered by any cross-document duplicate 8-token window are dropped "
+    "and each document is reconstructed in order. Entirely JVM-side "
+    "(posexplode windows → dup-set aggregate → k-fanout covered indexes "
+    "→ anti-join survivors → sort_array/array_join rebuild); every "
+    "shuffle is keyed by window string or (doc, position) — linear in "
+    "corpus size. The oracle rebuilds the same text via string_agg.",
+)
+def dedup_span_removal(spark, sf):
+    from ..operators.spans import remove_duplicate_spans
+    from ..operators.util import parallelize_small
+
+    docs = parallelize_small(load_table(spark, sf, "documents"))
+    return remove_duplicate_spans(docs, doc_id="doc_id", text_col="text", k=8)

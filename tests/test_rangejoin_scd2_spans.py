@@ -215,3 +215,47 @@ def test_spans_short_docs_excluded_and_normalization(spark):
     assert 1 not in got  # < k tokens
     assert got[2] == (1, 1)  # normalizes to the same window as doc3
     assert got[3] == (1, 1)
+
+
+def _removed(spark, docs, k=4):
+    from global_market_index_etl_spark.operators.spans import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = remove_duplicate_spans(df, doc_id="doc_id", text_col="text", k=k)
+    return {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_removed_tokens)
+        for r in out.collect()
+    }
+
+
+def test_span_removal_drops_shared_span_keeps_rest(spark):
+    docs = [
+        (1, "alpha one two three four beta"),
+        (2, "gamma one two three four delta"),
+        (3, "totally unrelated content sits here"),
+    ]
+    got = _removed(spark, docs, k=4)
+    assert got[1] == ("alpha beta", 6, 4)
+    assert got[2] == ("gamma delta", 6, 4)
+    assert got[3] == ("totally unrelated content sits here", 5, 0)
+
+
+def test_span_removal_overlapping_windows_merge(spark):
+    # 5-token shared run ⇒ two overlapping 4-windows; coverage must merge
+    # to 5 tokens, not 8
+    docs = [
+        (1, "x one two three four five y"),
+        (2, "one two three four five"),
+    ]
+    got = _removed(spark, docs, k=4)
+    assert got[1] == ("x y", 7, 5)
+    assert got[2] == ("", 5, 5)  # fully duplicated doc empties out
+
+
+def test_span_removal_short_and_clean_docs_pass_through(spark):
+    docs = [(1, "just three words"), (2, "a b c d e f")]
+    got = _removed(spark, docs, k=4)
+    assert got[1] == ("just three words", 3, 0)
+    assert got[2] == ("a b c d e f", 6, 0)
