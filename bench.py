@@ -79,6 +79,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "e1_pipeline_market_bars",
     "k2_upsert_roundtrip",
+    "j4_interval_join",
+    "k5_scd2_history",
+    "dedup_span_removal",
 ]
 
 
