@@ -372,3 +372,53 @@ def word_repetition_metrics(
         )
     )
     return out
+
+
+def model_quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixed-weight linear quality CLASSIFIER over the feature vector.
+
+    The production counterpart of :func:`quality_score`'s heuristic blend:
+    a trained-model shape (linear scorer + squashing + decision) evaluated
+    entirely in codegen.  The logistic sigmoid would drag ``exp`` in —
+    libm and the JVM disagree in low bits, breaking cross-engine exactness
+    — so the squash is the RATIONAL sigmoid ``0.5 + 0.5·s/(1+|s|)``
+    (same shape, same monotonicity, pure arithmetic: bit-identical on any
+    IEEE engine).  ``keep`` tests the raw margin against 0, which is the
+    exact 0.5-probability boundary — no float-threshold fragility.
+
+    Weights are documented stand-ins with the signs a trained filter
+    learns (length up, stopwords up, punctuation soup down, ALL-CAPS and
+    digit walls down); swapping in trained coefficients is a one-line
+    change and keeps every property above.
+    """
+    t = F.col(text_col)
+    feat = quality_features(df, text_col)
+    n_chars = F.col("n_chars_m")
+    denom_chars = F.nullif(n_chars.cast("double"), F.lit(0.0))
+    f_len = F.least(F.col("n_tokens").cast("double") / F.lit(500.0), F.lit(1.0))
+    f_stop = F.coalesce(F.col("stopword_ratio"), F.lit(0.0))
+    f_punct = F.coalesce(F.col("punct_ratio"), F.lit(0.0))
+    f_wordlen = F.least(
+        F.coalesce(F.col("avg_token_len"), F.lit(0.0)) / F.lit(10.0), F.lit(1.0)
+    )
+    f_digit = F.coalesce(
+        F.regexp_count(t, F.lit("[0-9]")).cast("double") / denom_chars,
+        F.lit(0.0),
+    )
+    f_caps = F.coalesce(
+        F.regexp_count(t, F.lit("[A-Z]")).cast("double") / denom_chars,
+        F.lit(0.0),
+    )
+    margin = (
+        F.lit(-0.6)
+        + F.lit(1.8) * f_len
+        + F.lit(3.0) * f_stop
+        - F.lit(5.0) * f_punct
+        + F.lit(1.2) * f_wordlen
+        - F.lit(2.5) * f_digit
+        - F.lit(1.5) * f_caps
+    )
+    prob = F.lit(0.5) + F.lit(0.5) * margin / (F.lit(1.0) + F.abs(margin))
+    return feat.withColumns(
+        {"quality_margin": margin, "quality_prob": prob, "keep": margin >= 0}
+    )

@@ -1105,3 +1105,60 @@ def dedup_span_removal(spark, sf):
 
     docs = parallelize_small(load_table(spark, sf, "documents"))
     return remove_duplicate_spans(docs, doc_id="doc_id", text_col="text", k=8)
+
+
+@query(
+    "text_quality_classifier",
+    r"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len({words}) AS INTEGER) AS n_tok,
+             CAST(length(text) AS INTEGER) AS n_ch,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|of|to|in|is|for|on|with)\b')) AS INTEGER)
+               AS n_stop,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER)
+               AS n_punct,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_dig,
+             CAST(len(regexp_extract_all(text, '[A-Z]')) AS INTEGER) AS n_cap
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             -0.6
+             + 1.8 * least(CAST(n_tok AS DOUBLE) / 500.0, 1.0)
+             + 3.0 * coalesce(CAST(n_stop AS DOUBLE)
+                   / nullif(CAST(n_tok AS DOUBLE), 0.0), 0.0)
+             - 5.0 * coalesce(CAST(n_punct AS DOUBLE)
+                   / nullif(CAST(n_ch AS DOUBLE), 0.0), 0.0)
+             + 1.2 * least(coalesce(CAST(n_ch AS DOUBLE)
+                   / nullif(CAST(n_tok AS DOUBLE), 0.0), 0.0) / 10.0, 1.0)
+             - 2.5 * coalesce(CAST(n_dig AS DOUBLE)
+                   / nullif(CAST(n_ch AS DOUBLE), 0.0), 0.0)
+             - 1.5 * coalesce(CAST(n_cap AS DOUBLE)
+                   / nullif(CAST(n_ch AS DOUBLE), 0.0), 0.0)
+               AS quality_margin
+      FROM feat
+    )
+    SELECT doc_id, quality_margin,
+           0.5 + 0.5 * quality_margin / (1.0 + abs(quality_margin))
+             AS quality_prob,
+           quality_margin >= 0 AS keep
+    FROM m
+    """.format(words=_SQL_WORDS.format(col="text")),
+    doc="Model-based quality filtering (operators/text.py "
+    "model_quality_classifier) — the trained-classifier shape (linear "
+    "margin over a feature vector + squash + decision) in pure codegen. "
+    "The squash is the RATIONAL sigmoid 0.5 + 0.5·s/(1+|s|): same shape "
+    "and monotonicity as the logistic but no exp(), so the score is "
+    "bit-identical across engines; keep tests the raw margin against 0 "
+    "(the exact 0.5-probability boundary). Zero shuffles — a 100 TB "
+    "corpus scores at scan speed.",
+)
+def text_quality_classifier(spark, sf):
+    from ..operators.text import model_quality_classifier
+    from ..operators.util import parallelize_small
+
+    docs = parallelize_small(load_table(spark, sf, "documents"))
+    return model_quality_classifier(docs).select(
+        "doc_id", "quality_margin", "quality_prob", "keep"
+    )

@@ -573,3 +573,38 @@ def test_corpus_mix_proportions_and_determinism(spark, docs):
         corpus_mix(d, "lang", {}, "doc_id")
     with pytest.raises(ValueError, match="targets"):
         corpus_mix(d, "lang", {"en": 1.5}, "doc_id")
+
+
+# --------------------------------------------------------------------- #
+# model-based quality classifier (round 7)
+# --------------------------------------------------------------------- #
+
+
+def test_quality_classifier_degenerate_and_monotone(spark):
+    from global_market_index_etl_spark.operators.text import (
+        model_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),  # empty: every ratio coalesces to 0 → margin = -0.6
+            (2, "the cat and the dog walked to the park in the morning sun"),
+            (3, "!!! ??? ;;; ,,, ... !!! ??? ;;;"),  # punctuation soup
+            (4, "1234567890 0987654321 1111111111"),  # digit wall
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        x.doc_id: x
+        for x in model_quality_classifier(docs)
+        .select("doc_id", "quality_margin", "quality_prob", "keep")
+        .collect()
+    }
+    assert abs(r[1].quality_margin - (-0.6)) < 1e-12
+    assert not r[1].keep
+    assert r[2].keep and r[2].quality_margin > 0
+    assert r[3].quality_margin < r[2].quality_margin
+    assert r[4].quality_margin < r[2].quality_margin
+    for x in r.values():
+        assert 0.0 < x.quality_prob < 1.0
+        assert x.keep == (x.quality_prob >= 0.5)
