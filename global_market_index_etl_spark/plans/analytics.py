@@ -1689,3 +1689,48 @@ def j4_interval_join(spark, sf):
         F.count(F.lit(1)).alias("n_events"),
         exact_money_sum(F.col("value")).alias("total_value"),
     )
+
+
+@query(
+    "w_session_window_native",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+    doc="Gap sessionization via Spark's NATIVE session_window — the "
+    "engine-managed merge the streaming sessionizer "
+    "(streaming/sessions.py) relies on, here run in batch mode against "
+    "the lag/running-sum oracle. The two formulations agree exactly "
+    "because session_window's bound is INCLUSIVE (an event at precisely "
+    "last_ts + gap merges), matching the oracle's gap > 21600 break — "
+    "the boundary is pinned by test_exact_gap_boundary_semantics. At "
+    "scale: one shuffle on user_id, state merged per key by the engine "
+    "instead of two analytic window passes.",
+)
+def w_session_window_native(spark, sf):
+    from ..streaming.sessions import sessionize_stream
+
+    events = load_table(spark, sf, "events")
+    return sessionize_stream(
+        events, ts_col="ts", key_col="user_id", value_col="value",
+        gap="6 hours",
+    )
