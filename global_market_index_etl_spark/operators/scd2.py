@@ -78,3 +78,45 @@ def scd2_from_changelog(
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def scd2_apply_changes(
+    history: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    seq_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Merge a new changelog batch into an existing SCD2 history.
+
+    The incremental form of :func:`scd2_from_changelog`: instead of
+    rebuilding from the full changelog, only the keys PRESENT IN THE BATCH
+    are reprocessed — their existing versions are converted back to a
+    changelog (``valid_from`` is the version's sequence value; compression
+    already made versions the minimal changelog) and re-derived together
+    with the new rows; every other key's history passes through untouched
+    via an anti-join.  Cost ∝ |batch| + |touched keys' history|, not
+    |table| — over the bucketed storage layer the semi/anti joins prune to
+    the touched buckets, the same discipline as merge_into_parquet
+    (operators/storage.py).
+
+    Requires ``seq_col`` values unique per key across the whole feed (the
+    usual event-time + tie-break sequence); replaying rows already in the
+    history is a no-op (they compress away), so at-least-once delivery is
+    safe.  Equivalence with the full rebuild and replay idempotence are
+    asserted in tests.
+    """
+    affected = changes.select(*key_cols).distinct()
+    touched_log = (
+        history.join(affected, key_cols, "left_semi")
+        .select(*key_cols, *attr_cols, F.col("valid_from").alias(seq_col))
+    )
+    merged = scd2_from_changelog(
+        touched_log.unionByName(changes.select(*key_cols, *attr_cols, seq_col)),
+        key_cols=key_cols,
+        order_cols=[seq_col],
+        attr_cols=attr_cols,
+    )
+    untouched = history.join(affected, key_cols, "left_anti")
+    return untouched.unionByName(merged)

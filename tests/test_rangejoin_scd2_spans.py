@@ -259,3 +259,61 @@ def test_span_removal_short_and_clean_docs_pass_through(spark):
     got = _removed(spark, docs, k=4)
     assert got[1] == ("just three words", 3, 0)
     assert got[2] == ("a b c d e f", 6, 0)
+
+
+# --------------------------------------------------------------------- #
+# incremental SCD2 apply
+# --------------------------------------------------------------------- #
+
+
+def _log_df(spark, rows):
+    return spark.createDataFrame(rows, "k long, seq long, attr string")
+
+
+def _full(spark, rows):
+    return scd2_from_changelog(
+        _log_df(spark, rows), key_cols=["k"], order_cols=["seq"],
+        attr_cols=["attr"],
+    )
+
+
+def test_scd2_incremental_equals_full_rebuild(spark):
+    from global_market_index_etl_spark.operators.scd2 import (
+        scd2_apply_changes,
+    )
+
+    feed = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "b"), (1, 40, "a"),
+        (2, 10, "x"), (2, 50, "y"),
+        (3, 15, "m"),
+    ]
+    # three delivery batches, interleaved keys, out-of-order seq across
+    # batches for key 1 (40 arrives before 30)
+    batches = [feed[:2] + [feed[4]], [feed[3], feed[5]], [feed[2], feed[6]]]
+    hist = _full(spark, batches[0])
+    for b in batches[1:]:
+        hist = scd2_apply_changes(
+            hist, _log_df(spark, b), key_cols=["k"], seq_col="seq",
+            attr_cols=["attr"],
+        )
+    got = sorted(map(tuple, hist.collect()))
+    want = sorted(map(tuple, _full(spark, feed).collect()))
+    assert got == want
+
+
+def test_scd2_incremental_replay_and_untouched_keys(spark):
+    from global_market_index_etl_spark.operators.scd2 import (
+        scd2_apply_changes,
+    )
+
+    feed = [(1, 10, "a"), (1, 20, "b"), (2, 10, "x")]
+    hist = _full(spark, feed)
+    # replay an already-applied batch: history must be unchanged,
+    # including key 2 (untouched pass-through)
+    replay = scd2_apply_changes(
+        hist, _log_df(spark, feed[:2]), key_cols=["k"], seq_col="seq",
+        attr_cols=["attr"],
+    )
+    assert sorted(map(tuple, replay.collect())) == sorted(
+        map(tuple, hist.collect())
+    )
