@@ -30,11 +30,11 @@ shape as the shingle shuffle in minhash_signatures (operators/dedup.py)
 and shares its skew remedy: a boilerplate window appearing in millions of
 docs lands as one hot key, but it arrives PRE-AGGREGATED to one row per
 (doc, window), so the hot key's row count equals its document frequency —
-bounded by the corpus, not by occurrences.  Window strings of k tokens cap
-the shuffle payload at ~k× the text size; fingerprinting the window with a
-64-bit hash would shrink that k×, at the cost of engine-portable exactness
-(xxhash64 is Spark-internal), so the profile keeps the string form and the
-incremental/persisted variants are free to hash.
+bounded by the corpus, not by occurrences.  Raw window strings would make
+the shuffle payload ~k× the text size; every window therefore travels as
+its md5 fingerprint (32 hex chars, computed in-row before the explode) —
+md5 is engine-portable, so the DuckDB oracles hash the identical strings
+and the comparison stays exact, unlike Spark-internal xxhash64.
 """
 
 from __future__ import annotations
@@ -74,7 +74,7 @@ def duplicate_window_profile(
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(__t) - {k - 1}),"
-                f" i -> concat_ws(' ', slice(__t, i, {k})))"
+                f" i -> md5(concat_ws(' ', slice(__t, i, {k}))))"
             )
         ).alias("__w"),
     )
@@ -143,7 +143,7 @@ def remove_duplicate_spans(
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(__t) - {k - 1}),"
-                f" i -> concat_ws(' ', slice(__t, i, {k})))"
+                f" i -> md5(concat_ws(' ', slice(__t, i, {k}))))"
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")

@@ -1023,7 +1023,7 @@ def dedup_containment_clusters(spark, sf):
                           ' ') AS t
       FROM documents
     ), wins AS (
-      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS w
+      SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS w
       FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - 6)) AS g(i)
       WHERE len(t) >= 8
     ), dup AS (
@@ -1063,7 +1063,7 @@ def dedup_span_windows(spark, sf):
       FROM documents
       WHERE length(trim(text)) > 0
     ), wins AS (
-      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS w
+      SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS w
       FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - 6)) AS g(i)
       WHERE len(t) >= 8
     ), dup AS (
