@@ -147,3 +147,28 @@ def test_scans_prune_columns(spark, name):
         assert ncols < LINEITEM_WIDTH, (
             f"{name}: scan reads {ncols} columns — projection not pruned"
         )
+
+
+# Selective predicates must reach the parquet reader as PushedFilters —
+# at 100 TB the difference between scanning a day and scanning the table.
+# Each entry: (query, fragment that must appear inside a PushedFilters list)
+PUSHDOWN_EXPECTED = {
+    "q1_top5_recent": "EqualTo(o_custkey,42)",
+    "q2_day_slice": "GreaterThanOrEqual(ts,",
+    "f5_in_list_filter": "In(l_returnflag,",
+    "j4_interval_join": "EqualTo(event_type,error",
+    "tpch_q6_forecast_revenue": "IsNotNull(l_shipdate)",
+    "tpch_q12_priority_buckets": "IsNotNull(l_shipdate)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN_EXPECTED))
+def test_selective_filters_reach_the_scan(spark, name):
+    plan = _formatted_plan(REGISTRY[name].spark(spark, SF_SMALL))
+    pushed = " | ".join(
+        re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    )
+    assert PUSHDOWN_EXPECTED[name] in pushed, (
+        f"{name}: expected pushdown fragment missing — PushedFilters: "
+        f"{pushed[:200]}"
+    )
