@@ -1162,3 +1162,46 @@ def text_quality_classifier(spark, sf):
     return model_quality_classifier(docs).select(
         "doc_id", "quality_margin", "quality_prob", "keep"
     )
+
+
+@query(
+    "ann_ivf_exhaustive",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             unnest(q.embedding) AS qv, unnest(e.embedding) AS ev
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.vec_id
+    ), dots AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dot,
+             SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq,
+             SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ne
+      FROM pairs GROUP BY 1, 2
+    ), sims AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cos_sim
+      FROM dots
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+      FROM sims)
+    SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
+    """,
+    doc="IVF with nprobe == n_lists — exhaustive probing degenerates to "
+    "EXACT brute force (recall 1.0), so the whole IVF machinery "
+    "(centroid training, one-list-per-vector assignment, probed-list "
+    "union, exact re-rank, tie-broken ranking) is driver-checkable "
+    "against the same brute-force SQL oracle as ann_cosine_topk. The "
+    "production dial (ann_ivf_topk, nprobe=4) keeps its recall tests; "
+    "this row proves the index path itself loses nothing.",
+)
+def ann_ivf_exhaustive(spark, sf):
+    from ..operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, probes, k=5, n_lists=8, nprobe=8)
