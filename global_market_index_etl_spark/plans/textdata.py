@@ -65,6 +65,83 @@ def _sql_split_case(id_ref: str) -> str:
     )
 
 
+# Margin CTEs of the model quality classifier, parameterized on the source
+# relation so composed pipelines (curation_pipeline_v2) reuse the identical
+# arithmetic — one source of truth, same discipline as _SQL_QUALITY_SCORE.
+_SQL_CLASSIFIER_CTES = r"""
+    feat AS (
+      SELECT doc_id, text,
+             CAST(len({words}) AS INTEGER) AS n_tok,
+             CAST(length(text) AS INTEGER) AS n_ch,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|a|an|and|of|to|in|is|for|on|with)\b')) AS INTEGER)
+               AS n_stop,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER)
+               AS n_punct,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_dig,
+             CAST(len(regexp_extract_all(text, '[A-Z]')) AS INTEGER) AS n_cap
+      FROM {src}
+    ), m AS (
+      SELECT doc_id, text,
+             -0.6
+             + 1.8 * least(CAST(n_tok AS DOUBLE) / 500.0, 1.0)
+             + 3.0 * coalesce(CAST(n_stop AS DOUBLE)
+                   / nullif(CAST(n_tok AS DOUBLE), 0.0), 0.0)
+             - 5.0 * coalesce(CAST(n_punct AS DOUBLE)
+                   / nullif(CAST(n_ch AS DOUBLE), 0.0), 0.0)
+             + 1.2 * least(coalesce(CAST(n_ch AS DOUBLE)
+                   / nullif(CAST(n_tok AS DOUBLE), 0.0), 0.0) / 10.0, 1.0)
+             - 2.5 * coalesce(CAST(n_dig AS DOUBLE)
+                   / nullif(CAST(n_ch AS DOUBLE), 0.0), 0.0)
+             - 1.5 * coalesce(CAST(n_cap AS DOUBLE)
+                   / nullif(CAST(n_ch AS DOUBLE), 0.0), 0.0)
+               AS quality_margin
+      FROM feat
+    )"""
+
+
+# Span-removal CTE chain (tokenize → md5 window fingerprints → dup set →
+# covered indexes → anti-join survivors → string_agg rebuild), also
+# parameterized on the source relation.
+_SQL_SPAN_REMOVAL_CTES = r"""
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM {src}
+      WHERE length(trim(text)) > 0
+    ), wins AS (
+      SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS w
+      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - 6)) AS g(i)
+      WHERE len(t) >= 8
+    ), dup AS (
+      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) > 1
+    ), covered AS (
+      SELECT DISTINCT wins.doc_id, c.j
+      FROM wins JOIN dup ON wins.w = dup.w
+      CROSS JOIN LATERAL unnest(range(i, i + 8)) AS c(j)
+    ), tokens AS (
+      SELECT doc_id, x.j, t[x.j] AS tok
+      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) + 1)) AS x(j)
+    ), kept AS (
+      SELECT tokens.doc_id, tokens.j, tokens.tok
+      FROM tokens ANTI JOIN covered USING (doc_id, j)
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS cleaned,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT toks.doc_id,
+             coalesce(agg.cleaned, '') AS cleaned_text,
+             CAST(len(toks.t) AS BIGINT) AS n_tokens,
+             CAST(len(toks.t) - coalesce(agg.kept_n, 0) AS BIGINT)
+               AS n_removed_tokens
+      FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+    )"""
+
+
+
+
 @query(
     "text_metrics",
     """
@@ -1055,41 +1132,10 @@ def dedup_span_windows(spark, sf):
 
 @query(
     "dedup_span_removal",
-    r"""
-    WITH toks AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                          ' ') AS t
-      FROM documents
-      WHERE length(trim(text)) > 0
-    ), wins AS (
-      SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS w
-      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - 6)) AS g(i)
-      WHERE len(t) >= 8
-    ), dup AS (
-      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) > 1
-    ), covered AS (
-      SELECT DISTINCT wins.doc_id, c.j
-      FROM wins JOIN dup ON wins.w = dup.w
-      CROSS JOIN LATERAL unnest(range(i, i + 8)) AS c(j)
-    ), tokens AS (
-      SELECT doc_id, x.j, t[x.j] AS tok
-      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) + 1)) AS x(j)
-    ), kept AS (
-      SELECT tokens.doc_id, tokens.j, tokens.tok
-      FROM tokens ANTI JOIN covered USING (doc_id, j)
-    ), agg AS (
-      SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS cleaned,
-             count(*) AS kept_n
-      FROM kept GROUP BY doc_id
-    )
-    SELECT toks.doc_id,
-           coalesce(agg.cleaned, '') AS cleaned_text,
-           CAST(len(toks.t) AS BIGINT) AS n_tokens,
-           CAST(len(toks.t) - coalesce(agg.kept_n, 0) AS BIGINT)
-             AS n_removed_tokens
-    FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
-    """,
+    """
+    WITH{span}
+    SELECT doc_id, cleaned_text, n_tokens, n_removed_tokens FROM rebuilt
+    """.format(span=_SQL_SPAN_REMOVAL_CTES.format(src="documents")),
     doc="Exact duplicate-span REMOVAL (operators/spans.py) — the cleaning "
     "step of suffix-array-style substring dedup, distributed: tokens "
     "covered by any cross-document duplicate 8-token window are dropped "
@@ -1107,44 +1153,18 @@ def dedup_span_removal(spark, sf):
     return remove_duplicate_spans(docs, doc_id="doc_id", text_col="text", k=8)
 
 
+
 @query(
     "text_quality_classifier",
-    r"""
-    WITH feat AS (
-      SELECT doc_id,
-             CAST(len({words}) AS INTEGER) AS n_tok,
-             CAST(length(text) AS INTEGER) AS n_ch,
-             CAST(len(regexp_extract_all(lower(text),
-                  '\b(the|a|an|and|of|to|in|is|for|on|with)\b')) AS INTEGER)
-               AS n_stop,
-             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER)
-               AS n_punct,
-             CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_dig,
-             CAST(len(regexp_extract_all(text, '[A-Z]')) AS INTEGER) AS n_cap
-      FROM documents
-    ), m AS (
-      SELECT doc_id,
-             -0.6
-             + 1.8 * least(CAST(n_tok AS DOUBLE) / 500.0, 1.0)
-             + 3.0 * coalesce(CAST(n_stop AS DOUBLE)
-                   / nullif(CAST(n_tok AS DOUBLE), 0.0), 0.0)
-             - 5.0 * coalesce(CAST(n_punct AS DOUBLE)
-                   / nullif(CAST(n_ch AS DOUBLE), 0.0), 0.0)
-             + 1.2 * least(coalesce(CAST(n_ch AS DOUBLE)
-                   / nullif(CAST(n_tok AS DOUBLE), 0.0), 0.0) / 10.0, 1.0)
-             - 2.5 * coalesce(CAST(n_dig AS DOUBLE)
-                   / nullif(CAST(n_ch AS DOUBLE), 0.0), 0.0)
-             - 1.5 * coalesce(CAST(n_cap AS DOUBLE)
-                   / nullif(CAST(n_ch AS DOUBLE), 0.0), 0.0)
-               AS quality_margin
-      FROM feat
-    )
+    """
+    WITH{ctes}
     SELECT doc_id, quality_margin,
            0.5 + 0.5 * quality_margin / (1.0 + abs(quality_margin))
              AS quality_prob,
            quality_margin >= 0 AS keep
     FROM m
-    """.format(words=_SQL_WORDS.format(col="text")),
+    """.format(ctes=_SQL_CLASSIFIER_CTES.format(
+        words=_SQL_WORDS.format(col="text"), src="documents")),
     doc="Model-based quality filtering (operators/text.py "
     "model_quality_classifier) — the trained-classifier shape (linear "
     "margin over a feature vector + squash + decision) in pure codegen. "
@@ -1205,3 +1225,67 @@ def ann_ivf_exhaustive(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return ivf_cosine_topk(emb, probes, k=5, n_lists=8, nprobe=8)
+
+
+@query(
+    "curation_pipeline_v2",
+    """
+    WITH{ctes}, kept_docs AS (
+      SELECT doc_id, text FROM m WHERE quality_margin >= 0
+    ),{span}, nonempty AS (
+      SELECT * FROM rebuilt WHERE length(cleaned_text) > 0
+    ), fp AS (
+      SELECT *, md5(cleaned_text) AS fingerprint FROM nonempty
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fp
+    )
+    SELECT doc_id, fingerprint, n_tokens, n_removed_tokens,
+{split_case}
+    FROM ranked WHERE rn = 1
+    """.format(
+        ctes=_SQL_CLASSIFIER_CTES.format(
+            words=_SQL_WORDS.format(col="text"), src="documents"
+        ),
+        span=_SQL_SPAN_REMOVAL_CTES.format(src="kept_docs"),
+        split_case=_sql_split_case("doc_id"),
+    ),
+    doc="Curation pipeline v2 — the round-7 operators composed into ONE "
+    "lazy plan: model-based quality classification (rational-sigmoid "
+    "margin ≥ 0) → exact duplicate-SPAN removal on the survivors → "
+    "exact dedup of the CLEANED text (md5 fingerprint, min-doc_id "
+    "survivor) → deterministic md5-bucket train/val/test split. Every "
+    "stage reuses the exact oracle fragment of its standalone query "
+    "(_SQL_CLASSIFIER_CTES / _SQL_SPAN_REMOVAL_CTES), so the composition "
+    "is checked by construction against the same arithmetic. Scale shape "
+    "= classifier (scan-speed codegen) + span shuffles (window-md5 keys) "
+    "+ one fingerprint window + split projection.",
+)
+def curation_pipeline_v2(spark, sf):
+    from ..operators.sampling import train_val_test_split
+    from ..operators.spans import remove_duplicate_spans
+    from ..operators.text import model_quality_classifier
+    from ..operators.util import parallelize_small
+
+    docs = parallelize_small(load_table(spark, sf, "documents"))
+    kept = (
+        model_quality_classifier(docs)
+        .filter(F.col("keep"))
+        .select("doc_id", "text")
+    )
+    cleaned = remove_duplicate_spans(
+        kept, doc_id="doc_id", text_col="text", k=8
+    )
+    nonempty = cleaned.filter(F.length("cleaned_text") > 0).withColumn(
+        "fingerprint", F.md5("cleaned_text")
+    )
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    survivors = (
+        nonempty.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return train_val_test_split(survivors, "doc_id").select(
+        "doc_id", "fingerprint", "n_tokens", "n_removed_tokens", "split"
+    )
