@@ -82,6 +82,7 @@ HEADLINE = [
     "j4_interval_join",
     "k5_scd2_history",
     "dedup_span_removal",
+    "curation_pipeline_v2",
 ]
 
 

@@ -1289,3 +1289,24 @@ def curation_pipeline_v2(spark, sf):
     return train_val_test_split(survivors, "doc_id").select(
         "doc_id", "fingerprint", "n_tokens", "n_removed_tokens", "split"
     )
+
+
+@query(
+    "text_bpe_tokens",
+    None,  # iterative greedy merges have no SQL form — reference-encoder
+    # parity is asserted per-word and per-document in pytest
+    doc="REAL byte-pair encoding (operators/tokenize.py): the iterative "
+    "greedy merge procedure whose output length is what token budgets "
+    "and packing actually measure — not the regex approximation. "
+    "Arrow-batched pandas_udf with per-batch word memoization (Zipf "
+    "makes the memo hit-rate the dominant term); embarrassingly "
+    "parallel, no shuffle. n_bpe_singletons is the OOV-pressure signal.",
+)
+def text_bpe_tokens(spark, sf):
+    from ..operators.tokenize import bpe_token_stats
+    from ..operators.util import parallelize_small
+
+    docs = parallelize_small(load_table(spark, sf, "documents"))
+    return bpe_token_stats(docs).select(
+        "doc_id", "n_bpe_tokens", "n_bpe_singletons"
+    )
