@@ -63,6 +63,11 @@ def interval_join_bucketed(
     """
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    shared = set(points.columns) & set(intervals.columns)
+    if shared:
+        raise ValueError(
+            f"column names must not overlap across sides: {sorted(shared)}"
+        )
     bw = int(bucket_width)
 
     # integer `div`, not `/`: epoch-micros exceed double's exact division

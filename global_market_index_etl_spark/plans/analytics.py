@@ -1761,3 +1761,64 @@ def a5_exact_percentiles(spark, sf):
         F.expr("percentile(value, 0.9D)").alias("p90"),
         F.expr("percentile(value, 0.99D)").alias("p99"),
     )
+
+
+@query(
+    "evt_funnel_conversion",
+    """
+    WITH w AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS fs
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               AS first_signup,
+             min(CASE WHEN event_type = 'purchase' AND ts >= fs THEN ts END)
+               AS first_purchase
+      FROM w GROUP BY user_id
+    )
+    SELECT user_id, first_signup, first_purchase,
+           first_purchase IS NOT NULL AS converted,
+           epoch_us(first_purchase) - epoch_us(first_signup)
+             AS micros_to_convert
+    FROM agg WHERE first_signup IS NOT NULL
+    """,
+    doc="Sequential funnel analysis — first signup, first purchase AT OR "
+    "AFTER it, conversion flag, exact micros-to-convert. The ordering "
+    "constraint ('purchase after signup') runs as a per-key window min "
+    "+ conditional aggregate: the analytic window and the groupBy share "
+    "the user_id hash partitioning, so Catalyst plans ONE Exchange for "
+    "the whole funnel — no self-join, no re-shuffle. Null propagation "
+    "(never-signed-up users dropped, never-converted keep NULL "
+    "timestamps) matches the oracle exactly; micros arithmetic keeps "
+    "the latency column integer-exact.",
+)
+def evt_funnel_conversion(spark, sf):
+    events = load_table(spark, sf, "events")
+    is_signup = F.col("event_type") == "signup"
+    is_purchase = F.col("event_type") == "purchase"
+    ts = F.col("ts")
+    w = Window.partitionBy("user_id")
+    fs = F.min(F.when(is_signup, ts)).over(w)
+    agg = (
+        events.withColumn("__fs", fs)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(is_signup, ts)).alias("first_signup"),
+            F.min(
+                F.when(is_purchase & (ts >= F.col("__fs")), ts)
+            ).alias("first_purchase"),
+        )
+        .filter(F.col("first_signup").isNotNull())
+    )
+    fs_us = F.unix_micros(F.col("first_signup").cast("timestamp"))
+    fp_us = F.unix_micros(F.col("first_purchase").cast("timestamp"))
+    return agg.select(
+        "user_id",
+        "first_signup",
+        "first_purchase",
+        F.col("first_purchase").isNotNull().alias("converted"),
+        (fp_us - fs_us).alias("micros_to_convert"),
+    )
