@@ -317,3 +317,21 @@ def test_scd2_incremental_replay_and_untouched_keys(spark):
     assert sorted(map(tuple, replay.collect())) == sorted(
         map(tuple, hist.collect())
     )
+
+
+def test_interval_join_negative_epochs(spark):
+    """Pre-1970 timestamps: `div` truncates toward zero (not floor), which
+    merely coarsens buckets around zero — monotonicity still guarantees
+    trunc(lo) <= trunc(pt) <= trunc(hi-1), so no match can be lost."""
+    intervals = [(1, -15, -5), (2, -5, 5), (3, -100, 100)]
+    points = [(10, -15), (11, -6), (12, -5), (13, -1), (14, 0), (15, 4),
+              (16, 5), (17, -99), (18, 99)]
+    expect = _brute_pairs(points, intervals)
+    for bucket in (1, 7, 10, 1000):
+        got = _run_pairs(
+            spark,
+            [(pid, pt, 0) for pid, pt in points],
+            [(iid, lo, hi, 0) for iid, lo, hi in intervals],
+            bucket,
+        )
+        assert got == expect, f"bucket={bucket}"
