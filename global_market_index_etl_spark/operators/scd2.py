@@ -35,7 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-__all__ = ["scd2_from_changelog"]
+__all__ = ["scd2_from_changelog", "scd2_apply_changes", "scd2_compress"]
 
 
 def scd2_from_changelog(
@@ -44,26 +44,37 @@ def scd2_from_changelog(
     key_cols: list[str],
     order_cols: list[str],
     attr_cols: list[str],
+    compress: bool = True,
 ) -> DataFrame:
     """Collapse a keyed changelog into SCD2 rows with validity intervals.
 
     Returns ``key_cols + attr_cols`` plus ``valid_from`` (first element of
     ``order_cols`` for the version), ``valid_to`` (next version's
     ``valid_from``, null when open) and ``is_current``.
+
+    ``compress=False`` keeps EVERY changelog row as a version (adjacent
+    equal attributes are not collapsed).  Compression is LOSSY with
+    respect to future out-of-order inserts: a collapsed row can become
+    significant again when a later-arriving change lands between its
+    former neighbors, so incremental maintenance
+    (:func:`scd2_apply_changes`) stores the uncompressed form and treats
+    the compressed history as a derived view.
     """
     if not order_cols:
         raise ValueError("order_cols must define a total order per key")
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
 
-    changed: Column = F.lit(False)
-    for c in attr_cols:
-        prev = F.lag(F.col(c)).over(w)
-        changed = changed | ~F.col(c).eqNullSafe(prev)
-    first = F.lag(F.col(order_cols[0])).over(w).isNull()
-
-    versions = changes.withColumn("__keep", first | changed).filter(
-        F.col("__keep")
-    )
+    if compress:
+        changed: Column = F.lit(False)
+        for c in attr_cols:
+            prev = F.lag(F.col(c)).over(w)
+            changed = changed | ~F.col(c).eqNullSafe(prev)
+        first = F.lag(F.col(order_cols[0])).over(w).isNull()
+        versions = changes.withColumn("__keep", first | changed).filter(
+            F.col("__keep")
+        )
+    else:
+        versions = changes
     # lead over the SAME (key, order) window — the filter preserves the
     # order columns, so no extra shuffle is introduced
     w2 = Window.partitionBy(*key_cols).orderBy(
@@ -88,35 +99,67 @@ def scd2_apply_changes(
     seq_col: str,
     attr_cols: list[str],
 ) -> DataFrame:
-    """Merge a new changelog batch into an existing SCD2 history.
+    """Merge a new changelog batch into an UNCOMPRESSED SCD2 history.
 
-    The incremental form of :func:`scd2_from_changelog`: instead of
-    rebuilding from the full changelog, only the keys PRESENT IN THE BATCH
-    are reprocessed — their existing versions are converted back to a
-    changelog (``valid_from`` is the version's sequence value; compression
-    already made versions the minimal changelog) and re-derived together
-    with the new rows; every other key's history passes through untouched
-    via an anti-join.  Cost ∝ |batch| + |touched keys' history|, not
-    |table| — over the bucketed storage layer the semi/anti joins prune to
-    the touched buckets, the same discipline as merge_into_parquet
-    (operators/storage.py).
+    The incremental form of :func:`scd2_from_changelog`: only the keys
+    present in the batch are reprocessed — their existing version rows
+    convert back to a changelog (``valid_from`` is the sequence value) and
+    re-derive together with the new rows; every other key's history passes
+    through an anti-join untouched.  Cost ∝ |batch| + |touched keys'
+    history|, not |table| — over the bucketed storage layer the semi/anti
+    joins prune to the touched buckets, the same discipline as
+    merge_into_parquet (operators/storage.py).
 
-    Requires ``seq_col`` values unique per key across the whole feed (the
-    usual event-time + tie-break sequence); replaying rows already in the
-    history is a no-op (they compress away), so at-least-once delivery is
-    safe.  Equivalence with the full rebuild and replay idempotence are
-    asserted in tests.
+    GRANULARITY CONTRACT — the maintained history is the ``compress=False``
+    form (one version row per changelog row).  Compressed histories are
+    LOSSY: a collapsed row can become significant again when a later batch
+    inserts a change between its former neighbors (a@10, a@40 collapse to
+    a@10; a late b@20 then needs a@40 back — unrecoverable).  Keeping
+    every ``(key, seq)`` identity makes the apply correct under ARBITRARY
+    out-of-order, interleaved, at-least-once delivery: new rows only
+    INSERT versions or UPDATE neighbors' ``valid_to`` — stored identities
+    never vanish, which is also exactly the contract keyed MERGE storage
+    can express.  Replays dedup by ``(key, seq)``.  The compressed
+    business view is :func:`scd2_compress` over the maintained table.
     """
+    cols = [*key_cols, *attr_cols, seq_col]
     affected = changes.select(*key_cols).distinct()
     touched_log = (
         history.join(affected, key_cols, "left_semi")
         .select(*key_cols, *attr_cols, F.col("valid_from").alias(seq_col))
     )
+    log = (
+        touched_log.unionByName(changes.select(*cols))
+        .dropDuplicates([*key_cols, seq_col])
+    )
     merged = scd2_from_changelog(
-        touched_log.unionByName(changes.select(*key_cols, *attr_cols, seq_col)),
+        log,
         key_cols=key_cols,
         order_cols=[seq_col],
         attr_cols=attr_cols,
+        compress=False,
     )
     untouched = history.join(affected, key_cols, "left_anti")
     return untouched.unionByName(merged)
+
+
+def scd2_compress(
+    history: DataFrame,
+    *,
+    key_cols: list[str],
+    attr_cols: list[str],
+) -> DataFrame:
+    """Compressed business view of an uncompressed SCD2 history.
+
+    Collapses runs of adjacent equal attributes into single versions —
+    exact by construction, because the uncompressed table IS the full
+    changelog (``valid_from`` ≡ sequence)."""
+    return scd2_from_changelog(
+        history.select(
+            *key_cols, *attr_cols, F.col("valid_from").alias("__seq")
+        ),
+        key_cols=key_cols,
+        order_cols=["__seq"],
+        attr_cols=attr_cols,
+        compress=True,
+    )

@@ -1,0 +1,98 @@
+"""Continuous SCD2 maintenance: changelog stream → versioned history table.
+
+Ties three proven pieces into the reference's cron cadence
+(``Trigger.AvailableNow`` + ``foreachBatch``, streaming/incremental.py):
+
+- :func:`operators.scd2.scd2_apply_changes` semantics per micro-batch —
+  only the keys present in the batch are re-derived (cost ∝ batch +
+  touched keys' history, never table);
+- the maintained table is the UNCOMPRESSED history (one version row per
+  changelog row — the scd2.py granularity contract): compression is lossy
+  under out-of-order delivery, while uncompressed ``(key, valid_from)``
+  identities never vanish — an apply only INSERTS versions or UPDATES a
+  neighbor's ``valid_to``/``is_current``, which is exactly what keyed
+  MERGE (:func:`operators.storage.merge_into_parquet` on
+  ``key_cols + [valid_from]``) can express; the compressed business view
+  is :func:`operators.scd2.scd2_compress` at read time;
+- correctness under failure comes for free from both layers: the merge is
+  crash-atomic + idempotent and the SCD2 derivation compresses replays
+  away, so at-least-once ``foreachBatch`` delivery (checkpoint restart,
+  re-run with a fresh checkpoint, duplicate feeds) converges to the same
+  table — asserted in tests against the full-rebuild oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.scd2 import scd2_from_changelog
+from ..operators.storage import (
+    merge_into_parquet,
+    read_table,
+    table_versions,
+    write_bucketed_table,
+)
+
+__all__ = ["scd2_stream_apply"]
+
+
+def scd2_stream_apply(
+    changes_stream: DataFrame,
+    *,
+    table_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    seq_col: str,
+    attr_cols: list[str],
+    n_buckets: int = 8,
+):
+    """Maintain an SCD2 table from a streaming changelog; availableNow tick.
+
+    Returns the started streaming query (caller awaits termination).
+    """
+    spark = changes_stream.sparkSession
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.select(*key_cols, *attr_cols, seq_col)
+        try:  # first tick: the table directory does not exist yet
+            has_table = bool(table_versions(spark, table_path))
+        except Exception:
+            has_table = False
+        history = read_table(spark, table_path) if has_table else None
+        if history is not None:
+            affected = batch.select(*key_cols).distinct()
+            touched_log = (
+                history.join(affected, key_cols, "left_semi")
+                .select(*key_cols, *attr_cols, F.col("valid_from").alias(seq_col))
+            )
+            log = touched_log.unionByName(batch)
+        else:
+            log = batch
+        merged = scd2_from_changelog(
+            log.dropDuplicates([*key_cols, seq_col]),
+            key_cols=key_cols,
+            order_cols=[seq_col],
+            attr_cols=attr_cols,
+            compress=False,
+        )
+        if history is None:
+            # first tick bootstraps the table (CREATE); later ticks MERGE
+            write_bucketed_table(
+                merged, table_path, [*key_cols, "valid_from"], n_buckets
+            )
+        else:
+            merge_into_parquet(
+                spark,
+                table_path,
+                merged,
+                key_columns=[*key_cols, "valid_from"],
+                n_buckets=n_buckets,
+            )
+
+    return (
+        changes_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .start()
+    )

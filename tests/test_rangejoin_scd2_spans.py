@@ -277,9 +277,17 @@ def _full(spark, rows):
     )
 
 
+def _full_raw(spark, rows):
+    return scd2_from_changelog(
+        _log_df(spark, rows), key_cols=["k"], order_cols=["seq"],
+        attr_cols=["attr"], compress=False,
+    )
+
+
 def test_scd2_incremental_equals_full_rebuild(spark):
     from global_market_index_etl_spark.operators.scd2 import (
         scd2_apply_changes,
+        scd2_compress,
     )
 
     feed = [
@@ -288,17 +296,27 @@ def test_scd2_incremental_equals_full_rebuild(spark):
         (3, 15, "m"),
     ]
     # three delivery batches, interleaved keys, out-of-order seq across
-    # batches for key 1 (40 arrives before 30)
-    batches = [feed[:2] + [feed[4]], [feed[3], feed[5]], [feed[2], feed[6]]]
-    hist = _full(spark, batches[0])
+    # batches for key 1 — including the RESURRECTION case: (1,40,'a')
+    # arrives while the history holds only (1,10,'a'), so a compressed
+    # store would discard it; (1,20,'b') arriving later must bring the
+    # a@40 version back
+    batches = [[feed[0], feed[4]], [feed[3], feed[5], feed[6]],
+               [feed[1], feed[2]]]
+    hist = _full_raw(spark, batches[0])
     for b in batches[1:]:
         hist = scd2_apply_changes(
             hist, _log_df(spark, b), key_cols=["k"], seq_col="seq",
             attr_cols=["attr"],
         )
+    # raw layer ≡ uncompressed full rebuild
     got = sorted(map(tuple, hist.collect()))
-    want = sorted(map(tuple, _full(spark, feed).collect()))
+    want = sorted(map(tuple, _full_raw(spark, feed).collect()))
     assert got == want
+    # compressed view ≡ compressed full rebuild (a@40 survives)
+    got_c = sorted(map(tuple, scd2_compress(
+        hist, key_cols=["k"], attr_cols=["attr"]).collect()))
+    want_c = sorted(map(tuple, _full(spark, feed).collect()))
+    assert got_c == want_c
 
 
 def test_scd2_incremental_replay_and_untouched_keys(spark):
@@ -307,7 +325,7 @@ def test_scd2_incremental_replay_and_untouched_keys(spark):
     )
 
     feed = [(1, 10, "a"), (1, 20, "b"), (2, 10, "x")]
-    hist = _full(spark, feed)
+    hist = _full_raw(spark, feed)
     # replay an already-applied batch: history must be unchanged,
     # including key 2 (untouched pass-through)
     replay = scd2_apply_changes(
