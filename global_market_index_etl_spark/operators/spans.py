@@ -147,18 +147,24 @@ def remove_duplicate_spans(
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
-    dup = (
-        winpos.groupBy("__w")
-        .agg(F.count_distinct(F.col(doc_id)).alias("__nd"))
-        .where(F.col("__nd") > 1)
-        .select("__w")
+    # one winpos pass: group to (window, doc) with the doc's start positions,
+    # then a count-over-window on the window fingerprint IS the distinct
+    # document frequency (rows are one-per-(window, doc)) — no dup-set
+    # self-join, no second tokenize+explode of the corpus
+    per_doc = winpos.groupBy("__w", doc_id).agg(
+        F.collect_list("__i").alias("__pos")
     )
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("__w"))
     covered = (
-        winpos.join(dup, "__w")
+        per_doc.withColumn("__nd", doc_freq)
+        .where(F.col("__nd") > 1)
         .select(
             doc_id,
             F.explode(
-                F.sequence(F.col("__i"), F.col("__i") + F.lit(k - 1))
+                F.expr(
+                    f"array_distinct(flatten(transform(__pos,"
+                    f" i -> sequence(i, i + {k - 1}))))"
+                )
             ).alias("__j"),
         )
         .distinct()
