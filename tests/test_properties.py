@@ -287,3 +287,103 @@ def test_prefix_filter_jaccard_equals_naive(spark, corpus, threshold):
         }
 
     assert run("prefix") == run("naive")
+
+
+# --------------------------------------------------------------------- #
+# round-7 operators: interval join, SCD2 incremental, span profile
+# --------------------------------------------------------------------- #
+
+POINT_ROWS = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(-40, 120)),  # (pid offset, ts)
+    min_size=0, max_size=14,
+)
+INTERVAL_ROWS = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(-40, 120), st.integers(0, 60)),
+    min_size=0, max_size=8,  # (iid offset, lo, length)
+)
+
+
+@given(points=POINT_ROWS, intervals=INTERVAL_ROWS,
+       bucket=st.sampled_from([1, 3, 7, 16, 100]))
+@PROP_SETTINGS
+def test_interval_join_equals_brute_force(spark, points, intervals, bucket):
+    from global_market_index_etl_spark.operators.rangejoin import (
+        interval_join_bucketed,
+    )
+
+    pts = [(i, ts) for i, (_, ts) in enumerate(points)]
+    ivs = [(i, lo, lo + ln) for i, (_, lo, ln) in enumerate(intervals)]
+    expect = {
+        (pid, iid)
+        for pid, pt in pts
+        for iid, lo, hi in ivs
+        if lo <= pt < hi
+    }
+    p = spark.createDataFrame(pts or [(None, None)], "pid long, pt long").where(
+        "pid IS NOT NULL"
+    )
+    i = spark.createDataFrame(
+        ivs or [(None, None, None)], "iid long, lo long, hi long"
+    ).where("iid IS NOT NULL")
+    j = interval_join_bucketed(
+        p, i, ts_col="pt", lo_col="lo", hi_col="hi", bucket_width=bucket
+    )
+    got = {(r.pid, r.iid) for r in j.select("pid", "iid").collect()}
+    assert got == expect
+
+
+SCD_FEED = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 30),
+              st.sampled_from(["a", "b", None])),
+    min_size=0, max_size=16, unique_by=lambda r: (r[0], r[1]),
+)
+
+
+
+
+def _nsort(rows):
+    return sorted(
+        (tuple(r) for r in rows),
+        key=lambda r: tuple((x is None, x) for x in r),
+    )
+
+
+@given(feed=SCD_FEED, cut=st.integers(0, 16), cut2=st.integers(0, 16))
+@PROP_SETTINGS
+def test_scd2_incremental_any_batching_equals_full(spark, feed, cut, cut2):
+    """ANY 3-way split of a changelog, applied incrementally in ANY order
+    of those batches' contents, must equal the full rebuild at both the
+    raw and compressed layers — the invariant that exposed the
+    lossy-compression defect."""
+    from global_market_index_etl_spark.operators.scd2 import (
+        scd2_apply_changes,
+        scd2_compress,
+        scd2_from_changelog,
+    )
+
+    a, b = sorted((min(cut, len(feed)), min(cut2, len(feed))))
+    batches = [feed[:a], feed[a:b], feed[b:]]
+    schema = "k long, seq long, attr string"
+
+    def full(rows, compress):
+        return scd2_from_changelog(
+            spark.createDataFrame(rows, schema) if rows else
+            spark.createDataFrame([], schema),
+            key_cols=["k"], order_cols=["seq"], attr_cols=["attr"],
+            compress=compress,
+        )
+
+    hist = full(batches[0], compress=False)
+    for batch in batches[1:]:
+        if not batch:
+            continue
+        hist = scd2_apply_changes(
+            hist, spark.createDataFrame(batch, schema),
+            key_cols=["k"], seq_col="seq", attr_cols=["attr"],
+        )
+    assert _nsort(hist.collect()) == _nsort(
+        full(feed, compress=False).collect()
+    )
+    assert _nsort(
+        scd2_compress(hist, key_cols=["k"], attr_cols=["attr"]).collect()
+    ) == _nsort(full(feed, compress=True).collect())
