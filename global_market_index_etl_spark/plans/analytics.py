@@ -1822,3 +1822,51 @@ def evt_funnel_conversion(spark, sf):
         F.col("first_purchase").isNotNull().alias("converted"),
         (fp_us - fs_us).alias("micros_to_convert"),
     )
+
+
+@query(
+    "evt_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, event_type, ts,
+             min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id,
+             date_trunc('week', first_ts) AS cohort_week,
+             CAST(floor((epoch_us(ts) - epoch_us(date_trunc('week', first_ts)))
+                  / (7.0 * 86400.0 * 1000000.0)) AS BIGINT) AS week_offset
+      FROM firsts
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM marked
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="Retention cohort matrix — users grouped by first-activity week, "
+    "counted distinct per (cohort, weeks-since-cohort). The cohort "
+    "assignment is a per-user window min sharing the same user_id hash "
+    "partitioning as nothing else needs; the offset arithmetic runs on "
+    "integer epoch-micros (exact on both engines — floor of the same "
+    "IEEE quotient), and date_trunc('week') is ISO-Monday on both. At "
+    "scale: one shuffle on user_id for the window, one partial-agg "
+    "shuffle on the (cohort, offset) pair — distinct-user counting "
+    "shuffles (cohort, offset, user) pre-deduped map-side.",
+)
+def evt_retention_cohorts(spark, sf):
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    first_ts = F.min("ts").over(w)
+    cohort = F.date_trunc("week", first_ts)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cus = F.unix_micros(cohort.cast("timestamp"))
+    week_us = F.lit(7.0) * F.lit(86400.0) * F.lit(1_000_000.0)
+    return (
+        events.select(
+            "user_id",
+            cohort.alias("cohort_week"),
+            F.floor((us - cus) / week_us).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
