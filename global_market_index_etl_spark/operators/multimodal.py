@@ -194,17 +194,22 @@ def decode_png(payload: bytes):
 def decode_image(payload: bytes):
     """Decode an image payload to ``(h, w, channels)`` uint8, dispatching
     on the container's magic bytes: PNG (pure-numpy inflate+unfilter,
-    :func:`decode_png`) or baseline JPEG (pure-numpy Huffman+IDCT,
-    :func:`..operators.jpeg.decode_jpeg` — the format real crawl corpora
-    are actually in). Anything else raises ValueError for the quarantine
-    path."""
+    :func:`decode_png`), baseline/progressive JPEG (pure-numpy
+    Huffman+IDCT, :func:`..operators.jpeg.decode_jpeg` — the format real
+    crawl corpora are actually in), or GIF (LZW + palette + interlace,
+    first frame — :func:`..operators.gif.decode_gif`). Anything else
+    raises ValueError for the quarantine path."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    raise ValueError("unsupported image container (not PNG or JPEG)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
+    raise ValueError("unsupported image container (not PNG, JPEG, or GIF)")
 
 
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
@@ -300,11 +305,14 @@ def sample_frames(
     Stub "frames" are byte slices at a fixed stride — the row-expansion
     plumbing (the part Spark cares about) is identical to real video
     decoding with a frame stride. ``decode_stub=False`` REALLY decodes
-    AVI containers (``decode_avi_frames``, pure numpy) — uncompressed
-    RGB24 and compressed MJPEG streams alike: every ``max_frames``-strided
-    frame is re-emitted as a PNG payload — container parse, per-frame
-    JPEG entropy decode, frame iteration, and per-frame re-encode all
-    exercised; inter-frame codecs remain the documented hook point.
+    video-ish containers by magic bytes: AVI (``decode_avi_frames``, pure
+    numpy — uncompressed RGB24 and compressed MJPEG streams alike) and
+    animated GIF (``gif.decode_gif_frames`` — LZW + disposal
+    compositing, the lightweight "video" crawl data actually carries):
+    every ``max_frames``-strided frame is re-emitted as a PNG payload —
+    container parse, per-frame entropy decode, frame iteration, and
+    per-frame re-encode all exercised; inter-frame codecs (H.264) remain
+    the documented hook point.
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -316,7 +324,13 @@ def sample_frames(
                 for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                     if payload is None:
                         continue
-                    frames = decode_avi_frames(bytes(payload))
+                    raw = bytes(payload)
+                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                        from .gif import decode_gif_frames
+
+                        frames = decode_gif_frames(raw)[0]
+                    else:
+                        frames = decode_avi_frames(raw)
                     stride = max(1, len(frames) // max_frames)
                     for i, frame in enumerate(frames[::stride][:max_frames]):
                         out_ids.append(mid)

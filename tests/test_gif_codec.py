@@ -1,0 +1,154 @@
+"""GIF codec: round-trip identity, interlace, animation, LZW width growth,
+transparency compositing, and the truncation quarantine contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from global_market_index_etl_spark.operators.gif import (
+    _lzw_encode,
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+)
+
+
+def _rand_rgb(rng, h, w, n_colors):
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(h, w))
+    return palette[idx]
+
+
+@pytest.mark.parametrize(
+    "h,w,n_colors",
+    [(1, 1, 2), (3, 5, 2), (8, 8, 4), (16, 9, 16), (7, 13, 100),
+     (32, 32, 256), (64, 48, 250)],
+)
+def test_round_trip_identity(h, w, n_colors):
+    rng = np.random.default_rng(h * 1000 + w * 10 + n_colors)
+    img = _rand_rgb(rng, h, w, n_colors)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_round_trip_interlaced():
+    rng = np.random.default_rng(7)
+    for h in (1, 2, 4, 5, 8, 17, 33):
+        img = _rand_rgb(rng, h, 11, 8)
+        assert np.array_equal(
+            decode_gif(encode_gif(img, interlace=True)), img
+        ), f"h={h}"
+
+
+def test_lzw_width_growth_and_dictionary_reset():
+    # long repetitive stream forces the dictionary through width bumps
+    # and past the 12-bit reset
+    rng = np.random.default_rng(3)
+    img = _rand_rgb(rng, 80, 97, 256)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_animation_frames_and_delays():
+    rng = np.random.default_rng(11)
+    f1 = _rand_rgb(rng, 6, 6, 4)
+    f2 = _rand_rgb(rng, 6, 6, 4)
+    f3 = _rand_rgb(rng, 6, 6, 4)
+    payload = encode_gif([f1, f2, f3], delays_cs=[10, 20, 30])
+    frames, delays = decode_gif_frames(payload)
+    assert delays == [10, 20, 30]
+    assert len(frames) == 3
+    for got, want in zip(frames, (f1, f2, f3)):
+        assert np.array_equal(got, want)
+
+
+def test_transparency_composites_previous_frame():
+    # hand-assemble: 2x2 canvas, 4-color GCT, frame1 opaque, frame2 all
+    # transparent-index pixels -> viewer shows frame1 through it
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    f1_idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+
+    out = bytearray(b"GIF89a")
+    out += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    out.append(0x80 | 1)  # GCT, 4 entries
+    out += b"\x00\x00" + palette.tobytes()
+
+    def frame(idx, transparent=None):
+        buf = bytearray()
+        buf += b"\x21\xf9\x04"
+        buf.append(0x04 | (0x01 if transparent is not None else 0))
+        buf += (0).to_bytes(2, "little")
+        buf.append(transparent if transparent is not None else 0)
+        buf += b"\x00"
+        buf += b"\x2c" + b"\x00\x00\x00\x00"
+        buf += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        buf.append(0)
+        buf.append(2)  # lzw min code
+        data = _lzw_encode(idx, 2)
+        buf.append(len(data))
+        buf += data
+        buf.append(0)
+        return buf
+
+    out += frame(f1_idx)
+    out += frame(np.full((2, 2), 3, dtype=np.uint8), transparent=3)
+    out.append(0x3B)
+
+    frames, _ = decode_gif_frames(bytes(out))
+    assert np.array_equal(frames[0], palette[f1_idx])
+    # second frame entirely transparent -> identical to first
+    assert np.array_equal(frames[1], frames[0])
+
+
+def test_truncation_raises_value_error_at_any_cut():
+    rng = np.random.default_rng(5)
+    payload = encode_gif(_rand_rgb(rng, 9, 9, 16))
+    for cut in range(1, len(payload), max(1, len(payload) // 40)):
+        with pytest.raises(ValueError):
+            decode_gif(payload[:cut])
+
+
+def test_bad_signature_and_palette_overflow():
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    if len(np.unique(img.reshape(-1, 3), axis=0)) > 256:
+        with pytest.raises(ValueError):
+            encode_gif(img)
+
+
+def test_decode_image_dispatches_gif():
+    from global_market_index_etl_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(2)
+    img = _rand_rgb(rng, 5, 7, 8)
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+
+
+def test_gif_animation_frame_sampling(spark):
+    """Animated GIFs flow through the real video frame-sampling path."""
+    from global_market_index_etl_spark.operators.multimodal import (
+        as_media_table,
+        decode_png,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(21)
+    clip = [_rand_rgb(rng, 8, 8, 16) for _ in range(6)]
+    payload = encode_gif(clip, delays_cs=[5] * 6)
+    media = as_media_table(
+        spark.createDataFrame([(1, bytearray(payload))], "id long, p binary"),
+        "id", "p", "video",
+    )
+    out = sample_frames(media, max_frames=3, decode_stub=False).collect()
+    assert len(out) == 3
+    for row in out:
+        decoded = decode_png(bytes(row.frame_payload))
+        assert decoded.shape == (8, 8, 3)
+    # strided: frame 0 must be the first animation frame
+    first = decode_png(bytes(sorted(out, key=lambda r: r.frame_idx)[0].frame_payload))
+    assert np.array_equal(first, clip[0])
