@@ -1310,3 +1310,84 @@ def text_bpe_tokens(spark, sf):
     return bpe_token_stats(docs).select(
         "doc_id", "n_bpe_tokens", "n_bpe_singletons"
     )
+
+
+@query(
+    "mm_real_decode_stats",
+    None,  # binary codecs — not expressible in the SQL oracle
+    doc="REAL codec round-trip as a driver row: each document's text bytes "
+    "become a deterministic 8×8 RGB image, containerized by doc_id into "
+    "PNG, GIF, or baseline JPEG by the engine's own encoders, then "
+    "decoded back through decode_image's magic-byte dispatch (pure-numpy "
+    "PNG inflate+unfilter / GIF LZW / JPEG Huffman+IDCT — no stub "
+    "anywhere) inside one Arrow-batched mapInPandas. Emits per-doc "
+    "container + decoded shape + payload size + exact mean channel "
+    "value; fully deterministic, so the driver's repeat runs hash-stable "
+    "even without a SQL twin.",
+)
+def mm_real_decode_stats(spark, sf):
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.util import parallelize_small
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("container", StringType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("mean_milli", LongType(), False),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.gif import encode_gif
+        from ..operators.jpeg import encode_jpeg
+        from ..operators.multimodal import decode_image, encode_png
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                buf = (raw * (192 // max(len(raw), 1) + 1))[:192]
+                arr = np.frombuffer(buf, dtype=np.uint8).reshape(8, 8, 3)
+                kind = int(doc_id) % 3
+                if kind == 0:
+                    payload, name = encode_png(arr), "png"
+                elif kind == 1:
+                    payload, name = encode_gif(arr), "gif"
+                else:
+                    payload, name = encode_jpeg(arr, quality=90), "jpeg"
+                decoded = decode_image(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        name,
+                        decoded.shape[0],
+                        decoded.shape[1],
+                        len(payload),
+                        int(round(float(decoded.mean()) * 1000)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "height", "width", "n_bytes",
+                    "mean_milli",
+                ],
+            )
+
+    docs = parallelize_small(load_table(spark, sf, "documents")).select(
+        "doc_id", "text"
+    )
+    return docs.mapInPandas(batches, schema)

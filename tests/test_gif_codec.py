@@ -152,3 +152,15 @@ def test_gif_animation_frame_sampling(spark):
     # strided: frame 0 must be the first animation frame
     first = decode_png(bytes(sorted(out, key=lambda r: r.frame_idx)[0].frame_payload))
     assert np.array_equal(first, clip[0])
+
+
+def test_mm_real_decode_stats_deterministic(spark):
+    from global_market_index_etl_spark.plans import REGISTRY
+
+    q = REGISTRY["mm_real_decode_stats"].spark
+    a = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
+    containers = {r[1] for r in a}
+    assert containers == {"png", "gif", "jpeg"}
+    assert all(r[2] == 8 and r[3] == 8 for r in a)
