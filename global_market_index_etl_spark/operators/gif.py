@@ -208,6 +208,10 @@ def decode_gif_frames(payload: bytes):
         else:
             idx = idx.reshape(fh, fw)
 
+        if disposal > 3:  # 4-7 are undefined in GIF89a — quarantine, never
+            raise ValueError(  # composite subsequent frames on a guess
+                f"corrupt GIF (undefined disposal method {disposal})"
+            )
         prev_region = canvas[top : top + fh, left : left + fw].copy()
         rgb = ct[idx]
         if transparent is not None:
@@ -216,13 +220,24 @@ def decode_gif_frames(payload: bytes):
         canvas[top : top + fh, left : left + fw] = rgb
         frames.append(canvas.copy())
         delays.append(delay_cs)
-        if disposal == 2:  # restore background
+        if disposal == 2:
+            # Restore-to-background, spec-literal (GIF89a §23: "the area
+            # used by the graphic must be restored to the background
+            # color").  NOTE: browsers restore to TRANSPARENT instead; an
+            # RGB canvas cannot represent that, so this decoder follows the
+            # spec text — deterministic either way.
             bg = (
                 gct[bg_index]
                 if gct is not None and bg_index < len(gct)
                 else np.zeros(3, dtype=np.uint8)
             )
             canvas[top : top + fh, left : left + fw] = bg
+        elif disposal == 3:
+            # Restore-to-previous: put back the pre-draw snapshot so the
+            # next frame composites onto the canvas as it was BEFORE this
+            # frame (round-7 advice fix — previously silently treated as
+            # disposal 1, corrupting any animation that uses it).
+            canvas[top : top + fh, left : left + fw] = prev_region
         transparent = None
         disposal = 0
         delay_cs = 0

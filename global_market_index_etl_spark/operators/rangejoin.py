@@ -48,7 +48,7 @@ def interval_join_bucketed(
     ts_col: str,
     lo_col: str,
     hi_col: str,
-    bucket_width: int,
+    bucket_width: int | None = None,
     equality_keys: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Join ``points`` to every interval containing them, without a cartesian.
@@ -58,16 +58,40 @@ def interval_join_bucketed(
     ``equality_keys`` optionally adds ``(point_col, interval_col)`` pairs to
     the join condition (e.g. a user id), tightening the shuffle key.
 
+    ``bucket_width=None`` (the default) sizes the bucket automatically as
+    the MEDIAN interval length — one cheap single-row aggregate over the
+    interval side.  The median keeps the typical interval's fan-out ≈ 2 and
+    removes the operator's one footgun: a caller-supplied width 1000× off
+    either explodes the interval side (too narrow) or funnels everything
+    into a handful of hot buckets (too wide).  Pass an explicit width when
+    the interval-length distribution is wildly bimodal and you know better.
+
     Returns the inner-joined DataFrame carrying all columns of both inputs
     (minus the internal bucket column); callers project/aggregate on top.
     """
-    if bucket_width <= 0:
-        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     shared = set(points.columns) & set(intervals.columns)
     if shared:
         raise ValueError(
             f"column names must not overlap across sides: {sorted(shared)}"
         )
+    # the internal bucket column must not silently OVERWRITE user data
+    # (withColumn replaces same-named columns) — round-7 advice fix
+    reserved = {"__bucket"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        raise ValueError(
+            f"column names collide with reserved internal names: "
+            f"{sorted(reserved)}"
+        )
+    if bucket_width is None:
+        # bounded driver action: ONE row (median interval length). approx
+        # percentile is fine — this is a cost-model heuristic, not a result.
+        row = intervals.where(F.col(hi_col) > F.col(lo_col)).agg(
+            F.percentile_approx(F.col(hi_col) - F.col(lo_col), 0.5).alias("w")
+        ).first()
+        bucket_width = int(row["w"]) if row and row["w"] else 1
+        bucket_width = max(1, bucket_width)
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     bw = int(bucket_width)
 
     # integer `div`, not `/`: epoch-micros exceed double's exact division

@@ -35,7 +35,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-__all__ = ["scd2_from_changelog", "scd2_apply_changes", "scd2_compress"]
+__all__ = [
+    "scd2_from_changelog",
+    "scd2_apply_changes",
+    "scd2_compress",
+    "scd2_resolve_log",
+]
 
 
 def scd2_from_changelog(
@@ -69,7 +74,12 @@ def scd2_from_changelog(
         for c in attr_cols:
             prev = F.lag(F.col(c)).over(w)
             changed = changed | ~F.col(c).eqNullSafe(prev)
-        first = F.lag(F.col(order_cols[0])).over(w).isNull()
+        # First row of the key = row_number 1 — NOT lag(order).isNull(),
+        # which conflates "no previous row" with "previous row's order value
+        # is NULL": a NULL-ordered changelog row would mark its successor as
+        # a spurious version start (round-7 advice fix). Same window, so no
+        # extra Exchange.
+        first = F.row_number().over(w) == 1
         versions = changes.withColumn("__keep", first | changed).filter(
             F.col("__keep")
         )
@@ -128,9 +138,12 @@ def scd2_apply_changes(
         history.join(affected, key_cols, "left_semi")
         .select(*key_cols, *attr_cols, F.col("valid_from").alias(seq_col))
     )
-    log = (
-        touched_log.unionByName(changes.select(*cols))
-        .dropDuplicates([*key_cols, seq_col])
+    log = scd2_resolve_log(
+        touched_log,
+        changes.select(*cols),
+        key_cols=key_cols,
+        seq_col=seq_col,
+        attr_cols=attr_cols,
     )
     merged = scd2_from_changelog(
         log,
@@ -141,6 +154,45 @@ def scd2_apply_changes(
     )
     untouched = history.join(affected, key_cols, "left_anti")
     return untouched.unionByName(merged)
+
+
+def scd2_resolve_log(
+    history_log: DataFrame,
+    batch: DataFrame,
+    *,
+    key_cols: list[str],
+    seq_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Union a stored changelog with a new batch, one row per ``(key, seq)``,
+    with a DETERMINISTIC survivor.
+
+    ``dropDuplicates`` kept an ARBITRARY row when a batch row shared
+    ``(key, seq)`` with a stored version but carried different attributes
+    (a correction, or a corrupted at-least-once redelivery) — the history
+    then differed across runs/partitionings (round-7 advice fix).  Here the
+    batch row wins (it is the correction), and any remaining tie among
+    batch-internal conflicting duplicates breaks on the attribute values
+    themselves, so the result is a pure function of the input sets.
+
+    One ``groupBy (key, seq)`` with ``max_by`` over an ordering struct —
+    partial aggregation absorbs replay storms map-side, unlike a window
+    ``row_number``, and the changelog arrives at the downstream SCD2
+    window pre-deduplicated exactly as before.
+    """
+    attr_struct = F.struct(*[F.col(c) for c in attr_cols])
+    rank_struct = F.struct(F.col("__src"), *[F.col(c) for c in attr_cols])
+    tagged = history_log.withColumn("__src", F.lit(0)).unionByName(
+        batch.withColumn("__src", F.lit(1))
+    )
+    resolved = tagged.groupBy(*key_cols, seq_col).agg(
+        F.max_by(attr_struct, rank_struct).alias("__attrs")
+    )
+    return resolved.select(
+        *key_cols,
+        *[F.col("__attrs").getField(c).alias(c) for c in attr_cols],
+        seq_col,
+    )
 
 
 def scd2_compress(

@@ -95,12 +95,19 @@ def _hpath(jvm, p: str):
 def table_versions(spark: SparkSession, path: str) -> list[int]:
     """Committed manifest versions at ``path``, ascending. More than one
     entry means history is available for ``read_table(version=...)``
-    (merges run with ``retain_versions > 1`` and not yet vacuumed)."""
+    (merges run with ``retain_versions > 1`` and not yet vacuumed).
+
+    Path-absent is the ONLY condition mapped to ``[]``: the existence probe
+    runs first and a root that provably does not exist short-circuits. A
+    listing failure on an EXISTING root (permission flap, transient IO)
+    PROPAGATES — swallowing it into ``[]`` would let callers misclassify a
+    live table as absent and bootstrap over it (the round-7 advice defect in
+    ``streaming/scd2_stream.py``: overwrite-bootstrap would have destroyed
+    the maintained history on any transient listing error)."""
     jvm, fs = _fs(spark, path)
-    try:
-        statuses = fs.listStatus(_hpath(jvm, path))
-    except Exception:  # table root does not exist yet
+    if not fs.exists(_hpath(jvm, path)):  # provably absent — the only [] path
         return []
+    statuses = fs.listStatus(_hpath(jvm, path))
     versions = []
     for st in statuses:
         name = st.getPath().getName()

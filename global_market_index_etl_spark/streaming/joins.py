@@ -55,6 +55,12 @@ def stream_interval_join_bucketed(
     shared = set(points.columns) & set(intervals.columns)
     if shared:
         raise ValueError(f"column names must not overlap across sides: {shared}")
+    reserved = {"__pb", "__ib"} & (set(points.columns) | set(intervals.columns))
+    if reserved:  # withColumn would silently overwrite user data
+        raise ValueError(
+            f"column names collide with reserved internal names: "
+            f"{sorted(reserved)}"
+        )
     bw = int(bucket_seconds or window_seconds)
 
     p = points.withWatermark(point_ts_col, watermark).withColumn(

@@ -26,7 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.scd2 import scd2_from_changelog
+from ..operators.scd2 import scd2_from_changelog, scd2_resolve_log
 from ..operators.storage import (
     merge_into_parquet,
     read_table,
@@ -55,10 +55,12 @@ def scd2_stream_apply(
 
     def handle(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.select(*key_cols, *attr_cols, seq_col)
-        try:  # first tick: the table directory does not exist yet
-            has_table = bool(table_versions(spark, table_path))
-        except Exception:
-            has_table = False
+        # table_versions maps ONLY a provably-absent root to [] and raises on
+        # listing failures over an existing root, so a transient IO error
+        # fails this micro-batch (checkpoint retries it) instead of being
+        # misread as "no table" — which would overwrite-bootstrap and destroy
+        # the maintained history (round-7 advice fix).
+        has_table = bool(table_versions(spark, table_path))
         history = read_table(spark, table_path) if has_table else None
         if history is not None:
             affected = batch.select(*key_cols).distinct()
@@ -66,11 +68,19 @@ def scd2_stream_apply(
                 history.join(affected, key_cols, "left_semi")
                 .select(*key_cols, *attr_cols, F.col("valid_from").alias(seq_col))
             )
-            log = touched_log.unionByName(batch)
         else:
-            log = batch
+            touched_log = batch.limit(0)
+        # batch-wins deterministic (key, seq) conflict resolution — same
+        # survivor rule as the batch-side scd2_apply_changes
+        log = scd2_resolve_log(
+            touched_log,
+            batch,
+            key_cols=key_cols,
+            seq_col=seq_col,
+            attr_cols=attr_cols,
+        )
         merged = scd2_from_changelog(
-            log.dropDuplicates([*key_cols, seq_col]),
+            log,
             key_cols=key_cols,
             order_cols=[seq_col],
             attr_cols=attr_cols,

@@ -164,3 +164,60 @@ def test_mm_real_decode_stats_deterministic(spark):
     containers = {r[1] for r in a}
     assert containers == {"png", "gif", "jpeg"}
     assert all(r[2] == 8 and r[3] == 8 for r in a)
+
+
+def _hand_gif(frames_spec, palette, w=2, h=2):
+    """Hand-assemble a GIF89a: frames_spec is a list of
+    (idx_array, disposal, transparent_idx_or_None) full-canvas frames."""
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | 1)  # GCT, 4 entries
+    out += b"\x00\x00" + palette.tobytes()
+    for idx, disposal, transparent in frames_spec:
+        out += b"\x21\xf9\x04"
+        out.append((disposal << 2) | (0x01 if transparent is not None else 0))
+        out += (0).to_bytes(2, "little")
+        out.append(transparent if transparent is not None else 0)
+        out += b"\x00"
+        out += b"\x2c" + b"\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0)
+        out.append(2)  # lzw min code
+        data = _lzw_encode(idx, 2)
+        out.append(len(data))
+        out += data
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_disposal_3_restores_previous_canvas():
+    """Restore-to-previous: frame2 (disposal 3) draws over frame1, and
+    frame3's transparent pixels must then reveal FRAME1's canvas — not
+    frame2's pixels (the old leave-in-place bug)."""
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    f1 = np.array([[0, 0], [0, 0]], dtype=np.uint8)  # all red
+    f2 = np.array([[1, 1], [1, 1]], dtype=np.uint8)  # all green, disposal 3
+    f3 = np.full((2, 2), 3, dtype=np.uint8)          # all transparent
+    frames, _ = decode_gif_frames(
+        _hand_gif([(f1, 1, None), (f2, 3, None), (f3, 1, 3)], palette)
+    )
+    assert np.array_equal(frames[0], palette[f1])
+    assert np.array_equal(frames[1], palette[f2])
+    # after disposal 3 the canvas is back to frame1; transparent frame3
+    # therefore renders as frame1, NOT frame2
+    assert np.array_equal(frames[2], palette[f1])
+
+
+def test_disposal_undefined_codes_quarantine():
+    import pytest
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    f1 = np.zeros((2, 2), dtype=np.uint8)
+    for code in (4, 5, 6, 7):
+        with pytest.raises(ValueError, match="disposal"):
+            decode_gif_frames(_hand_gif([(f1, code, None)], palette))

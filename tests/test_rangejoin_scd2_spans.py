@@ -353,3 +353,146 @@ def test_interval_join_negative_epochs(spark):
             bucket,
         )
         assert got == expect, f"bucket={bucket}"
+
+
+# --------------------------------------------------------------------- #
+# round-8 advice fixes
+# --------------------------------------------------------------------- #
+
+
+def test_interval_join_rejects_reserved_column(spark):
+    """An input column named __bucket would be silently overwritten by the
+    internal bucket derivation — must be rejected up front."""
+    import pytest
+
+    p = spark.createDataFrame([(1, 5, 0)], "pid long, pt long, __bucket long")
+    i = spark.createDataFrame([(9, 0, 10)], "iid long, lo long, hi long")
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join_bucketed(
+            p, i, ts_col="pt", lo_col="lo", hi_col="hi", bucket_width=10
+        )
+    p2 = spark.createDataFrame([(1, 5)], "pid long, pt long")
+    i2 = spark.createDataFrame(
+        [(9, 0, 10, 0)], "iid long, lo long, hi long, __bucket long"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join_bucketed(
+            p2, i2, ts_col="pt", lo_col="lo", hi_col="hi", bucket_width=10
+        )
+
+
+def test_stream_interval_join_rejects_reserved_columns(spark):
+    import pytest
+
+    from global_market_index_etl_spark.streaming.joins import (
+        stream_interval_join_bucketed,
+    )
+
+    p = spark.createDataFrame(
+        [(1,)], "pid long"
+    ).withColumn("pt", F.current_timestamp()).withColumn("__pb", F.lit(0))
+    i = spark.createDataFrame([(9,)], "iid long").withColumn(
+        "it", F.current_timestamp()
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        stream_interval_join_bucketed(
+            p, i, point_ts_col="pt", interval_ts_col="it", window_seconds=60
+        )
+
+
+def test_interval_join_auto_bucket_width(spark):
+    """bucket_width=None sizes buckets from the median interval length and
+    produces exactly the brute-force pair set."""
+    intervals = [(1, 0, 10), (2, 5, 25), (3, 100, 140), (4, 200, 201)]
+    points = [(i, t) for i, t in enumerate(range(-5, 250, 3))]
+    expect = _brute_pairs(points, intervals)
+    got = _run_pairs(
+        spark,
+        [(pid, pt, 0) for pid, pt in points],
+        [(iid, lo, hi, 0) for iid, lo, hi in intervals],
+        None,  # auto
+    )
+    assert got == expect
+
+
+def test_interval_join_auto_width_empty_intervals(spark):
+    p = spark.createDataFrame([(1, 5, 0)], "pid long, pt long, pk long")
+    i = spark.createDataFrame([], "iid long, lo long, hi long, ik long")
+    j = interval_join_bucketed(
+        p, i, ts_col="pt", lo_col="lo", hi_col="hi", bucket_width=None
+    )
+    assert j.count() == 0
+
+
+def test_scd2_null_ordered_row_does_not_fake_version_start(spark):
+    """A NULL in the order column must not mark its SUCCESSOR as a key's
+    first row (the old lag(order).isNull() conflation): with identical
+    attr values the successor row compresses away."""
+    rows = [
+        (1, None, 0, "a"),  # NULL-ordered row sorts first
+        (1, 10, 0, "a"),    # same attr — must COLLAPSE, not survive
+        (1, 30, 0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, tie long, attr string")
+    got = sorted(
+        map(
+            tuple,
+            scd2_from_changelog(
+                df, key_cols=["k"], order_cols=["seq", "tie"],
+                attr_cols=["attr"],
+            ).select("k", "attr", "valid_from", "valid_to").collect(),
+        ),
+        key=str,
+    )
+    # versions: (a @ NULL..30), (b @ 30..open) — the seq=10 row collapsed
+    assert got == [(1, "a", None, 30), (1, "b", 30, None)]
+
+
+def test_scd2_apply_conflicting_redelivery_batch_wins(spark):
+    """A batch row sharing (key, seq) with a stored version but different
+    attributes is a correction: the BATCH row must win, deterministically,
+    regardless of partitioning."""
+    from global_market_index_etl_spark.operators.scd2 import (
+        scd2_apply_changes,
+        scd2_from_changelog,
+    )
+
+    hist_log = spark.createDataFrame(
+        [(1, "old", 10), (1, "keep", 20)], "k long, attr string, seq long"
+    )
+    hist = scd2_from_changelog(
+        hist_log, key_cols=["k"], order_cols=["seq"], attr_cols=["attr"],
+        compress=False,
+    )
+    batch = spark.createDataFrame(
+        [(1, "corrected", 10)], "k long, attr string, seq long"
+    )
+    for parts in (1, 2, 7):
+        out = scd2_apply_changes(
+            hist.repartition(parts),
+            batch.repartition(parts),
+            key_cols=["k"], seq_col="seq", attr_cols=["attr"],
+        )
+        rows = {(r.k, r.valid_from): r.attr for r in out.collect()}
+        assert rows == {(1, 10): "corrected", (1, 20): "keep"}, f"parts={parts}"
+
+
+def test_scd2_resolve_log_batch_internal_ties_deterministic(spark):
+    """Batch-internal conflicting duplicates at the same (key, seq) resolve
+    to the same survivor under any partitioning (attribute-value tiebreak)."""
+    from global_market_index_etl_spark.operators.scd2 import scd2_resolve_log
+
+    batch_rows = [(1, "zeta", 10), (1, "alpha", 10), (1, "mid", 10)]
+    empty_hist = spark.createDataFrame([], "k long, attr string, seq long")
+    got = set()
+    for parts in (1, 3, 8):
+        batch = spark.createDataFrame(
+            batch_rows, "k long, attr string, seq long"
+        ).repartition(parts)
+        out = scd2_resolve_log(
+            empty_hist, batch, key_cols=["k"], seq_col="seq",
+            attr_cols=["attr"],
+        ).collect()
+        assert len(out) == 1
+        got.add(out[0].attr)
+    assert len(got) == 1  # same survivor every time

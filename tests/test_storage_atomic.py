@@ -533,3 +533,34 @@ def test_concurrent_merges_true_thread_race(spark, tmp_path):
         prev = cur
     assert sorted(seen_tags) == ["A", "B", "C", "D"]
     assert {k: s for k, (_, s) in final.items()} == expected
+
+
+def test_table_versions_absent_vs_listing_failure(spark, tmp_path, monkeypatch):
+    """Path-absent maps to [] — but a listing failure over an EXISTING root
+    must PROPAGATE, never read as "no table" (round-8 fix: scd2_stream's
+    bootstrap would otherwise overwrite a live history on a transient IO
+    error)."""
+    from global_market_index_etl_spark.operators import storage as st
+
+    missing = str(tmp_path / "never-written")
+    assert st.table_versions(spark, missing) == []
+
+    real_fs = st._fs
+
+    class _FlakyFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def exists(self, p):
+            return True  # root exists…
+
+        def listStatus(self, p):  # …but listing transiently fails
+            raise IOError("transient listing failure")
+
+    def flaky(spark_, path_):
+        jvm, fs = real_fs(spark_, path_)
+        return jvm, _FlakyFS(fs)
+
+    monkeypatch.setattr(st, "_fs", flaky)
+    with pytest.raises(IOError):
+        st.table_versions(spark, missing)
