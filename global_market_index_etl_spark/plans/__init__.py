@@ -46,16 +46,12 @@ DRIVER_WINDOW = 50
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
-    # broadcast hints replaced by the stats-guarded broadcast_if_small in
-    # round 7 — the plan changed, so each deserves a fresh driver row
-    "flagship_regional_revenue",
-    "w_rank_in_group",
-    "tpch_q10_returned_customers",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q7_nation_trade_flow",
-    "tpch_q16_supplier_diversity",
+    # round 8: SCD2 semantics changed (row_number first-row detection +
+    # deterministic batch-wins conflict resolution, operators/scd2.py) and
+    # the interval join now defaults to auto bucket-width sizing
+    # (operators/rangejoin.py) — both plans changed, fresh driver rows
+    "k5_scd2_history",
+    "j4_interval_join",
 ]
 
 _ROOT = _os.path.dirname(

@@ -1683,7 +1683,10 @@ def j4_interval_join(spark, sf):
         ts_col="__pt",
         lo_col="__lo",
         hi_col="__hi",
-        bucket_width=window_us,
+        # auto width: the operator sizes buckets from the median interval
+        # length (= window_us here, every interval is exactly 30 min) —
+        # exercising the default path end-to-end under the oracle
+        bucket_width=None,
     )
     return joined.groupBy("incident_id").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -47,23 +47,60 @@ def q1_top5_recent(spark, sf):
 
 
 @query(
-    "q2_day_slice",
+    "f_filter_suite",
     """
-    SELECT event_id, ts, event_type, value
+    SELECT 'day' AS leg, event_id AS k1, CAST(NULL AS BIGINT) AS k2,
+           event_type AS s1, ts, value AS v
     FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+    UNION ALL
+    SELECT 'inlist', l_orderkey, CAST(l_linenumber AS BIGINT),
+           l_returnflag, l_shipdate, NULL
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_shipdate >= TIMESTAMP '2021-06-01'
     """,
-    doc="Q2 — one-day slice (README.md:336-345). The date-function predicate "
-    "is rewritten to a half-open timestamp range applied in the raw nanos "
-    "domain (sources.load_events_ts_range) so it reaches the parquet reader: "
-    "row-group min/max pruning here, partition pruning on a date-partitioned "
-    "table. Same rows as CAST(ts AS DATE) = const.",
+    doc="Filter suite — Q2 one-day slice (README.md:336-345) + F3-F5 "
+    "equality/IN/range predicates (README.md:329-344, "
+    "postgres_writer.py:373), fused round-3-style into one driver row "
+    "(round-7 verdict item 2: registry headroom) with BOTH legs at full "
+    "row granularity, so per-row value coverage is unchanged. The Q2 leg's "
+    "date-function predicate is rewritten to a half-open timestamp range "
+    "applied in the raw nanos domain (sources.load_events_ts_range) so it "
+    "reaches the parquet reader — row-group min/max pruning here, "
+    "partition pruning on a date-partitioned table; the IN-list leg "
+    "pushes In/GreaterThanOrEqual into the lineitem scan. At 100 TB "
+    "scan-level pushdown is the difference between reading row groups "
+    "and reading the lake (pushdown asserted for both legs in "
+    "tests/test_plan_hygiene.py).",
 )
-def q2_day_slice(spark, sf):
+def f_filter_suite(spark, sf):
     from ..sources import load_events_ts_range
 
-    return load_events_ts_range(
+    day = load_events_ts_range(
         spark, sf, "2024-01-02T00:00:00", "2024-01-03T00:00:00"
-    ).select("event_id", "ts", "event_type", "value")
+    ).select(
+        F.lit("day").alias("leg"),
+        F.col("event_id").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("event_type").alias("s1"),
+        F.col("ts"),
+        F.col("value").alias("v"),
+    )
+    inlist = (
+        load_table(spark, sf, "lineitem")
+        .filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("2021-06-01").cast("timestamp_ntz"))
+        )
+        .select(
+            F.lit("inlist").alias("leg"),
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").cast("long").alias("k2"),
+            F.col("l_returnflag").alias("s1"),
+            F.col("l_shipdate").alias("ts"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    return day.unionByName(inlist)
 
 
 @query(
@@ -411,115 +448,93 @@ def r1_unpivot_measures(spark, sf):
 
 
 @query(
-    "p3_cast_json",
+    "p_scalar_suite",
     """
-    SELECT event_id,
-           CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_value,
-           TRY_CAST(event_type AS DOUBLE) AS bad_cast,
-           CAST(value AS VARCHAR) AS value_str,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+    SELECT 'cast' AS leg, event_id AS k,
+           CAST(value AS VARCHAR) AS s1,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+             AS s2,
+           CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS v1,
+           TRY_CAST(event_type AS DOUBLE) AS v2
     FROM events
-    """,
-    doc="P3 + JSON extraction — coercing casts (pd.to_numeric("
-    "errors='coerce'), standardizer.py:188-221): non-ANSI cast maps "
-    "unparseable → NULL, matching TRY_CAST; regexp field extraction kept "
-    "JVM-side; and the props payload parsed ONCE with a typed from_json "
-    "schema (columnar access, malformed input coerces to NULL — at scale "
-    "prefer from_json-with-schema over repeated get_json_object calls). "
-    "All per-row codegen expressions in one projection over one scan.",
+    UNION ALL
+    SELECT 'str', c_custkey,
+           upper(c_name),
+           substr(c_name, 1, 5) || '|' || c_mktsegment || ':' || c_name,
+           CAST(length(c_name) AS BIGINT),
+           NULL
+    FROM customer
+    UNION ALL
+    SELECT 'date', k, NULL, NULL, v1, v2 FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100
+                  + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS v1,
+             {total} AS v2
+      FROM orders GROUP BY 1)
+    """.format(total=sql_exact_money_sum("o_totalprice")),
+    doc="Scalar-function suite — P3 coercing casts + typed from_json "
+    "(pd.to_numeric(errors='coerce'), standardizer.py:188-221), string "
+    "scalar functions (upper/length/substr/concat, SURVEY.md §2.11) and "
+    "date-part functions over a grouped aggregate (strftime at "
+    "currency_converter.py:41 → year/month). Fused round-3-style into one "
+    "driver row (round-7 verdict item 2: registry headroom) with every "
+    "leg at FULL row granularity over a shared (leg, k, s1, s2, v1, v2) "
+    "schema, so per-row value coverage of each scalar function is "
+    "unchanged. All per-row expressions are whole-stage-codegen "
+    "projections directly over their scans; the props payload is parsed "
+    "ONCE with a typed from_json schema (at scale prefer that over "
+    "repeated get_json_object calls); the date leg's partial aggregation "
+    "keeps its shuffle at group cardinality.",
 )
-def p3_cast_json(spark, sf):
+def p_scalar_suite(spark, sf):
     from pyspark.sql.types import LongType, StructField, StructType
 
     props_schema = StructType([StructField("k", LongType(), True)])
-    return (
+    cast_leg = (
         load_table(spark, sf, "events")
         .withColumn("__p", F.from_json("props", props_schema))
         .select(
-            "event_id",
-            F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k_value"),
-            F.col("event_type").cast("double").alias("bad_cast"),
-            F.col("value").cast("string").alias("value_str"),
-            F.col("__p.k").alias("props_k"),
+            F.lit("cast").alias("leg"),
+            F.col("event_id").alias("k"),
+            F.col("value").cast("string").alias("s1"),
+            F.col("__p.k").cast("string").alias("s2"),
+            F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("v1"),
+            F.col("event_type").cast("double").alias("v2"),
         )
     )
-
-
-@query(
-    "p_string_funcs",
-    """
-    SELECT c_custkey,
-           upper(c_name) AS upper_name,
-           CAST(length(c_name) AS INTEGER) AS name_len,
-           substr(c_name, 1, 5) AS name_prefix,
-           c_mktsegment || ':' || c_name AS seg_name
-    FROM customer
-    """,
-    doc="String scalar functions (the reference's implicit string ops, "
-    "SURVEY.md §2.11) — all whole-stage-codegen expressions.",
-)
-def p_string_funcs(spark, sf):
-    return load_table(spark, sf, "customer").select(
-        "c_custkey",
-        F.upper("c_name").alias("upper_name"),
-        F.length("c_name").alias("name_len"),
-        F.substring("c_name", 1, 5).alias("name_prefix"),
-        F.concat_ws(":", "c_mktsegment", "c_name").alias("seg_name"),
+    str_leg = load_table(spark, sf, "customer").select(
+        F.lit("str").alias("leg"),
+        F.col("c_custkey").alias("k"),
+        F.upper("c_name").alias("s1"),
+        F.concat_ws(
+            "|",
+            F.substring("c_name", 1, 5),
+            F.concat_ws(":", "c_mktsegment", "c_name"),
+        ).alias("s2"),
+        F.length("c_name").cast("long").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
     )
-
-
-@query(
-    "p_date_funcs",
-    """
-    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
-           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           {total} AS total_value
-    FROM orders GROUP BY 1, 2
-    """.format(total=sql_exact_money_sum("o_totalprice")),
-    doc="Date-part functions + grouped aggregate (strftime at "
-    "currency_converter.py:41 → date_format/extract). Partial aggregation "
-    "keeps the shuffle at group-cardinality rows.",
-)
-def p_date_funcs(spark, sf):
-    return (
+    date_leg = (
         load_table(spark, sf, "orders")
         .groupBy(
-            F.year("o_orderdate").alias("order_year"),
-            F.month("o_orderdate").alias("order_month"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("k")
         )
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            exact_money_sum("o_totalprice").alias("total_value"),
+            F.count(F.lit(1)).alias("v1"),
+            exact_money_sum("o_totalprice").alias("v2"),
+        )
+        .select(
+            F.lit("date").alias("leg"),
+            "k",
+            F.lit(None).cast("string").alias("s1"),
+            F.lit(None).cast("string").alias("s2"),
+            "v1",
+            "v2",
         )
     )
-
-
-# --------------------------------------------------------------------------
-# Filters (SURVEY.md §2.5)
-
-
-@query(
-    "f5_in_list_filter",
-    """
-    SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
-    FROM lineitem
-    WHERE l_returnflag IN ('A', 'R') AND l_shipdate >= TIMESTAMP '2021-06-01'
-    """,
-    doc="F3-F5 — equality/IN/range predicates (README.md:329-344, "
-    "postgres_writer.py:373). All push down into the parquet scan "
-    "(PushedFilters) — at 100 TB this is the difference between reading "
-    "row groups and reading the lake.",
-)
-def f5_in_list_filter(spark, sf):
-    return (
-        load_table(spark, sf, "lineitem")
-        .filter(
-            F.col("l_returnflag").isin("A", "R")
-            & (F.col("l_shipdate") >= F.lit("2021-06-01").cast("timestamp_ntz"))
-        )
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
-    )
+    return cast_leg.unionByName(str_leg).unionByName(date_leg)
 
 
 # --------------------------------------------------------------------------

@@ -67,7 +67,7 @@ def main() -> int:
     total, oracled, rows_only = registry_counts()
     n_tests = None if check else collected_test_count()
     drift = False
-    for name in ("README.md", "COVERAGE.md"):
+    for name in ("README.md", "COVERAGE.md", "BASELINE.md"):
         path = REPO / name
         old = path.read_text()
         new = stamp(old, total, oracled, rows_only, n_tests)

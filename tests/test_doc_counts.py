@@ -30,6 +30,23 @@ def test_coverage_totals_match_registry():
     ), "COVERAGE.md totals drifted — run scripts/gen_counts.py"
 
 
+def test_baseline_counts_match_registry():
+    """Round-7 verdict item 7: BASELINE.md's registry counts froze while
+    the registry moved — now stamped by gen_counts.py and guarded here."""
+    text = (REPO / "BASELINE.md").read_text()
+    m = re.search(
+        r"(\d+) declared queries — (\d+) with full DuckDB oracles, "
+        r"(\d+) rows-only",
+        text,
+    )
+    assert m, "BASELINE.md totals line missing"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        TOTAL,
+        ORACLED,
+        TOTAL - ORACLED,
+    ), "BASELINE.md totals drifted — run scripts/gen_counts.py"
+
+
 def test_readme_counts_match_registry():
     text = (REPO / "README.md").read_text()
     m = re.search(r"(\d+) declared queries, (\d+) with full DuckDB oracles", text)

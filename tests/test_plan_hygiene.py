@@ -30,8 +30,6 @@ ALLPAIRS_OK = {"ann_cosine_topk"}
 
 # full-width reads that are semantically required (SELECT * shapes)
 FULL_WIDTH_OK = {
-    "q2_day_slice",  # returns the full event row slice
-    "p3_cast_json",
     "e1_pipeline_market_bars",
     "mm_decode_features",
     "skew_salted_pipeline",  # whole-row hash salt
@@ -153,12 +151,12 @@ def test_scans_prune_columns(spark, name):
 # at 100 TB the difference between scanning a day and scanning the table.
 # Each entry: (query, fragment that must appear inside a PushedFilters list)
 PUSHDOWN_EXPECTED = {
-    "q1_top5_recent": "EqualTo(o_custkey,42)",
-    "q2_day_slice": "GreaterThanOrEqual(ts,",
-    "f5_in_list_filter": "In(l_returnflag,",
-    "j4_interval_join": "EqualTo(event_type,error",
-    "tpch_q6_forecast_revenue": "IsNotNull(l_shipdate)",
-    "tpch_q12_priority_buckets": "IsNotNull(l_shipdate)",
+    "q1_top5_recent": ["EqualTo(o_custkey,42)"],
+    # fused filter suite: BOTH legs' predicates must still reach their scans
+    "f_filter_suite": ["GreaterThanOrEqual(ts,", "In(l_returnflag,"],
+    "j4_interval_join": ["EqualTo(event_type,error"],
+    "tpch_q6_forecast_revenue": ["IsNotNull(l_shipdate)"],
+    "tpch_q12_priority_buckets": ["IsNotNull(l_shipdate)"],
 }
 
 
@@ -168,7 +166,8 @@ def test_selective_filters_reach_the_scan(spark, name):
     pushed = " | ".join(
         re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     )
-    assert PUSHDOWN_EXPECTED[name] in pushed, (
-        f"{name}: expected pushdown fragment missing — PushedFilters: "
-        f"{pushed[:200]}"
-    )
+    for fragment in PUSHDOWN_EXPECTED[name]:
+        assert fragment in pushed, (
+            f"{name}: expected pushdown fragment {fragment!r} missing — "
+            f"PushedFilters: {pushed[:200]}"
+        )
