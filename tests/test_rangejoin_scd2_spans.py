@@ -496,3 +496,74 @@ def test_scd2_resolve_log_batch_internal_ties_deterministic(spark):
         assert len(out) == 1
         got.add(out[0].attr)
     assert len(got) == 1  # same survivor every time
+
+
+def test_interval_join_hot_bucket_is_aqe_skew_split(spark):
+    """The module docstring claims input-skew hot buckets are an equi-join
+    skew problem that AQE's skew-join handling splits at runtime (unlike
+    the LSH band join's OUTPUT skew, which needs manual tiling).  Assert
+    it: plant a hot bucket (200k points in one time slice vs 100k spread
+    wide), lower the AQE skew thresholds to test scale, run, and require
+    the final adaptive plan to carry a skew-split join."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # no broadcast: force the shuffled join AQE skew-handling targets
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+        pts_hot = spark.range(200_000).select(
+            (F.col("id") % 10).alias("pt"), F.col("id").alias("pid")
+        )
+        pts_cold = spark.range(100_000).select(
+            (F.col("id") * 17 % 1_000_000).alias("pt"),
+            (F.col("id") + 300_000).alias("pid"),
+        )
+        intervals = spark.range(2_000).select(
+            (F.col("id") * 500).alias("lo"),
+            (F.col("id") * 500 + 50).alias("hi"),
+            F.col("id").alias("iid"),
+        )
+        j = interval_join_bucketed(
+            pts_hot.unionByName(pts_cold),
+            intervals,
+            ts_col="pt",
+            lo_col="lo",
+            hi_col="hi",
+            bucket_width=10,
+        ).groupBy().count()
+        [[n]] = j.collect()
+        assert n > 0
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "planted hot bucket was not skew-split by AQE:\n" + plan[:800]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
