@@ -83,6 +83,7 @@ HEADLINE = [
     "k5_scd2_history",
     "dedup_span_removal",
     "curation_pipeline_v2",
+    "text_bpe_train",
 ]
 
 
