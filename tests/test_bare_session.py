@@ -23,7 +23,7 @@ import __spark_entry__ as E
 assert E.entry(spark).count() > 0
 qs = E.queries()
 # the three conf-sensitive paths: nanos timestamps, non-ANSI casts, tz
-for name in ['q2_day_slice', 'p3_cast_json', 'fx_asof_rate_fill']:
+for name in ['f_filter_suite', 'p_scalar_suite', 'fx_asof_rate_fill']:
     n = qs[name](spark, {sf!r})
     assert n.count() >= 0 and n.columns
 print('BARE_SESSION_OK')
