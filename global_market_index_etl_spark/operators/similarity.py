@@ -795,6 +795,143 @@ def ivf_search_index(
     )
 
 
+def _sq8_cols(df: DataFrame, vec_col: str, prefix: str) -> DataFrame:
+    """Attach per-vector symmetric max-abs int8 quantization columns:
+    ``{prefix}q`` (array<bigint> codes in [-127, 127]) and ``{prefix}qn``
+    (double L2 norm of the codes).  All JVM codegen; the arithmetic
+    (cast→abs→max→round) is engine-portable and reproduced verbatim by the
+    DuckDB oracle (list_transform/round), so quantized scores hash-match
+    cross-engine."""
+    s = F.greatest(
+        F.expr(f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"),
+        F.lit(1e-30),  # all-zero vector guard
+    )
+    out = df.withColumn(f"{prefix}s", s).withColumn(
+        f"{prefix}q",
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> cast(round(cast(x as double) / {prefix}s * 127) as bigint))"
+        ),
+    )
+    qdot = F.expr(
+        f"aggregate(zip_with({prefix}q, {prefix}q, (x, y) -> x * y),"
+        f" cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    return out.withColumn(f"{prefix}qn", F.sqrt(qdot)).drop(f"{prefix}s")
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    nprobe: int = 4,
+    rerank: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF + int8 scalar quantization + full-precision re-rank — the
+    Faiss ``IVF,SQ8`` layout re-expressed as DataFrame ops.
+
+    Why this tier exists: at 100 TB of embeddings the candidate scan is
+    memory-bandwidth-bound, and per-vector symmetric max-abs int8 codes
+    cut the scanned bytes 4× while the final answer keeps full precision —
+    the candidate stage ranks by QUANTIZED cosine (integer dot products,
+    engine-exact), keeps ``rerank`` candidates per query, and only those
+    ``|probes| × rerank`` rows ever touch the float vectors again.
+
+    Plan shape (all equi-joins, no cartesian):
+
+    1. centroids via :func:`_ivf_train_centroids`; corpus assigned to ONE
+       list, probes explode to ``nprobe`` lists — the IVF prune;
+    2. THIN quantized join on ``__list`` (broadcast probe side): payload
+       is the int8 codes + one norm, ¼ the float traffic; each (query,
+       neighbor) pair meets exactly once because a corpus vector lives in
+       exactly one list;
+    3. per-query ``row_number`` over (quantized sim desc, id) keeps
+       ``rerank`` rows — a bounded set that is then BROADCAST back against
+       the full-precision corpus/probes for the exact cosine top-k.
+
+    Determinism: quantized and exact sims are rounded to ``round_digits``
+    with id tie-breaks, and the int8 codes are exact integer arithmetic —
+    with ``nprobe == n_lists`` the whole pipeline (including the quantized
+    R-cut, hit or miss) is reproducible in portable SQL, which is what the
+    driver row ``ann_sq8_rerank`` hash-checks.  With ``rerank >=
+    |corpus|`` the result provably equals :func:`cosine_topk` (pinned in
+    tests).
+    """
+    centroids = _ivf_train_centroids(corpus, id_col, vec_col, n_lists)
+    n_cent = max(len(centroids), 1)
+    assign_one = _centroid_assign_batch(centroids, 1)
+    assign_probe = _centroid_assign_batch(centroids, min(nprobe, n_cent))
+
+    c = parallelize_small(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_vec")
+        )
+    ).withColumn("__list", assign_one(F.col("__c_vec"))[0])
+    c_thin = _sq8_cols(c, "__c_vec", "__c").select(
+        "neighbor_id", "__list", "__cq", "__cqn"
+    )
+    p = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
+    ).withColumn("__list", F.explode(assign_probe(F.col("__q_vec"))))
+    p_thin = _sq8_cols(p, "__q_vec", "__q").select(
+        "query_id", "__list", "__qq", "__qqn"
+    )
+
+    qdot = F.expr(
+        "aggregate(zip_with(__qq, __cq, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    cands = (
+        c_thin.join(F.broadcast(p_thin), "__list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                qdot.cast("double") / (F.col("__qqn") * F.col("__cqn")),
+                round_digits,
+            ).alias("q_sim"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("q_sim"), F.asc("neighbor_id")
+    )
+    top_r = (
+        cands.withColumn("__qrn", F.row_number().over(w1))
+        .filter(F.col("__qrn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_vec")
+    ).withColumn("__c_norm", F.sqrt(_dot("__c_vec", "__c_vec")))
+    p_full = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
+    ).withColumn("__q_norm", F.sqrt(_dot("__q_vec", "__q_vec")))
+    cos = _dot("__q_vec", "__c_vec") / (F.col("__q_norm") * F.col("__c_norm"))
+    exact = (
+        c_full.join(F.broadcast(top_r), "neighbor_id")
+        .join(F.broadcast(p_full), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos, round_digits).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,

@@ -1228,6 +1228,79 @@ def ann_ivf_exhaustive(spark, sf):
 
 
 @query(
+    "ann_sq8_rerank",
+    """
+    WITH qc AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(round(
+               CAST(x AS DOUBLE)
+               / GREATEST(list_max(list_transform(embedding,
+                   y -> abs(CAST(y AS DOUBLE)))), 1e-30) * 127) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ), qp AS (
+      SELECT * FROM qc WHERE vec_id < 10
+    ), cand AS (
+      SELECT qp.vec_id AS query_id, qc.vec_id AS neighbor_id,
+             round(list_dot_product(qp.qv, qc.qv)
+                   / (sqrt(list_dot_product(qp.qv, qp.qv))
+                      * sqrt(list_dot_product(qc.qv, qc.qv))), 6) AS q_sim
+      FROM qp, qc WHERE qc.vec_id <> qp.vec_id
+    ), topr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY q_sim DESC, neighbor_id) AS qrn
+        FROM cand) WHERE qrn <= 20
+    ), pairs AS (
+      SELECT t.query_id, t.neighbor_id,
+             unnest(pq.embedding) AS qv, unnest(ne.embedding) AS ev
+      FROM topr t
+      JOIN qp pq ON pq.vec_id = t.query_id
+      JOIN embeddings ne ON ne.vec_id = t.neighbor_id
+    ), dots AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dot,
+             SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq,
+             SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ne2
+      FROM pairs GROUP BY 1, 2
+    ), sims AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (sqrt(nq) * sqrt(ne2)), 6) AS cos_sim
+      FROM dots
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+      FROM sims)
+    SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
+    """,
+    doc="IVF + int8 scalar quantization + full-precision re-rank "
+    "(operators/similarity.py:ivf_sq8_topk) — the Faiss IVF,SQ8 layout as "
+    "DataFrame ops. The candidate scan ranks by QUANTIZED cosine "
+    "(per-vector max-abs int8 codes, integer dot products — 4x less "
+    "memory bandwidth, the binding resource at 100 TB of embeddings), "
+    "keeps rerank=20 candidates per query, and only those rows touch the "
+    "float vectors again. nprobe == n_lists here, so the oracle needs no "
+    "centroid model — but unlike ann_ivf_exhaustive this row's oracle "
+    "reproduces the QUANTIZATION ARITHMETIC itself (cast/abs/max/round "
+    "codes, integer dots, rounded quantized ranking, the R-cut, then the "
+    "exact re-rank): recall losses from the int8 cut would hash-mismatch, "
+    "so the quantized kernel is value-checked end to end, not just the "
+    "final exact math. rerank >= |corpus| provably equals brute force "
+    "(pinned in tests); recall tests cover the production nprobe dial.",
+)
+def ann_sq8_rerank(spark, sf):
+    from ..operators.similarity import ivf_sq8_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_sq8_topk(
+        emb, probes, k=5, n_lists=8, nprobe=8, rerank=20
+    )
+
+
+@query(
     "curation_pipeline_v2",
     """
     WITH{ctes}, kept_docs AS (

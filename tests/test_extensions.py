@@ -1996,3 +1996,98 @@ def test_mjpeg_avi_compressed_frame_sampling(spark):
     wrong = wrong[: 12 + 8 + 32] + struct.pack("<I", w + 8) + wrong[12 + 8 + 36 :]
     with pytest.raises(ValueError, match="declares"):
         decode_avi_frames(wrong)
+
+
+# --------------------------------------------------------------------- #
+# IVF-SQ8 (round 8): int8 quantized candidates + full-precision re-rank
+# --------------------------------------------------------------------- #
+
+
+def test_sq8_exhaustive_rerank_equals_exact(spark):
+    """rerank >= |corpus| with nprobe == n_lists must reproduce the exact
+    brute-force top-k bit for bit (the quantized cut keeps everything)."""
+    from global_market_index_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    exact = sorted(map(tuple, cosine_topk(emb, probes, k=5).collect()))
+    sq8 = sorted(
+        map(
+            tuple,
+            ivf_sq8_topk(
+                emb, probes, k=5, n_lists=8, nprobe=8, rerank=n
+            ).collect(),
+        )
+    )
+    assert sq8 == exact
+
+
+def test_sq8_production_dial_recall(spark):
+    """rerank=20 on random 64-dim embeddings: the int8 candidate ranking
+    must keep recall high (quantization error ~1/254 of max-abs per dim)."""
+    from global_market_index_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_sq8_topk(
+            emb, probes, k=5, n_lists=8, nprobe=8, rerank=20
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_sq8_deterministic_under_partitioning(spark):
+    from global_market_index_etl_spark.operators.similarity import (
+        ivf_sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    outs = {
+        tuple(
+            sorted(
+                map(
+                    tuple,
+                    ivf_sq8_topk(
+                        emb.repartition(p),
+                        probes,
+                        k=5,
+                        n_lists=8,
+                        nprobe=8,
+                        rerank=20,
+                    ).collect(),
+                )
+            )
+        )
+        for p in (1, 4, 8)
+    }
+    assert len(outs) == 1
+
+
+def test_sq8_quantization_codes_bounded(spark):
+    """Codes live in [-127, 127] and the max-abs component maps to ±127."""
+    from global_market_index_etl_spark.operators.similarity import _sq8_cols
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        F.col("embedding").alias("__v")
+    )
+    q = _sq8_cols(emb, "__v", "__c")
+    bad = q.filter(
+        F.expr("exists(__cq, x -> x > 127 OR x < -127)")
+    ).count()
+    assert bad == 0
+    no_peak = q.filter(~F.expr("exists(__cq, x -> abs(x) = 127)")).count()
+    assert no_peak == 0  # every vector's max-abs dim hits the rail
