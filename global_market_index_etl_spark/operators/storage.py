@@ -252,8 +252,121 @@ def _read_live_files(
     )
 
 
+def _local_fs_path(path: str) -> str | None:
+    """Filesystem path for ``path`` when it is local, else None.
+
+    File-level stats collection reads parquet footers with pyarrow, which
+    speaks the local filesystem; on hdfs:/object stores the same footers
+    would be read through that FS client — stats are skipped there and
+    every reader stays correct (missing stats = never pruned)."""
+    if path.startswith("file:"):
+        rest = path[len("file:") :]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    if "://" in path:
+        return None
+    return path
+
+
+# Stats are collected for JSON-representable scalar types only; other
+# columns are silently unstatted (readers keep the file — conservative).
+_STATS_TYPES = (int, float, str, bool)
+
+
+def _file_stats(
+    path: str, rel_files: list[str], stats_columns: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file min/max of ``stats_columns`` from parquet footers.
+
+    Driver-side footer reads — bounded by |files|, no Spark job; the same
+    metadata the writer already produced, lifted into the manifest so a
+    pruned read never PLANS the file (vs. engine row-group pruning, which
+    must still list and open every footer — the difference between
+    O(matching files) and O(all files) planning at 100k-file scale).
+    """
+    local = _local_fs_path(path)
+    if local is None:
+        return {}
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rel_files:
+        try:
+            meta = pq.ParquetFile(f"{local}/{rel}").metadata
+        except OSError:
+            continue
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        stats: dict[str, list] = {}
+        for col in stats_columns:
+            idx = names.get(col)
+            if idx is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, _STATS_TYPES)
+                    or not isinstance(st.max, _STATS_TYPES)
+                ):
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                stats[col] = [lo, hi]
+        if stats:
+            out[rel] = stats
+    return out
+
+
+def _prune_manifest_files(
+    manifest: dict, prune: dict[str, tuple]
+) -> tuple[dict, int, int]:
+    """Copy of ``manifest`` with bucket file lists reduced to files whose
+    stats ranges intersect every ``prune[col] = (lo, hi)`` bound (closed
+    intervals; None = unbounded on that side). Files without stats for a
+    pruned column are KEPT — pruning is an optimization, never a filter.
+    Returns (pruned_manifest, files_total, files_kept)."""
+    stats = manifest.get("stats", {})
+    kept_buckets: dict[str, list[str]] = {}
+    total = kept = 0
+    for b, files in manifest["buckets"].items():
+        keep = []
+        for rel in files:
+            total += 1
+            fstats = stats.get(rel, {})
+            alive = True
+            for col, (lo, hi) in prune.items():
+                rng = fstats.get(col)
+                if rng is None:
+                    continue
+                fmin, fmax = rng
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    alive = False
+                    break
+            if alive:
+                keep.append(rel)
+                kept += 1
+        kept_buckets[b] = keep
+    pruned = dict(manifest)
+    pruned["buckets"] = kept_buckets
+    return pruned, total, kept
+
+
 def write_bucketed_table(
-    df: DataFrame, path: str, key_columns: list[str], n_buckets: int = 16
+    df: DataFrame,
+    path: str,
+    key_columns: list[str],
+    n_buckets: int = 16,
+    stats_columns: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ):
     """Materialize ``df`` as a key-hash-bucketed parquet table at ``path``.
 
@@ -276,29 +389,48 @@ def write_bucketed_table(
     partitioned parquet dir has no footers to infer from — the gap a table
     format's transaction log normally covers) and skip footer-inference
     planning cost on wide tables.
+
+    **Data skipping** (Delta/Iceberg-style): ``stats_columns`` records
+    per-FILE min/max for those columns in the manifest, and
+    ``read_table(prune={col: (lo, hi)})`` then never even plans files
+    whose range misses the predicate. Hash buckets scatter values, so
+    skipping on a NON-key column needs the data clustered by it within
+    each bucket: ``cluster_by`` sorts rows inside every bucket and
+    ``max_records_per_file`` splits each bucket into several files, giving
+    consecutive files near-disjoint ranges of the cluster column — the
+    same layout discipline as :func:`write_zordered`, applied under the
+    manifest protocol. Missing stats never exclude a file, so pruning is
+    always correctness-neutral.
     """
     bucketed = df.withColumn(BUCKET, _bucket_col(key_columns, n_buckets))
-    (
-        bucketed.repartition(n_buckets, F.col(BUCKET))
-        .write.mode("overwrite")
-        .partitionBy(BUCKET)
-        .parquet(path)
-    )
+    arranged = bucketed.repartition(n_buckets, F.col(BUCKET))
+    if cluster_by:
+        arranged = arranged.sortWithinPartitions(
+            BUCKET, *[F.col(c) for c in cluster_by]
+        )
+    writer = arranged.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy(BUCKET).parquet(path)
     # Publish manifest v1 over the files just written. (CREATE OR REPLACE of
     # an existing table is not crash-atomic — mode("overwrite") clears the
     # root first; write a NEW root and repoint the caller's reference for
     # that. MERGE, the hot path, is crash-atomic.)
-    _commit_manifest(
-        df.sparkSession,
-        path,
-        1,
-        {
-            "n_buckets": n_buckets,
-            "key_columns": list(key_columns),
-            "schema": bucketed.schema.jsonValue(),
-            "buckets": _list_bucket_files(df.sparkSession, path),
-        },
-    )
+    buckets = _list_bucket_files(df.sparkSession, path)
+    manifest = {
+        "n_buckets": n_buckets,
+        "key_columns": list(key_columns),
+        "schema": bucketed.schema.jsonValue(),
+        "buckets": buckets,
+    }
+    if stats_columns:
+        manifest["stats_columns"] = list(stats_columns)
+        manifest["stats"] = _file_stats(
+            path,
+            [f for files in buckets.values() for f in files],
+            list(stats_columns),
+        )
+    _commit_manifest(df.sparkSession, path, 1, manifest)
     return bucketed.schema
 
 
@@ -489,18 +621,34 @@ def merge_into_parquet(
             hook, _race_hook = _race_hook, None
             hook()  # test-only: interleave a competing writer deterministically
         replaced = {b: base_manifest["buckets"].get(b, []) for b in my_files}
-        try:
-            _commit_manifest(
-                spark,
+        merged_buckets = {**base_manifest["buckets"], **my_files}
+        new_manifest = {
+            "n_buckets": n_buckets,
+            "key_columns": list(key_columns),
+            "schema": up.schema.jsonValue(),
+            "buckets": merged_buckets,
+        }
+        # Data-skipping stats maintenance: a stats-tracked table keeps its
+        # per-file min/max across merges — replaced files drop out, moved-in
+        # files are footer-read (bounded by |staged files|, driver-side).
+        # Merge-staged files are unsorted, so their ranges are wide but
+        # CORRECT; periodic rewrite with cluster_by restores tight pruning.
+        stats_cols = base_manifest.get("stats_columns")
+        if stats_cols:
+            live = {f for files in merged_buckets.values() for f in files}
+            prior = base_manifest.get("stats", {})
+            fresh = _file_stats(
                 path,
-                base_version + 1,
-                {
-                    "n_buckets": n_buckets,
-                    "key_columns": list(key_columns),
-                    "schema": up.schema.jsonValue(),
-                    "buckets": {**base_manifest["buckets"], **my_files},
-                },
+                [f for files in my_files.values() for f in files],
+                list(stats_cols),
             )
+            new_manifest["stats_columns"] = list(stats_cols)
+            new_manifest["stats"] = {
+                **{r: s for r, s in prior.items() if r in live},
+                **fresh,
+            }
+        try:
+            _commit_manifest(spark, path, base_version + 1, new_manifest)
             committed_version = base_version + 1
             break
         except ManifestConflict:
@@ -593,6 +741,7 @@ def read_table(
     path: str,
     schema=None,
     version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read the bucketed table back without the layout column.
 
@@ -608,9 +757,21 @@ def read_table(
     ``retain_versions > 1`` and ``vacuum_table`` has not reclaimed the
     version. A vacuumed/unknown version raises rather than serving the
     wrong data.
+
+    ``prune={col: (lo, hi)}`` is manifest-level data skipping over a table
+    written with ``stats_columns``: files whose recorded min/max range
+    misses the CLOSED interval [lo, hi] (None = unbounded side) are never
+    planned — at 100k-file scale this is the difference between
+    O(matching) and O(all-files) scan planning, on top of the engine's own
+    row-group pruning. It is an OPTIMIZATION, not a filter: the caller
+    still applies the real predicate, files without stats are always kept,
+    and a pre-manifest table ignores ``prune`` entirely — so the read is
+    correct for every table, pruned or not.
     """
     _, manifest = _read_manifest(spark, path, version)
     if manifest is not None:
+        if prune:
+            manifest, _, _ = _prune_manifest_files(manifest, prune)
         return _read_live_files(spark, path, manifest, schema).drop(BUCKET)
     reader = spark.read.schema(schema) if schema is not None else spark.read
     return reader.parquet(path).drop(BUCKET)

@@ -416,6 +416,84 @@ def _k2_scratch_dir() -> str:
     return _K2_SCRATCH[0]
 
 
+@query(
+    "k6_skipping_read",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {revenue} AS revenue
+    FROM lineitem
+    WHERE l_extendedprice >= 30000.0 AND l_extendedprice <= 40000.0
+    GROUP BY l_returnflag
+    """.format(
+        revenue=sql_exact_money_sum("l_extendedprice * (1 - l_discount)")
+    ),
+    doc="K6 — manifest-level DATA SKIPPING (operators/storage.py): lineitem "
+    "is materialized as a stats-tracked bucketed table (cluster_by "
+    "l_extendedprice + maxRecordsPerFile splits each bucket into files "
+    "with near-disjoint price ranges; per-file min/max footer stats land "
+    "in the manifest), then read back with prune={l_extendedprice: "
+    "[30000, 40000]} so files whose range misses the band are never even "
+    "PLANNED — O(matching files) scan planning instead of O(all files), "
+    "on top of the engine's row-group pruning, the Delta/Iceberg skipping "
+    "story under this module's own manifest protocol. The real predicate "
+    "is still applied (pruning is correctness-neutral by construction; "
+    "missing stats keep the file) and the aggregate must match the oracle "
+    "computed over the UNPRUNED table — a wrongly-skipped file would "
+    "change the counts and hash-mismatch. Eager write at plan-"
+    "construction time like k2 (durability is the thing under test); "
+    "the returned plan is the pruned read + aggregate.",
+)
+def k6_skipping_read(spark, sf):
+    from ..operators.storage import read_table, write_bucketed_table
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice", "l_discount",
+    )
+    path = _k6_scratch_dir()
+    write_bucketed_table(
+        li,
+        path,
+        ["l_orderkey", "l_linenumber"],
+        n_buckets=8,
+        stats_columns=["l_extendedprice"],
+        cluster_by=["l_extendedprice"],
+        max_records_per_file=2000,
+    )
+    lo, hi = 30000.0, 40000.0
+    pruned = read_table(spark, path, prune={"l_extendedprice": (lo, hi)})
+    return (
+        pruned.filter(
+            (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") <= hi)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+_K6_SCRATCH: list[str] = []
+
+
+def _k6_scratch_dir() -> str:
+    """One scratch table root per process (k2 discipline: self-overwriting
+    across bench warm-up/reps, removed at interpreter exit)."""
+    if not _K6_SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="gmie_k6_skipping_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _K6_SCRATCH.append(path)
+    return _K6_SCRATCH[0]
+
+
 # --------------------------------------------------------------------------
 # Reshape / projection / cast (SURVEY.md §2.3, §2.4)
 

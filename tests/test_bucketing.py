@@ -234,3 +234,113 @@ def test_zorder_key_must_fit_signed_long(spark, tmp_path):
         events, path, ["event_id", "user_id", "value", "ts"], n_files=4
     )
     assert spark.read.parquet(path).count() == events.count()
+
+
+# --------------------------------------------------------------------- #
+# manifest-level data skipping (round 8)
+# --------------------------------------------------------------------- #
+
+
+def test_manifest_stats_prune_files_and_preserve_answers(spark, tmp_path):
+    """A stats-tracked, cluster_by-written table must (a) return the same
+    rows pruned or not, and (b) actually plan fewer files when pruned."""
+    from global_market_index_etl_spark.operators.storage import (
+        _prune_manifest_files,
+        _read_manifest,
+        read_table,
+        write_bucketed_table,
+    )
+    from global_market_index_etl_spark.sources.tables import load_table
+
+    path = str(tmp_path / "tbl")
+    events = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", "user_id", "value")
+    )
+    write_bucketed_table(
+        events,
+        path,
+        ["event_id"],
+        n_buckets=4,
+        stats_columns=["value"],
+        cluster_by=["value"],
+        max_records_per_file=60,
+    )
+    _, manifest = _read_manifest(spark, path)
+    assert manifest.get("stats")  # footer stats landed in the manifest
+    n_files = sum(len(v) for v in manifest["buckets"].values())
+    assert n_files > 4  # maxRecordsPerFile split each bucket
+
+    lo, hi = 40.0, 45.0
+    full = sorted(
+        map(
+            tuple,
+            read_table(spark, path)
+            .filter((F.col("value") >= lo) & (F.col("value") <= hi))
+            .collect(),
+        )
+    )
+    pruned_df = read_table(spark, path, prune={"value": (lo, hi)}).filter(
+        (F.col("value") >= lo) & (F.col("value") <= hi)
+    )
+    assert sorted(map(tuple, pruned_df.collect())) == full
+
+    _, total, kept = _prune_manifest_files(manifest, {"value": (lo, hi)})
+    assert kept < total, f"no files pruned ({kept}/{total})"
+    # the planned scan really shrinks, not just the bookkeeping
+    assert len(pruned_df.inputFiles()) == kept
+
+
+def test_manifest_stats_survive_merge(spark, tmp_path):
+    """MERGE keeps the stats map coherent: replaced files drop out, staged
+    files gain footer stats, and pruned reads stay exact afterwards."""
+    from global_market_index_etl_spark.operators.storage import (
+        _read_manifest,
+        merge_into_parquet,
+        read_table,
+        write_bucketed_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "k long, value double"
+    )
+    write_bucketed_table(
+        base, path, ["k"], n_buckets=4, stats_columns=["value"],
+        cluster_by=["value"],
+    )
+    batch = spark.createDataFrame(
+        [(5, 1000.0), (300, 2000.0)], "k long, value double"
+    )
+    merge_into_parquet(spark, path, batch, key_columns=["k"], n_buckets=4)
+    _, manifest = _read_manifest(spark, path)
+    live = {f for files in manifest["buckets"].values() for f in files}
+    assert set(manifest["stats"]) <= live  # no stats for dead files
+    assert set(manifest["stats"]) == live  # merged files re-statted
+
+    got = sorted(
+        map(
+            tuple,
+            read_table(spark, path, prune={"value": (900.0, None)})
+            .filter(F.col("value") >= 900.0)
+            .collect(),
+        )
+    )
+    assert got == [(5, 1000.0), (300, 2000.0)]
+
+
+def test_prune_is_conservative_without_stats(spark, tmp_path):
+    """A table written WITHOUT stats_columns ignores prune (all files
+    kept) — pruning can never turn into a wrong filter."""
+    from global_market_index_etl_spark.operators.storage import (
+        read_table,
+        write_bucketed_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, value double"
+    )
+    write_bucketed_table(base, path, ["k"], n_buckets=4)
+    full = read_table(spark, path).count()
+    assert read_table(spark, path, prune={"value": (5.0, 6.0)}).count() == full
