@@ -84,6 +84,8 @@ HEADLINE = [
     "dedup_span_removal",
     "curation_pipeline_v2",
     "text_bpe_train",
+    "ann_sq8_rerank",
+    "k6_skipping_read",
 ]
 
 
