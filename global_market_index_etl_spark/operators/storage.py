@@ -690,6 +690,141 @@ def merge_into_parquet(
             )
 
 
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    min_files_per_bucket: int = 2,
+    retain_versions: int = 1,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """Re-layout a manifest table's buckets — the Delta/Iceberg
+    ``OPTIMIZE (ZORDER)`` analog under this module's commit protocol.
+    Returns the number of buckets rewritten.
+
+    Why: MERGE rewrites touched buckets as UNSORTED single files, so a
+    stats-tracked table's per-file min/max ranges widen with every merge
+    and ``read_table(prune=)`` skipping decays (the trade documented in
+    ``merge_into_parquet``); conversely a bucket that grew large sits in
+    one oversized file. OPTIMIZE rewrites bucket contents sorted by
+    ``cluster_by`` and split by ``max_records_per_file`` (near-disjoint
+    ranges per file — tight pruning again), stages outside the live set,
+    moves in under commit-unique names, and commits ONE new manifest
+    version — crash-atomic like MERGE: readers see the old or the new
+    layout, never a mixture. Without ``cluster_by`` it is a pure compactor
+    for buckets holding ≥ ``min_files_per_bucket`` files.
+
+    ``stats_columns`` RETROFITS data skipping onto a table written without
+    it (or changes the tracked set): the new manifest records stats for
+    every live file, rewritten or not.
+
+    Content is row-for-row identical by construction (no upsert logic —
+    the rewrite only re-arranges each bucket's rows). Run it as the
+    single writer, or with ``retain_versions > 1`` alongside readers; a
+    concurrent MERGE commit surfaces as ``ManifestConflict`` (re-run).
+    """
+    version, manifest = _read_manifest(spark, path)
+    if manifest is None:
+        raise ValueError(f"no manifest at {path} — nothing to optimize")
+    targets = {
+        b
+        for b, files in manifest["buckets"].items()
+        if files and (cluster_by or len(files) >= min_files_per_bucket)
+    }
+    if not targets:
+        if stats_columns:  # stats retrofit alone still commits
+            live = [f for files in manifest["buckets"].values() for f in files]
+            new_manifest = dict(manifest)
+            new_manifest["stats_columns"] = list(stats_columns)
+            new_manifest["stats"] = _file_stats(path, live, list(stats_columns))
+            _commit_manifest(spark, path, version + 1, new_manifest)
+        return 0
+    schema = (
+        StructType.fromJson(manifest["schema"])
+        if manifest.get("schema")
+        else None
+    )
+    current = _read_live_files(spark, path, manifest, schema, targets)
+    arranged = current.repartition(len(targets), F.col(BUCKET))
+    if cluster_by:
+        arranged = arranged.sortWithinPartitions(
+            BUCKET, *[F.col(c) for c in cluster_by]
+        )
+    staging = f"{path}/.staging-{uuid.uuid4().hex}"
+    writer = arranged.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy(BUCKET).parquet(staging)
+
+    jvm, fs = _fs(spark, path)
+    commit_tag = f"o{version + 1:010d}-{uuid.uuid4().hex[:8]}"
+    moved: dict[str, list[str]] = {}
+    for st in fs.listStatus(_hpath(jvm, staging)):
+        dirname = st.getPath().getName()
+        if not dirname.startswith(BUCKET + "="):
+            continue
+        bval = dirname.split("=", 1)[1]
+        fs.mkdirs(_hpath(jvm, f"{path}/{dirname}"))
+        rels = []
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if not fname.endswith(".parquet"):
+                continue
+            rel = f"{dirname}/{commit_tag}-{fname}"
+            if not fs.rename(f.getPath(), _hpath(jvm, f"{path}/{rel}")):
+                raise IOError(f"failed to move optimized file into {path}/{rel}")
+            rels.append(rel)
+        moved[bval] = sorted(rels)
+    # an empty staged bucket dir (possible when repartition left a bucket
+    # with zero rows — cannot happen for non-empty targets, but be safe)
+    for b in targets - set(moved):
+        moved[b] = []
+
+    merged_buckets = {**manifest["buckets"], **moved}
+    new_manifest = {
+        "n_buckets": manifest.get("n_buckets"),
+        "key_columns": manifest.get("key_columns"),
+        "schema": manifest.get("schema"),
+        "buckets": merged_buckets,
+    }
+    stats_cols = (
+        list(stats_columns)
+        if stats_columns
+        else manifest.get("stats_columns")
+    )
+    if stats_cols:
+        live = {f for files in merged_buckets.values() for f in files}
+        if stats_columns and stats_columns != manifest.get("stats_columns"):
+            # retrofit / changed tracked set: stat EVERY live file
+            fresh = _file_stats(path, sorted(live), list(stats_cols))
+            prior = {}
+        else:
+            prior = manifest.get("stats", {})
+            fresh = _file_stats(
+                path,
+                [f for files in moved.values() for f in files],
+                list(stats_cols),
+            )
+        new_manifest["stats_columns"] = list(stats_cols)
+        new_manifest["stats"] = {
+            **{r: s for r, s in prior.items() if r in live},
+            **fresh,
+        }
+    _commit_manifest(spark, path, version + 1, new_manifest)
+    fs.delete(_hpath(jvm, staging), True)
+    if retain_versions <= 1:
+        for b in targets:
+            for rel in manifest["buckets"].get(b, []):
+                fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
+        if version > 0:
+            fs.delete(
+                _hpath(jvm, f"{path}/{_MANIFEST_PREFIX}{version:010d}.json"),
+                False,
+            )
+    return len(targets)
+
+
 def vacuum_table(
     spark: SparkSession, path: str, retain_versions: int = 1
 ) -> int:

@@ -344,3 +344,118 @@ def test_prune_is_conservative_without_stats(spark, tmp_path):
     write_bucketed_table(base, path, ["k"], n_buckets=4)
     full = read_table(spark, path).count()
     assert read_table(spark, path, prune={"value": (5.0, 6.0)}).count() == full
+
+
+def test_optimize_table_compacts_and_restores_pruning(spark, tmp_path):
+    """OPTIMIZE after fragmenting merges: fewer files, identical rows,
+    refreshed stats that prune again, and time travel to the pre-optimize
+    layout still works under retain_versions."""
+    from global_market_index_etl_spark.operators.storage import (
+        _prune_manifest_files,
+        _read_manifest,
+        merge_into_parquet,
+        optimize_table,
+        read_table,
+        write_bucketed_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "k long, value double"
+    )
+    write_bucketed_table(
+        base, path, ["k"], n_buckets=4, stats_columns=["value"],
+        cluster_by=["value"],
+    )
+    # fragment every bucket with several merges (each moves in new files
+    # with WIDE value ranges — pruning decays)
+    for lo in (0, 100, 200, 300):
+        batch = spark.createDataFrame(
+            [(i, float(i) + 0.5) for i in range(lo, lo + 100, 7)],
+            "k long, value double",
+        )
+        merge_into_parquet(
+            spark, path, batch, key_columns=["k"], n_buckets=4,
+            retain_versions=5,
+        )
+    pre_version, pre_manifest = _read_manifest(spark, path)
+    pre_rows = sorted(map(tuple, read_table(spark, path).collect()))
+
+    n = optimize_table(
+        spark, path, cluster_by=["value"], max_records_per_file=60,
+        retain_versions=5,
+    )
+    assert n == 4
+    post_version, post_manifest = _read_manifest(spark, path)
+    assert post_version == pre_version + 1
+
+    # identical content
+    assert sorted(map(tuple, read_table(spark, path).collect())) == pre_rows
+    # pruning effective again (tight per-file ranges from the re-sort)
+    band = {"value": (40.0, 60.0)}
+    _, tot_pre, kept_pre = _prune_manifest_files(pre_manifest, band)
+    _, tot_post, kept_post = _prune_manifest_files(post_manifest, band)
+    assert kept_post / tot_post < kept_pre / max(tot_pre, 1)
+    got = sorted(
+        map(
+            tuple,
+            read_table(spark, path, prune=band)
+            .filter((F.col("value") >= 40.0) & (F.col("value") <= 60.0))
+            .collect(),
+        )
+    )
+    expect = [t for t in pre_rows if 40.0 <= t[1] <= 60.0]
+    assert got == expect
+    # time travel to the pre-optimize snapshot still reads (files retained)
+    assert (
+        sorted(
+            map(tuple, read_table(spark, path, version=pre_version).collect())
+        )
+        == pre_rows
+    )
+
+
+def test_optimize_table_noop_below_threshold(spark, tmp_path):
+    from global_market_index_etl_spark.operators.storage import (
+        optimize_table,
+        write_bucketed_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, value double"
+    )
+    write_bucketed_table(base, path, ["k"], n_buckets=4)
+    # one file per bucket, no cluster_by: nothing to do
+    assert optimize_table(spark, path) == 0
+
+
+def test_optimize_table_retrofits_stats(spark, tmp_path):
+    """stats_columns on OPTIMIZE adds skipping to a table written without
+    it — every live file gains stats and pruned reads work afterwards."""
+    from global_market_index_etl_spark.operators.storage import (
+        _read_manifest,
+        optimize_table,
+        read_table,
+        write_bucketed_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(300)], "k long, value double"
+    )
+    write_bucketed_table(base, path, ["k"], n_buckets=4)  # NO stats
+    optimize_table(
+        spark, path, cluster_by=["value"], max_records_per_file=40,
+        stats_columns=["value"],
+    )
+    _, manifest = _read_manifest(spark, path)
+    live = {f for files in manifest["buckets"].values() for f in files}
+    assert set(manifest.get("stats", {})) == live
+    got = sorted(
+        r.k
+        for r in read_table(spark, path, prune={"value": (10.0, 20.0)})
+        .filter((F.col("value") >= 10.0) & (F.col("value") <= 20.0))
+        .collect()
+    )
+    assert got == list(range(10, 21))
