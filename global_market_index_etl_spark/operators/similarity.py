@@ -694,6 +694,7 @@ def ivf_build_index(
     vec_col: str = "embedding",
     n_lists: int = 32,
     train_iterations: int = 2,
+    quantize: bool = False,
 ) -> None:
     """Persist an IVF index: the corpus written PARTITIONED BY its nearest-
     centroid list, plus the centroid table — the at-rest layout that makes
@@ -709,6 +710,14 @@ def ivf_build_index(
     query batch). Same layout discipline as storage.write_bucketed_table:
     repartition on the partition column first so each list is one file,
     not one file per task × list.
+
+    ``quantize=True`` is the at-rest IVF,SQ8 layout: per-vector int8
+    codes (``__cq``, stored as ``array<tinyint>`` — 1 byte/dim on disk vs
+    4 for the float) plus the code norm ride NEXT TO the float vectors in
+    the same files. Parquet is columnar, so a quantized search's candidate
+    scan projects ONLY the code columns (¼ the bytes off disk — asserted
+    via ReadSchema in tests) and the float column is read just for the
+    ``rerank`` winners.
     """
     centroids = _ivf_train_centroids(
         corpus, id_col, vec_col, n_lists, iterations=train_iterations
@@ -717,6 +726,10 @@ def ivf_build_index(
     listed = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
         "__list", assign_one(F.col(vec_col))[0]
     )
+    if quantize:
+        listed = _sq8_cols(listed, vec_col, "__c").withColumn(
+            "__cq", F.expr("transform(__cq, x -> cast(x as tinyint))")
+        )
     (
         listed.repartition("__list")
         .write.partitionBy("__list")
@@ -739,6 +752,7 @@ def ivf_search_index(
     vec_col: str = "embedding",
     nprobe: int = 4,
     round_digits: int = 6,
+    rerank: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a persisted IVF index, reading ONLY the probed
     lists (partition pruning on ``__list`` — asserted in tests via the
@@ -748,6 +762,15 @@ def ivf_search_index(
     to build the pruning predicate is a driver-side set union over
     |probes|·nprobe ints — not a corpus action. nprobe == n_lists
     degenerates to exact brute force over the whole index (recall 1.0).
+
+    ``rerank`` activates the SQ8 fast path on an index built with
+    ``quantize=True``: the candidate scan projects ONLY the stored int8
+    codes (parquet column pruning — ¼ the bytes of the float column),
+    ranks by quantized cosine, and the float vectors are read back for
+    just the ``rerank`` winners per query (a second, candidate-pruned
+    scan), exact-cosine re-ranked to the final top-k. On an unquantized
+    index ``rerank`` raises — silently scanning floats would defeat the
+    caller's bandwidth expectation.
     """
     cent_rows = (
         spark.read.parquet(path + "/centroids").orderBy("list_id").collect()
@@ -765,16 +788,84 @@ def ivf_search_index(
     probed_lists = sorted(
         {r[0] for r in p_listed.select("__list").collect()}
     )
-    c_listed = (
-        spark.read.parquet(path + "/lists")
-        .filter(F.col("__list").isin(probed_lists))
-        .select(
+    lists = spark.read.parquet(path + "/lists").filter(
+        F.col("__list").isin(probed_lists)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+
+    if rerank is not None:
+        if "__cq" not in lists.columns:
+            raise ValueError(
+                f"index at {path} was not built with quantize=True — "
+                "rerank has no int8 codes to scan"
+            )
+        # candidate stage: codes + norm only — the float vec_col never
+        # appears in this scan's ReadSchema
+        c_q = lists.select(
+            F.col(id_col).alias("neighbor_id"),
+            "__list",
+            F.expr("transform(__cq, x -> cast(x as bigint))").alias("__cq"),
+            "__cqn",
+        )
+        p_q = _sq8_cols(p_listed, "__q_vec", "__q").select(
+            "query_id", "__list", "__qq", "__qqn"
+        )
+        qdot = F.expr(
+            "aggregate(zip_with(__qq, __cq, (x, y) -> x * y),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+        cands = (
+            c_q.join(F.broadcast(p_q), "__list")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    qdot.cast("double") / (F.col("__qqn") * F.col("__cqn")),
+                    round_digits,
+                ).alias("q_sim"),
+            )
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("q_sim"), F.asc("neighbor_id")
+        )
+        top_r = (
+            cands.withColumn("__qrn", F.row_number().over(wq))
+            .filter(F.col("__qrn") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        c_full = lists.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__c_vec"),
-            "__list",
+        ).withColumn("__c_norm", F.sqrt(_dot("__c_vec", "__c_vec")))
+        p_full = probes.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
+        ).withColumn("__q_norm", F.sqrt(_dot("__q_vec", "__q_vec")))
+        cos = _dot("__q_vec", "__c_vec") / (
+            F.col("__q_norm") * F.col("__c_norm")
         )
-        .withColumn("__c_norm", F.sqrt(_dot("__c_vec", "__c_vec")))
-    )
+        exact = (
+            c_full.join(F.broadcast(top_r), "neighbor_id")
+            .join(F.broadcast(p_full), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cos, round_digits).alias("cos_sim"),
+            )
+        )
+        return (
+            exact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rn")
+        )
+
+    c_listed = lists.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__c_vec"),
+        "__list",
+    ).withColumn("__c_norm", F.sqrt(_dot("__c_vec", "__c_vec")))
     cos = _dot("__q_vec", "__c_vec") / (F.col("__q_norm") * F.col("__c_norm"))
     scored = (
         c_listed.join(F.broadcast(p_listed), on="__list")
@@ -784,9 +875,6 @@ def ivf_search_index(
             "neighbor_id",
             F.round(cos, round_digits).alias("cos_sim"),
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))

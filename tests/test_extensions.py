@@ -2091,3 +2091,84 @@ def test_sq8_quantization_codes_bounded(spark):
     assert bad == 0
     no_peak = q.filter(~F.expr("exists(__cq, x -> abs(x) = 127)")).count()
     assert no_peak == 0  # every vector's max-abs dim hits the rail
+
+
+def test_sq8_persisted_index_candidate_scan_skips_float_column(
+    spark, tmp_path
+):
+    """quantize=True index: the candidate scan's ReadSchema carries the
+    int8 codes but NOT the float embedding column (parquet column pruning
+    — 1/4 the candidate-scan bytes); results with exhaustive settings
+    equal exact brute force."""
+    import re
+
+    from global_market_index_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    ivf_build_index(emb, path, n_lists=8, quantize=True)
+    n = emb.count()
+    out = ivf_search_index(
+        spark, path, probes, k=5, nprobe=8, rerank=n
+    )
+    exact = sorted(map(tuple, cosine_topk(emb, probes, k=5).collect()))
+    assert sorted(map(tuple, out.collect())) == exact
+
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cand_scans = [s for s in schemas if "__cq" in s]
+    assert cand_scans, plan[:500]
+    for s in cand_scans:
+        assert "embedding" not in s, s  # codes-only candidate scan
+    # the float column is read by exactly the re-rank scan
+    assert any("embedding" in s and "__cq" not in s for s in schemas)
+
+
+def test_sq8_persisted_index_partial_dial_recall(spark, tmp_path):
+    from global_market_index_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "idx")
+    ivf_build_index(emb, path, n_lists=8, quantize=True)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_search_index(
+            spark, path, probes, k=5, nprobe=8, rerank=20
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_sq8_rerank_requires_quantized_index(spark, tmp_path):
+    import pytest
+
+    from global_market_index_etl_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    ivf_build_index(emb, path, n_lists=8)  # no codes
+    with pytest.raises(ValueError, match="quantize"):
+        ivf_search_index(
+            spark, path, emb.filter("vec_id < 3"), k=5, nprobe=8, rerank=10
+        )
