@@ -117,3 +117,107 @@ def top_terms_global(
             .agg(F.count(F.lit(1)).alias("n"))
         )
     return counts.orderBy(F.desc("n"), F.asc("word")).limit(k)
+
+
+def _cms_cell(term_col: str, row: int, width: int):
+    """Row-``row`` cell index of a term — md5-derived, engine-portable
+    (DuckDB: ``CAST(CONCAT('0x', substr(md5(i || ':' || term), 1, 8)) AS
+    BIGINT) % width`` yields the identical integer)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), F.col(term_col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def count_min_cells(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of corpus term frequencies, built EXACTLY and
+    distributively: ``(row, cell, cnt)`` — depth × width cells.
+
+    Why a sketch when ``top_terms_global`` is exact: the exact heavy-hitter
+    pass shuffles one row per DISTINCT term (vocabulary-sized — millions of
+    keys at 100 TB, and the long tail dominates the shuffle); the sketch's
+    shuffle key-space is FIXED at depth × width cells regardless of
+    vocabulary, with partial aggregation collapsing each task's counts to
+    ≤ depth·width rows before the exchange. The standard CMS guarantee
+    holds (estimate ≥ true count; overestimate ≤ εN with prob 1−δ for
+    width = e/ε, depth = ln 1/δ — Cormode & Muthukrishnan, J.Alg 2005).
+
+    The cell hash is md5-derived (like operators/spans.py) so DuckDB
+    reproduces the SAME sketch bit-for-bit — construction is
+    oracle-checkable even though the sketch is approximate: approximation
+    lives in the data structure, not in any nondeterminism.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    from .text import words
+
+    terms = df.select(
+        F.explode(words(F.lower(F.col(text_col)))).alias("__t")
+    ).filter(F.col("__t") != "")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cms_cell("__t", i, width).alias("cell")
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        terms.select(F.explode(rows).alias("__rc"))
+        .groupBy(
+            F.col("__rc.row").alias("row"), F.col("__rc.cell").alias("cell")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    cells: DataFrame,
+    queries: DataFrame,
+    *,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate each query term against a :func:`count_min_cells`
+    sketch: ``(term, cms_estimate)`` where estimate = min over the depth
+    rows (0 when a cell is empty — the term never occurred).
+
+    ``queries`` is a bounded term list (heavy-hitter candidates, an
+    allowlist) — broadcast against the fixed-size cell table.
+    """
+    probes = queries.select(term_col).distinct()
+    probe_cells = probes.select(
+        term_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_cell(term_col, i, width).alias("cell"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("__rc"),
+    ).select(
+        term_col,
+        F.col("__rc.row").alias("row"),
+        F.col("__rc.cell").alias("cell"),
+    )
+    joined = cells.join(F.broadcast(probe_cells), ["row", "cell"], "right")
+    return joined.groupBy(term_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+    )

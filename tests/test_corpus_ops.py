@@ -608,3 +608,105 @@ def test_quality_classifier_degenerate_and_monotone(spark):
     for x in r.values():
         assert 0.0 < x.quality_prob < 1.0
         assert x.keep == (x.quality_prob >= 0.5)
+
+
+# --------------------------------------------------------------------- #
+# count-min sketch (round 8)
+# --------------------------------------------------------------------- #
+
+_CMS_TWIN = """
+WITH terms AS (
+  SELECT unnest(string_split(trim(lower(text)), ' ')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+), nz AS (
+  SELECT t FROM terms WHERE t <> ''
+), cells AS (
+  SELECT i.r AS row,
+         CAST(CONCAT('0x', substr(md5(CONCAT(i.r, ':', t)), 1, 8)) AS BIGINT)
+           % 64 AS cell
+  FROM nz, (SELECT unnest(range(4)) AS r) i
+)
+SELECT row, cell, CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY row, cell
+"""
+
+
+def _norm_text_words(text):
+    return [w for w in text.lower().split() if w]
+
+
+def test_count_min_cells_match_duckdb_twin(spark):
+    """The sketch is built EXACTLY (approximation is in the structure, not
+    the construction): every (row, cell, cnt) must equal the DuckDB twin
+    computing the same md5-derived cells."""
+    from global_market_index_etl_spark.operators.terms import (
+        count_min_cells,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    got = sorted(
+        map(
+            tuple,
+            count_min_cells(docs, depth=4, width=64).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck_connection(SF_SMALL)
+            .execute(_CMS_TWIN)
+            .fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_count_min_estimates_bound_exact_counts(spark):
+    """CMS guarantee: estimate >= exact for every term; heavy hitters on a
+    wide sketch estimate exactly (few collisions)."""
+    from collections import Counter
+
+    from global_market_index_etl_spark.operators.terms import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = Counter()
+    for r in docs.select("text").collect():
+        exact.update(_norm_text_words(r.text or ""))
+    top = [t for t, _ in exact.most_common(20)]
+
+    cells = count_min_cells(docs, depth=4, width=4096)
+    queries = spark.createDataFrame([(t,) for t in top], "term string")
+    est = {
+        r.term: r.cms_estimate
+        for r in count_min_estimate(
+            cells, queries, depth=4, width=4096
+        ).collect()
+    }
+    assert set(est) == set(top)
+    for t in top:
+        assert est[t] >= exact[t], t
+    # wide sketch, small vocab: the top-20 should estimate exactly
+    exact_hits = sum(1 for t in top if est[t] == exact[t])
+    assert exact_hits >= 15, (exact_hits, {t: (est[t], exact[t]) for t in top})
+
+
+def test_count_min_unknown_term_estimates_from_empty_cells(spark):
+    from global_market_index_etl_spark.operators.terms import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    cells = count_min_cells(docs, depth=4, width=65536)
+    q = spark.createDataFrame(
+        [("zzz-never-in-corpus-qqq",)], "term string"
+    )
+    [[_, est]] = (
+        count_min_estimate(cells, q, depth=4, width=65536)
+        .select("term", "cms_estimate")
+        .collect()
+    )
+    assert est == 0
