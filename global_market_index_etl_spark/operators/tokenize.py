@@ -177,8 +177,10 @@ def bpe_train_merges(
     weighted by word frequency.  Spark-first decomposition:
 
     1. ONE corpus-scale pass builds the word-frequency table
-       (:func:`_word_frequencies`) — the only step whose cost grows with
-       corpus size; everything after is vocabulary-sized.
+       (:func:`_word_frequencies`), eagerly checkpointed so the probe
+       count, the collect, and the merge loop never re-scan the corpus —
+       the only step whose cost grows with corpus size; everything after
+       is vocabulary-sized.
     2. Cost-based loop (the ``operators/dedup.py`` discipline): when the
        distinct-word count fits ``driver_vocab_threshold``, the collect is
        bounded and the exact incremental trainer runs driver-side — per
@@ -200,7 +202,13 @@ def bpe_train_merges(
     """
     if k <= 0:
         return []
-    words = _word_frequencies(docs, text_col, lowercase)
+    # materialize the word-frequency table ONCE: the probe count, the
+    # driver-path collect, and the distributed loop's first pair scan all
+    # read the checkpoint — without it each would re-run the corpus-scale
+    # tokenize+aggregate (three full corpus passes at 100 TB)
+    words = _word_frequencies(docs, text_col, lowercase).localCheckpoint(
+        eager=True
+    )
     # bounded driver action: a count — the cost-model probe
     n_vocab = words.count()
     if n_vocab == 0:
