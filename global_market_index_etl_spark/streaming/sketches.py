@@ -1,0 +1,76 @@
+"""Streaming count-min sketch maintenance — corpus heavy hitters that
+update every ingestion tick.
+
+The batch sketch (operators/terms.py:count_min_cells) is ADDITIVE: the
+cells of two disjoint corpora sum to the cells of their union, exactly.
+That makes streaming maintenance the easy case of the incremental-index
+pattern (streaming/incremental.py): each ``availableNow`` tick writes its
+batch's cells as a ``batch=<id>`` delta (≤ depth × width rows — the
+sketch's fixed size is the whole point), and the queryable state is a
+merge-on-read ``groupBy(row, cell) sum`` over the deltas.
+
+Idempotence under at-least-once ``foreachBatch`` delivery comes from the
+same two properties the MinHash index relies on:
+
+- a replayed batch OVERWRITES its own ``batch=<id>`` directory with
+  byte-identical content (the sketch construction is deterministic), so
+  checkpoint-restart double-counts nothing;
+- the state directory is keyed by the CHECKPOINT's batch ids — rebuilding
+  from scratch means a fresh state dir + fresh checkpoint, exactly like
+  the persisted dedup indexes (a fresh checkpoint over an old state dir
+  would re-number batches and is rejected nowhere cheaper than in docs).
+
+At 100 TB the per-tick cost is the batch scan plus a depth×width-bounded
+shuffle; the state never grows with the vocabulary — the property the
+exact heavy-hitter pass (terms.top_terms_global) cannot give.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.terms import count_min_cells
+
+__all__ = ["streaming_count_min", "read_count_min_state"]
+
+
+def streaming_count_min(
+    docs_stream: DataFrame,
+    *,
+    state_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Maintain a count-min sketch from a streaming document source;
+    one ``availableNow`` tick. Returns the started StreamingQuery."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        cells = count_min_cells(
+            batch, text_col=text_col, depth=depth, width=width
+        )
+        (
+            cells.write.mode("overwrite").parquet(
+                f"{state_path}/batch={batch_id}"
+            )
+        )
+
+    return (
+        docs_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .start()
+    )
+
+
+def read_count_min_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merged ``(row, cell, cnt)`` view over every committed tick delta —
+    usable directly with :func:`operators.terms.count_min_estimate`."""
+    return (
+        spark.read.option("basePath", state_path)
+        .parquet(f"{state_path}/batch=*")
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

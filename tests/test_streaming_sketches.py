@@ -1,0 +1,88 @@
+"""Streaming count-min maintenance: tick deltas sum to the batch sketch,
+replays are no-ops, and estimates from streamed state keep the CMS bound."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from global_market_index_etl_spark.operators.terms import (
+    count_min_cells,
+    count_min_estimate,
+)
+from global_market_index_etl_spark.streaming.sketches import (
+    read_count_min_state,
+    streaming_count_min,
+)
+
+from .conftest import SF_SMALL
+
+SCHEMA = "doc_id long, text string"
+
+
+def _tick(spark, src, checkpoint, state, **kw):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = streaming_count_min(
+        stream, state_path=state, checkpoint=checkpoint, **kw
+    )
+    q.awaitTermination(120)
+
+
+def test_streamed_state_equals_batch_sketch(spark, tmp_path):
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    _tick(spark, src, ckpt, state, depth=4, width=64)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    _tick(spark, src, ckpt, state, depth=4, width=64)
+
+    streamed = sorted(
+        map(tuple, read_count_min_state(spark, state).collect())
+    )
+    batch = sorted(
+        map(tuple, count_min_cells(docs, depth=4, width=64).collect())
+    )
+    assert streamed == batch
+
+    # a re-run with the SAME checkpoint and no new files is a no-op
+    _tick(spark, src, ckpt, state, depth=4, width=64)
+    again = sorted(map(tuple, read_count_min_state(spark, state).collect()))
+    assert again == batch
+
+
+def test_streamed_estimates_keep_cms_bound(spark, tmp_path):
+    from collections import Counter
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    _tick(
+        spark, src, str(tmp_path / "ckpt"), state, depth=4, width=4096
+    )
+
+    exact = Counter()
+    for r in docs.select("text").collect():
+        exact.update(w for w in (r.text or "").lower().split() if w)
+    top = [t for t, _ in exact.most_common(10)]
+    est = {
+        r.term: r.cms_estimate
+        for r in count_min_estimate(
+            read_count_min_state(spark, state),
+            spark.createDataFrame([(t,) for t in top], "term string"),
+            depth=4,
+            width=4096,
+        ).collect()
+    }
+    for t in top:
+        assert est[t] >= exact[t]
