@@ -180,6 +180,14 @@ def scd2_resolve_log(
     ``row_number``, and the changelog arrives at the downstream SCD2
     window pre-deduplicated exactly as before.
     """
+    # the internal tag/struct columns must not silently OVERWRITE user data
+    # (withColumn replaces same-named columns) — same guard as rangejoin.py
+    reserved = {"__src", "__attrs"} & {*key_cols, *attr_cols, seq_col}
+    if reserved:
+        raise ValueError(
+            f"column names collide with reserved internal names: "
+            f"{sorted(reserved)}"
+        )
     attr_struct = F.struct(*[F.col(c) for c in attr_cols])
     rank_struct = F.struct(F.col("__src"), *[F.col(c) for c in attr_cols])
     tagged = history_log.withColumn("__src", F.lit(0)).unionByName(

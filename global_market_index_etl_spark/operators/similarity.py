@@ -812,30 +812,6 @@ def ivf_search_index(
         p_q = _sq8_cols(p_listed, "__q_vec", "__q").select(
             "query_id", "__list", "__qq", "__qqn"
         )
-        qdot = F.expr(
-            "aggregate(zip_with(__qq, __cq, (x, y) -> x * y),"
-            " cast(0 as bigint), (acc, v) -> acc + v)"
-        )
-        cands = (
-            c_q.join(F.broadcast(p_q), "__list")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(
-                    qdot.cast("double") / (F.col("__qqn") * F.col("__cqn")),
-                    round_digits,
-                ).alias("q_sim"),
-            )
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.desc("q_sim"), F.asc("neighbor_id")
-        )
-        top_r = (
-            cands.withColumn("__qrn", F.row_number().over(wq))
-            .filter(F.col("__qrn") <= rerank)
-            .select("query_id", "neighbor_id")
-        )
         c_full = lists.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__c_vec"),
@@ -843,22 +819,9 @@ def ivf_search_index(
         p_full = probes.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
         ).withColumn("__q_norm", F.sqrt(_dot("__q_vec", "__q_vec")))
-        cos = _dot("__q_vec", "__c_vec") / (
-            F.col("__q_norm") * F.col("__c_norm")
-        )
-        exact = (
-            c_full.join(F.broadcast(top_r), "neighbor_id")
-            .join(F.broadcast(p_full), "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(cos, round_digits).alias("cos_sim"),
-            )
-        )
-        return (
-            exact.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", "rn")
+        return _sq8_candidate_rerank(
+            c_q, p_q, c_full, p_full,
+            k=k, rerank=rerank, round_digits=round_digits,
         )
 
     c_listed = lists.select(
@@ -878,6 +841,71 @@ def ivf_search_index(
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def _sq8_candidate_rerank(
+    c_q: DataFrame,
+    p_q: DataFrame,
+    c_full: DataFrame,
+    p_full: DataFrame,
+    *,
+    k: int,
+    rerank: int,
+    round_digits: int,
+) -> DataFrame:
+    """The ONE copy of the SQ8 two-stage kernel (quantized candidate rank →
+    exact re-rank), shared by the in-memory ``ivf_sq8_topk`` and the
+    persisted-index ``ivf_search_index(rerank=)`` paths so the R-cut,
+    rounding, and tie-breaks can never diverge between them.
+
+    Inputs: ``c_q (neighbor_id, __list, __cq, __cqn)`` and ``p_q
+    (query_id, __list, __qq, __qqn)`` — thin quantized sides joined on
+    ``__list``; ``c_full (neighbor_id, __c_vec, __c_norm)`` / ``p_full
+    (query_id, __q_vec, __q_norm)`` — full-precision sides touched only
+    for the ``rerank`` winners per query.
+    """
+    qdot = F.expr(
+        "aggregate(zip_with(__qq, __cq, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    cands = (
+        c_q.join(F.broadcast(p_q), "__list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                qdot.cast("double") / (F.col("__qqn") * F.col("__cqn")),
+                round_digits,
+            ).alias("q_sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("q_sim"), F.asc("neighbor_id")
+    )
+    top_r = (
+        cands.withColumn("__qrn", F.row_number().over(wq))
+        .filter(F.col("__qrn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cos = _dot("__q_vec", "__c_vec") / (F.col("__q_norm") * F.col("__c_norm"))
+    exact = (
+        c_full.join(F.broadcast(top_r), "neighbor_id")
+        .join(F.broadcast(p_full), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos, round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
@@ -968,55 +996,15 @@ def ivf_sq8_topk(
     p_thin = _sq8_cols(p, "__q_vec", "__q").select(
         "query_id", "__list", "__qq", "__qqn"
     )
-
-    qdot = F.expr(
-        "aggregate(zip_with(__qq, __cq, (x, y) -> x * y),"
-        " cast(0 as bigint), (acc, v) -> acc + v)"
-    )
-    cands = (
-        c_thin.join(F.broadcast(p_thin), "__list")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                qdot.cast("double") / (F.col("__qqn") * F.col("__cqn")),
-                round_digits,
-            ).alias("q_sim"),
-        )
-    )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.desc("q_sim"), F.asc("neighbor_id")
-    )
-    top_r = (
-        cands.withColumn("__qrn", F.row_number().over(w1))
-        .filter(F.col("__qrn") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-
     c_full = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_vec")
     ).withColumn("__c_norm", F.sqrt(_dot("__c_vec", "__c_vec")))
     p_full = probes.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
     ).withColumn("__q_norm", F.sqrt(_dot("__q_vec", "__q_vec")))
-    cos = _dot("__q_vec", "__c_vec") / (F.col("__q_norm") * F.col("__c_norm"))
-    exact = (
-        c_full.join(F.broadcast(top_r), "neighbor_id")
-        .join(F.broadcast(p_full), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cos, round_digits).alias("cos_sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    return _sq8_candidate_rerank(
+        c_thin, p_thin, c_full, p_full,
+        k=k, rerank=rerank, round_digits=round_digits,
     )
 
 

@@ -359,6 +359,33 @@ def _prune_manifest_files(
     return pruned, total, kept
 
 
+def _move_staged_files(
+    jvm, fs, path: str, staging: str, commit_tag: str
+) -> dict[str, list[str]]:
+    """Move staged bucket files into the live tree under commit-unique
+    names (rename = metadata op, never overwrites). The ONE copy of the
+    crash-sensitive move-in protocol, shared by MERGE and OPTIMIZE.
+    Returns bucket value → sorted moved relative paths."""
+    moved: dict[str, list[str]] = {}
+    for st in fs.listStatus(_hpath(jvm, staging)):
+        dirname = st.getPath().getName()
+        if not dirname.startswith(BUCKET + "="):
+            continue
+        bval = dirname.split("=", 1)[1]
+        fs.mkdirs(_hpath(jvm, f"{path}/{dirname}"))
+        rels = []
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if not fname.endswith(".parquet"):
+                continue
+            rel = f"{dirname}/{commit_tag}-{fname}"
+            if not fs.rename(f.getPath(), _hpath(jvm, f"{path}/{rel}")):
+                raise IOError(f"failed to move staged file into {path}/{rel}")
+            rels.append(rel)
+        moved[bval] = sorted(rels)
+    return moved
+
+
 def write_bucketed_table(
     df: DataFrame,
     path: str,
@@ -569,25 +596,7 @@ def merge_into_parquet(
         if _crash_point == "after_stage":
             raise RuntimeError("injected crash: staged files written, not moved")
         commit_tag = f"c{tag_version:010d}-{uuid.uuid4().hex[:8]}"
-        moved_files: dict[str, list[str]] = {}
-        for st in fs.listStatus(_hpath(jvm, staging)):
-            dirname = st.getPath().getName()
-            if not dirname.startswith(BUCKET + "="):
-                continue
-            bval = dirname.split("=", 1)[1]
-            fs.mkdirs(_hpath(jvm, f"{path}/{dirname}"))
-            moved = []
-            for f in fs.listStatus(st.getPath()):
-                fname = f.getPath().getName()
-                if not fname.endswith(".parquet"):
-                    continue
-                rel = f"{dirname}/{commit_tag}-{fname}"
-                if not fs.rename(f.getPath(), _hpath(jvm, f"{path}/{rel}")):
-                    raise IOError(
-                        f"failed to move staged file into {path}/{rel}"
-                    )
-                moved.append(rel)
-            moved_files[bval] = sorted(moved)
+        moved_files = _move_staged_files(jvm, fs, path, staging, commit_tag)
         if _crash_point == "after_move":
             raise RuntimeError(
                 "injected crash: files moved, manifest not committed"
@@ -605,6 +614,8 @@ def merge_into_parquet(
     stagings: list[str] = []
     replaced: dict[str, list[str]] = {}
     committed_version = None
+    _my_stats: dict[str, dict] = {}  # rel → stats, cached across retries
+    _my_stats_cols: list[str] | None = None
     for _attempt in range(_MAX_COMMIT_ATTEMPTS):
         if buckets_to_write:
             moved_files, staging = _stage_and_move(
@@ -632,20 +643,27 @@ def merge_into_parquet(
         # per-file min/max across merges — replaced files drop out, moved-in
         # files are footer-read (bounded by |staged files|, driver-side).
         # Merge-staged files are unsorted, so their ranges are wide but
-        # CORRECT; periodic rewrite with cluster_by restores tight pruning.
+        # CORRECT; periodic optimize_table with cluster_by restores tight
+        # pruning. The footer reads are CACHED across OCC retries: a retry
+        # re-stages only the conflicting buckets, so only its newly moved
+        # files are re-read (round-8 review fix).
         stats_cols = base_manifest.get("stats_columns")
         if stats_cols:
+            if _my_stats_cols != list(stats_cols):
+                _my_stats.clear()
+                _my_stats_cols = list(stats_cols)
+            mine = [f for files in my_files.values() for f in files]
+            missing = [f for f in mine if f not in _my_stats]
+            if missing:
+                _my_stats.update(
+                    _file_stats(path, missing, list(stats_cols))
+                )
             live = {f for files in merged_buckets.values() for f in files}
             prior = base_manifest.get("stats", {})
-            fresh = _file_stats(
-                path,
-                [f for files in my_files.values() for f in files],
-                list(stats_cols),
-            )
             new_manifest["stats_columns"] = list(stats_cols)
             new_manifest["stats"] = {
                 **{r: s for r, s in prior.items() if r in live},
-                **fresh,
+                **{r: _my_stats[r] for r in mine if r in _my_stats},
             }
         try:
             _commit_manifest(spark, path, base_version + 1, new_manifest)
@@ -759,23 +777,7 @@ def optimize_table(
 
     jvm, fs = _fs(spark, path)
     commit_tag = f"o{version + 1:010d}-{uuid.uuid4().hex[:8]}"
-    moved: dict[str, list[str]] = {}
-    for st in fs.listStatus(_hpath(jvm, staging)):
-        dirname = st.getPath().getName()
-        if not dirname.startswith(BUCKET + "="):
-            continue
-        bval = dirname.split("=", 1)[1]
-        fs.mkdirs(_hpath(jvm, f"{path}/{dirname}"))
-        rels = []
-        for f in fs.listStatus(st.getPath()):
-            fname = f.getPath().getName()
-            if not fname.endswith(".parquet"):
-                continue
-            rel = f"{dirname}/{commit_tag}-{fname}"
-            if not fs.rename(f.getPath(), _hpath(jvm, f"{path}/{rel}")):
-                raise IOError(f"failed to move optimized file into {path}/{rel}")
-            rels.append(rel)
-        moved[bval] = sorted(rels)
+    moved = _move_staged_files(jvm, fs, path, staging, commit_tag)
     # an empty staged bucket dir (possible when repartition left a bucket
     # with zero rows — cannot happen for non-empty targets, but be safe)
     for b in targets - set(moved):

@@ -196,7 +196,8 @@ def count_min_estimate(
     rows (0 when a cell is empty — the term never occurred).
 
     ``queries`` is a bounded term list (heavy-hitter candidates, an
-    allowlist) — broadcast against the fixed-size cell table.
+    allowlist); the fixed-size cell table (depth × width rows) is the
+    broadcast side of the lookup join, so neither side ever shuffles.
     """
     probes = queries.select(term_col).distinct()
     probe_cells = probes.select(
@@ -217,7 +218,11 @@ def count_min_estimate(
         F.col("__rc.row").alias("row"),
         F.col("__rc.cell").alias("cell"),
     )
-    joined = cells.join(F.broadcast(probe_cells), ["row", "cell"], "right")
+    # broadcast the CELL TABLE (depth × width rows — fixed-size by design):
+    # a left-outer join can only build-broadcast its right side, so hinting
+    # the probe side of the former right-join could never be honored and
+    # silently degraded to a shuffle (round-8 review fix)
+    joined = probe_cells.join(F.broadcast(cells), ["row", "cell"], "left")
     return joined.groupBy(term_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
     )

@@ -209,14 +209,41 @@ def bpe_train_merges(
     words = _word_frequencies(docs, text_col, lowercase).localCheckpoint(
         eager=True
     )
-    # bounded driver action: a count — the cost-model probe
-    n_vocab = words.count()
-    if n_vocab == 0:
-        return []
-    if n_vocab <= driver_vocab_threshold:
-        vocab = [(r["w"], r["cnt"]) for r in words.collect()]
-        return _train_driver(vocab, k)
-    return _train_distributed(words, k)
+    try:
+        # bounded driver action: a count — the cost-model probe
+        n_vocab = words.count()
+        if n_vocab == 0:
+            return []
+        if n_vocab <= driver_vocab_threshold:
+            vocab = [(r["w"], r["cnt"]) for r in words.collect()]
+            return _train_driver(vocab, k)
+        return _train_distributed(words, k)
+    finally:
+        _free_checkpoint(words)
+
+
+def _ckpt_rdd_id(df: DataFrame) -> int | None:
+    """Block-manager RDD id behind an eagerly localCheckpointed frame, or
+    None when the plan is not a LogicalRDD (never guess — freeing a wrong
+    id would break someone else's checkpoint, not just drop a cache)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return plan.rdd().id()
+    except Exception:
+        return None
+    return None
+
+
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release an eager localCheckpoint's executor storage NOW. The loop
+    below supersedes its checkpoint every merge; without explicit frees
+    the trainer would hold k+1 vocabulary-sized copies in the block
+    manager until return (round-8 review fix) — with them, at most 2."""
+    rid = _ckpt_rdd_id(df)
+    if rid is not None:
+        sc = df.sparkSession.sparkContext
+        sc._jsc.sc().unpersistRDD(int(rid), False)
 
 
 def _adjacent_pairs(syms_col: str):
@@ -269,6 +296,7 @@ def _train_distributed(words: DataFrame, k: int) -> list[tuple[str, str]]:
 
         fold = make_fold(a, b)
 
+        prev = syms_df
         syms_df = syms_df.select(
             F.aggregate(
                 "syms", F.array().cast("array<string>"), fold
@@ -277,6 +305,8 @@ def _train_distributed(words: DataFrame, k: int) -> list[tuple[str, str]]:
             # lineage truncation: without it the plan nests one fold per
             # merge and Catalyst analysis cost grows superlinearly in k
         ).localCheckpoint(eager=True)
+        _free_checkpoint(prev)  # eager successor exists — predecessor dead
+    _free_checkpoint(syms_df)
     return merges
 
 

@@ -66,11 +66,35 @@ def streaming_count_min(
 
 
 def read_count_min_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """Merged ``(row, cell, cnt)`` view over every committed tick delta —
-    usable directly with :func:`operators.terms.count_min_estimate`."""
+    """Merged ``(row, cell, cnt)`` view over every COMMITTED tick delta —
+    usable directly with :func:`operators.terms.count_min_estimate`.
+
+    Committed = the delta directory carries Spark's ``_SUCCESS`` marker. A
+    tick that crashed mid-write leaves a partial ``batch=<id>`` dir with
+    no marker; summing its partial counts would transiently UNDERestimate
+    — the one direction the CMS contract forbids — so unmarked dirs are
+    excluded until the checkpoint replay overwrites them (round-8 review
+    fix)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    committed = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch=")
+                and fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+                )
+            ):
+                committed.append(st.getPath().toString())
+    if not committed:
+        return spark.createDataFrame([], "row int, cell bigint, cnt bigint")
     return (
         spark.read.option("basePath", state_path)
-        .parquet(f"{state_path}/batch=*")
+        .parquet(*sorted(committed))
         .groupBy("row", "cell")
         .agg(F.sum("cnt").alias("cnt"))
     )

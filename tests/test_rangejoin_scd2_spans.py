@@ -567,3 +567,18 @@ def test_interval_join_hot_bucket_is_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_resolve_log_rejects_reserved_columns(spark):
+    import pytest
+
+    from global_market_index_etl_spark.operators.scd2 import scd2_resolve_log
+
+    hist = spark.createDataFrame([], "k long, __src string, seq long")
+    batch = spark.createDataFrame(
+        [(1, "x", 10)], "k long, __src string, seq long"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        scd2_resolve_log(
+            hist, batch, key_cols=["k"], seq_col="seq", attr_cols=["__src"]
+        )

@@ -86,3 +86,41 @@ def test_streamed_estimates_keep_cms_bound(spark, tmp_path):
     }
     for t in top:
         assert est[t] >= exact[t]
+
+
+def test_partial_uncommitted_delta_is_excluded(spark, tmp_path):
+    """A crashed tick's partial delta (no _SUCCESS marker) must not leak
+    into the merged state — partial counts would UNDERestimate, the one
+    direction CMS forbids."""
+    import glob
+    import os
+    import shutil
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    _tick(spark, src, str(tmp_path / "ckpt"), state, depth=4, width=64)
+    committed = sorted(
+        map(tuple, read_count_min_state(spark, state).collect())
+    )
+
+    # simulate a crash: copy a real delta, strip its _SUCCESS marker
+    partial = os.path.join(state, "batch=99")
+    shutil.copytree(os.path.join(state, "batch=0"), partial)
+    os.remove(os.path.join(partial, "_SUCCESS"))
+    again = sorted(map(tuple, read_count_min_state(spark, state).collect()))
+    assert again == committed  # the unmarked delta is invisible
+
+    # a committed replacement IS visible
+    open(os.path.join(partial, "_SUCCESS"), "w").close()
+    doubled = {
+        (r, c): n
+        for r, c, n in map(
+            tuple, read_count_min_state(spark, state).collect()
+        )
+    }
+    assert doubled == {(r, c): 2 * n for r, c, n in committed}
