@@ -423,7 +423,8 @@ def _k2_scratch_dir() -> str:
            CAST(count(*) AS BIGINT) AS n_rows,
            {revenue} AS revenue
     FROM lineitem
-    WHERE l_extendedprice >= 30000.0 AND l_extendedprice <= 40000.0
+    WHERE l_orderkey % 4 = 0
+      AND l_extendedprice >= 30000.0 AND l_extendedprice <= 40000.0
     GROUP BY l_returnflag
     """.format(
         revenue=sql_exact_money_sum("l_extendedprice * (1 - l_discount)")
@@ -447,9 +448,16 @@ def _k2_scratch_dir() -> str:
 def k6_skipping_read(spark, sf):
     from ..operators.storage import read_table, write_bucketed_table
 
-    li = load_table(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_returnflag",
-        "l_extendedprice", "l_discount",
+    # a deterministic quarter of lineitem: the skipping semantics are
+    # identical, and the EAGER write this row performs 3x per bench rep
+    # stays proportionate at sf1 (full-table cost is k2's job)
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_extendedprice", "l_discount",
+        )
     )
     path = _k6_scratch_dir()
     write_bucketed_table(
