@@ -387,3 +387,81 @@ def test_scd2_incremental_any_batching_equals_full(spark, feed, cut, cut2):
     assert _nsort(
         scd2_compress(hist, key_cols=["k"], attr_cols=["attr"]).collect()
     ) == _nsort(full(feed, compress=True).collect())
+
+
+WORDS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "ab", "ba", "cat", "dog", "x"]),
+        min_size=0,
+        max_size=6,
+    ).map(" ".join),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(texts_a=WORDS, texts_b=WORDS)
+@PROP_SETTINGS
+def test_count_min_cells_additive(spark, texts_a, texts_b):
+    """CMS additivity — the property streaming maintenance relies on:
+    cells(A) + cells(B) == cells(A ∪ B), exactly, for ANY corpora."""
+    from global_market_index_etl_spark.operators.terms import count_min_cells
+
+    def cells(texts, start):
+        df = spark.createDataFrame(
+            [(start + i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        return {
+            (r.row, r.cell): r.cnt
+            for r in count_min_cells(df, depth=3, width=16).collect()
+        }
+
+    a = cells(texts_a, 0)
+    b = cells(texts_b, 1000)
+    ab = cells(texts_a + texts_b, 0)
+    summed: dict = {}
+    for m in (a, b):
+        for k, v in m.items():
+            summed[k] = summed.get(k, 0) + v
+    assert summed == ab
+
+
+@given(
+    values=st.lists(
+        st.integers(0, 100), min_size=1, max_size=40
+    ),
+    lo=st.integers(-10, 110),
+    span=st.integers(0, 60),
+)
+@PROP_SETTINGS
+def test_pruned_read_never_changes_answers(
+    spark, tmp_path_factory, values, lo, span
+):
+    """Data skipping is an optimization, never a filter: for ANY data and
+    ANY prune band, pruned-read + predicate == full-read + predicate."""
+    from global_market_index_etl_spark.operators.storage import (
+        read_table,
+        write_bucketed_table,
+    )
+
+    hi = lo + span
+    path = str(tmp_path_factory.mktemp("prune") / "tbl")
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "k long, value double"
+    )
+    write_bucketed_table(
+        df, path, ["k"], n_buckets=2, stats_columns=["value"],
+        cluster_by=["value"], max_records_per_file=8,
+    )
+    pred = (F.col("value") >= float(lo)) & (F.col("value") <= float(hi))
+    full = sorted(map(tuple, read_table(spark, path).filter(pred).collect()))
+    pruned = sorted(
+        map(
+            tuple,
+            read_table(
+                spark, path, prune={"value": (float(lo), float(hi))}
+            ).filter(pred).collect(),
+        )
+    )
+    assert pruned == full
