@@ -184,3 +184,35 @@ def test_sql_frontdoor_span_profile(spark):
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_df.collect())
     )
+
+
+def test_sql_frontdoor_count_min_sketch(spark):
+    """The count-min construction re-expressed as one spark.sql statement
+    (same md5-derived cells) must equal the operator."""
+    from global_market_index_etl_spark.operators.terms import (
+        count_min_cells,
+    )
+
+    register_views(spark, SF_SMALL)
+    via_sql = spark.sql(
+        r"""
+        WITH terms AS (
+          SELECT explode(split(trim(lower(text)), '\\s+')) AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ), nz AS (
+          SELECT t FROM terms WHERE t <> ''
+        ), cells AS (
+          SELECT r.i AS row,
+                 CAST(conv(substr(md5(CONCAT(r.i, ':', t)), 1, 8), 16, 10)
+                      AS BIGINT) % 64 AS cell
+          FROM nz LATERAL VIEW explode(sequence(0, 3)) r AS i
+        )
+        SELECT row, cell, count(*) AS cnt
+        FROM cells GROUP BY row, cell
+        """
+    )
+    docs = spark.table("documents")
+    via_df = count_min_cells(docs, depth=4, width=64)
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
