@@ -140,3 +140,104 @@ def pack_fixed_chunks(
             F.size("__parts").alias("n_chunks"),
         )
     )
+
+
+def pack_documents_best_fit(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Pack VARIABLE-length documents into ≤ ``max_tokens`` bins with
+    minimal padding — best-fit-decreasing, distributed.
+
+    ``pack_fixed_chunks`` covers the uniform-chunk case where packing
+    degenerates to row-numbering; whole-document packing (no document
+    split across sequences — the attention-boundary-preserving regime,
+    cf. Ding et al., "Fewer Truncations Improve Language Modeling", ICML
+    2024) is genuine bin packing, which is inherently sequential. The
+    distributed decomposition:
+
+    1. hash-bucket documents by id — each bucket sees a REPRESENTATIVE
+       sample of the corpus length distribution, so per-bucket packing
+       quality tracks global packing quality (the same argument as
+       hash-bucketed sampling), and each bucket is 1/n_buckets of the
+       corpus — sized to executor memory via ``n_buckets``;
+    2. per bucket, an Arrow-batched ``applyInPandas`` runs exact
+       best-fit-decreasing (sort by tokens desc with id tie-break; place
+       each doc in the FULLEST bin that still fits, via bisect on a
+       sorted remaining-capacity list): the classic ≤ 11/9·OPT + 1 bins
+       guarantee holds per bucket. Bin packing has no SQL/codegen form —
+       this is the legitimate Python-path category (like the BPE encoder),
+       and the per-row work is O(log bins).
+
+    Documents LONGER than ``max_tokens`` become single-doc packs flagged
+    ``oversize=true`` (the caller chunks them first if truncation is
+    unacceptable) — they are never silently dropped or truncated.
+
+    Returns one row per document: ``(id, tokens, pack_id, oversize)``
+    with ``pack_id`` = bucket × 2^32 + per-bucket ordinal (stable,
+    collision-free, no global coordination). Deterministic under any
+    partitioning: the per-bucket input set is partition-independent and
+    the packer sorts before placing.
+    """
+    import bisect
+
+    import pandas as pd
+
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+
+    def pack_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["__tok", "__id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["__bucket"].iloc[0]) if len(pdf) else 0
+        # parallel sorted structures: remaining capacity (asc) + bin index
+        caps: list[int] = []
+        cap_bins: list[int] = []
+        n_bins = 0
+        assignment = []
+        oversize = []
+        for tok in pdf["__tok"]:
+            tok = int(tok)
+            if tok > max_tokens:
+                assignment.append(n_bins)
+                oversize.append(True)
+                n_bins += 1  # closed single-doc bin; never reopened
+                continue
+            # best fit: the SMALLEST remaining capacity >= tok
+            i = bisect.bisect_left(caps, tok)
+            if i < len(caps):
+                b = cap_bins.pop(i)
+                rem = caps.pop(i) - tok
+            else:
+                b = n_bins
+                n_bins += 1
+                rem = max_tokens - tok
+            j = bisect.bisect_left(caps, rem)
+            caps.insert(j, rem)
+            cap_bins.insert(j, b)
+            assignment.append(b)
+            oversize.append(False)
+        out = pdf[["__id", "__tok"]].copy()
+        out["pack_id"] = [
+            (bucket << 32) + b for b in assignment
+        ]
+        out["oversize"] = oversize
+        return out
+
+    prepared = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(tokens_col).cast("long").alias("__tok"),
+    ).withColumn("__bucket", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_buckets)))
+    packed = prepared.groupBy("__bucket").applyInPandas(
+        pack_bucket, "__id long, __tok long, pack_id long, oversize boolean"
+    )
+    return packed.select(
+        F.col("__id").alias(id_col),
+        F.col("__tok").alias(tokens_col),
+        "pack_id",
+        "oversize",
+    )

@@ -2172,3 +2172,117 @@ def test_sq8_rerank_requires_quantized_index(spark, tmp_path):
         ivf_search_index(
             spark, path, emb.filter("vec_id < 3"), k=5, nprobe=8, rerank=10
         )
+
+
+# --------------------------------------------------------------------- #
+# best-fit document packing (round 8)
+# --------------------------------------------------------------------- #
+
+
+def _py_bfd_bins(tokens, max_tokens):
+    """Reference best-fit-decreasing bin count (python, single list)."""
+    import bisect
+
+    caps = []
+    n_bins = 0
+    for tok in sorted(tokens, reverse=True):
+        if tok > max_tokens:
+            n_bins += 1
+            continue
+        i = bisect.bisect_left(caps, tok)
+        if i < len(caps):
+            caps[i] -= tok
+            caps.sort()
+        else:
+            caps.insert(0, max_tokens - tok)
+            caps.sort()
+            n_bins += 1
+    return n_bins
+
+
+def test_pack_best_fit_conservation_and_capacity(spark):
+    import random
+
+    from global_market_index_etl_spark.operators.chunking import (
+        pack_documents_best_fit,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 900)) for i in range(500)]
+    rows += [(1000 + i, 1500) for i in range(3)]  # oversize
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_documents_best_fit(
+        df, max_tokens=1024, n_buckets=8
+    ).collect()
+    # conservation: every doc exactly once, tokens preserved
+    assert sorted((r.doc_id, r.n_tokens) for r in out) == sorted(rows)
+    # capacity: no non-oversize pack exceeds max_tokens
+    per_pack = {}
+    for r in out:
+        per_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in per_pack.items():
+        if any(m.oversize for m in members):
+            assert len(members) == 1  # oversize docs pack alone
+        else:
+            assert sum(m.n_tokens for m in members) <= 1024, pid
+    # the oversize flag marks exactly the long docs
+    assert {r.doc_id for r in out if r.oversize} == {1000, 1001, 1002}
+
+
+def test_pack_best_fit_deterministic_and_matches_reference(spark):
+    import random
+
+    from global_market_index_etl_spark.operators.chunking import (
+        pack_documents_best_fit,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(50, 800)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    outs = set()
+    for parts in (1, 4, 16):
+        out = pack_documents_best_fit(
+            df.repartition(parts), max_tokens=1024, n_buckets=4
+        ).collect()
+        outs.add(tuple(sorted((r.doc_id, r.pack_id) for r in out)))
+        # per-bucket bin count equals the python BFD reference
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.pack_id >> 32, []).append(r)
+        for b, members in by_bucket.items():
+            n_bins = len({m.pack_id for m in members})
+            assert n_bins == _py_bfd_bins(
+                [m.n_tokens for m in members], 1024
+            ), b
+    assert len(outs) == 1  # identical assignment under any partitioning
+
+
+def test_pack_best_fit_beats_arrival_order_first_fit(spark):
+    """BFD must waste no more than naive arrival-order first-fit — the
+    padding-efficiency claim, quantified."""
+    import bisect
+    import random
+
+    from global_market_index_etl_spark.operators.chunking import (
+        pack_documents_best_fit,
+    )
+
+    rng = random.Random(99)
+    rows = [(i, rng.choice([700, 400, 300, 90])) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_documents_best_fit(df, max_tokens=1024, n_buckets=1).collect()
+    bfd_bins = len({r.pack_id for r in out})
+
+    caps = []
+    ff_bins = 0
+    for _, tok in rows:  # arrival order, first fit
+        placed = False
+        for j, c in enumerate(caps):
+            if c >= tok:
+                caps[j] -= tok
+                placed = True
+                break
+        if not placed:
+            caps.append(1024 - tok)
+            ff_bins += 1
+    assert bfd_bins <= ff_bins
