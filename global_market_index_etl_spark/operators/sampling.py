@@ -254,3 +254,44 @@ def corpus_mix(
         .filter(F.col("__rk") <= F.col("__quota"))
         .drop("__rk", "__quota")
     )
+
+
+def temperature_targets(counts: dict, alpha: float) -> dict:
+    """Temperature-scaled mix proportions: ``p_g ∝ count_g^alpha``.
+
+    The multilingual corpus-sampling formula (Conneau & Lample, NeurIPS
+    2019 §3.1; mC4/mT5 use the same form): ``alpha = 1`` reproduces the
+    natural distribution, ``alpha → 0`` approaches uniform, intermediate
+    values upweight low-resource groups without letting them dominate.
+    Pure driver-side arithmetic over per-group counts — feed the result
+    to :func:`corpus_mix`.
+    """
+    if not counts:
+        raise ValueError("counts is empty")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if any(c <= 0 for c in counts.values()):
+        raise ValueError(f"counts must be positive: {counts}")
+    powered = {g: float(c) ** alpha for g, c in counts.items()}
+    z = sum(powered.values())
+    return {g: v / z for g, v in powered.items()}
+
+
+def corpus_mix_temperature(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    id_col: str,
+) -> DataFrame:
+    """:func:`corpus_mix` with targets derived from the corpus itself at
+    temperature ``alpha`` — one |groups|-row bounded collect for the
+    counts, then the same two-shuffle deterministic mix."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # bounded driver action: one row per group
+    }
+    return corpus_mix(
+        df, group_col, temperature_targets(counts, alpha), id_col
+    )

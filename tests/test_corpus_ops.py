@@ -710,3 +710,59 @@ def test_count_min_unknown_term_estimates_from_empty_cells(spark):
         .collect()
     )
     assert est == 0
+
+
+# --------------------------------------------------------------------- #
+# temperature mixing (round 8)
+# --------------------------------------------------------------------- #
+
+
+def test_temperature_targets_limits_and_monotonicity():
+    from global_market_index_etl_spark.operators.sampling import (
+        temperature_targets,
+    )
+
+    counts = {"en": 8000, "de": 1500, "sw": 500}
+    nat = temperature_targets(counts, 1.0)
+    total = sum(counts.values())
+    for g in counts:
+        assert abs(nat[g] - counts[g] / total) < 1e-12
+    uni = temperature_targets(counts, 0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in uni.values())
+    # lower temperature raises the scarce group's share monotonically
+    shares = [
+        temperature_targets(counts, a)["sw"] for a in (1.0, 0.7, 0.3, 0.0)
+    ]
+    assert shares == sorted(shares)
+
+
+def test_corpus_mix_temperature_end_to_end(spark):
+    from global_market_index_etl_spark.operators.sampling import (
+        corpus_mix_temperature,
+    )
+
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(10_000 + i, "de") for i in range(150)]
+        + [(20_000 + i, "sw") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus_mix_temperature(df, "lang", alpha=0.5, id_col="doc_id")
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    total = sum(got.values())
+    # achieved proportions track the alpha=0.5 targets (floor effects only)
+    import math
+
+    powered = {g: math.sqrt(n) for g, n in (("en", 800), ("de", 150), ("sw", 50))}
+    z = sum(powered.values())
+    for g in got:
+        assert abs(got[g] / total - powered[g] / z) < 0.02, g
+    # deterministic under partitioning
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in corpus_mix_temperature(
+            df.repartition(7), "lang", alpha=0.5, id_col="doc_id"
+        ).collect()
+    )
+    assert a == b
