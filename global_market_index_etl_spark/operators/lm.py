@@ -1,0 +1,126 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+signal, trained distributively on the corpus itself.
+
+The filtering tier so far is heuristic (text.quality metrics) and
+model-shaped (text.model_quality_classifier); production curation
+pipelines add a third signal: perplexity under a small language model
+(CCNet, Wenzek et al., LREC 2020 — KenLM over Wikipedia; Gopher and
+RedPajama filter on the same statistic). A full Kneser-Ney LM is a
+codebase; the distributed re-expression here is the add-k-smoothed
+BIGRAM model, which already separates fluent text from gibberish and
+boilerplate, and whose training IS the classic Spark workload:
+
+- TRAIN: one pass — per-document bigrams explode (sentence-start token
+  prepended), ``groupBy (w1, w2)`` with partial aggregation; unigram
+  context counts derive from the same table by a second small groupBy.
+  Model size is vocabulary-shaped, stored as a DataFrame (join-able,
+  persistable with the storage layer — never a driver object).
+- SCORE: per-document bigrams join the model on (w1, w2) — an ordinary
+  keyed shuffle join (AQE broadcasts a small model on its own); unseen
+  bigrams fall back to the smoothed floor ``k / (C(w1) + k·V)``; the
+  score is average negative log2 probability per token (= log2
+  perplexity), aggregated with exact double sums.
+
+Determinism: counts are exact integers; log/÷ are IEEE doubles evaluated
+in a fixed order per row, so scores are engine-reproducible (twin-tested
+against a pure-python reference).
+
+Scale: training shuffles one row per distinct bigram (Zipf-bounded, far
+under corpus size); scoring shuffles doc-bigrams once. A hot bigram
+("of the") pre-aggregates map-side on both paths. No driver state, no
+UDF — everything is codegen expressions + joins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .text import words
+
+__all__ = ["train_bigram_lm", "score_bigram_perplexity", "BOS"]
+
+# sentence-start context token; a word can never equal it after lowercase
+# normalization (real tokens never contain the NUL-ish sentinel)
+BOS = "\x02<s>"
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per bigram occurrence, BOS-prefixed, over
+    lowercase whitespace tokens (the corpus-wide tokenization)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.concat(
+            F.array(F.lit(BOS)), words(F.lower(F.col(text_col)))
+        ).alias("__t"),
+    ).where(F.size("__t") >= 2)
+    return toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, F.size("__t") - 1),
+                F.slice("__t", 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram count table ``(w1, w2, c12, c1)`` — ``c12`` the bigram count,
+    ``c1`` the context's total continuation count. One corpus pass plus a
+    vocabulary-sized window; persist with the storage layer to reuse
+    across scoring runs."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    from pyspark.sql import Window
+
+    c1 = F.sum("c12").over(Window.partitionBy("w1"))
+    return counts.withColumn("c1", c1)
+
+
+def score_bigram_perplexity(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int | None = None,
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document ``(id, n_bigrams, log2_ppl)`` under the add-``k``
+    smoothed bigram model: ``p(w2|w1) = (c12 + k) / (c1 + k·V)``; unseen
+    bigrams/contexts use ``c12 = 0`` / ``c1 = 0``. ``log2_ppl`` is the
+    average ``-log2 p`` per bigram — lower = more corpus-like; curation
+    thresholds on it exactly as CCNet buckets its KenLM scores."""
+    if vocab_size is None:
+        # bounded driver action: one row (distinct continuation count)
+        vocab_size = int(
+            model.select(F.countDistinct("w2").alias("v")).first()["v"]
+        ) or 1
+    if k <= 0:
+        raise ValueError(f"smoothing k must be positive, got {k}")
+    bg = _doc_bigrams(docs, id_col, text_col)
+    # two lookups: the bigram count AND the context count — a left join on
+    # (w1, w2) alone would lose C(w1) for unseen bigrams with SEEN
+    # contexts, overweighting exactly the tokens smoothing must handle
+    contexts = model.groupBy("w1").agg(F.max("c1").alias("c1"))
+    joined = bg.join(
+        model.select("w1", "w2", "c12"), ["w1", "w2"], "left"
+    ).join(contexts, ["w1"], "left")
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(k))) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(k * vocab_size))
+    )
+    neg_log2 = -F.log2(p)
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(neg_log2) / F.count(F.lit(1))).alias("log2_ppl"),
+        )
+    )
