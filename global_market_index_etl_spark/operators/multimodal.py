@@ -619,3 +619,123 @@ def encode_avi(
             movi += b"\x00"
     content = b"AVI " + body + movi
     return b"RIFF" + struct.pack("<I", len(content)) + content
+
+
+def decode_wav_info(payload: bytes):
+    """:func:`decode_wav` plus the sample rate: ``(array, sample_rate)``.
+
+    The rate lives in the fmt chunk the decoder already parses; Hz-scaled
+    spectral features (:func:`audio_features`) need it, the plain sample
+    matrix does not — so this stays a separate accessor and the original
+    API is untouched."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate = 12, None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if ctype == b"fmt ":
+            rate = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])[2]
+        pos += 8 + size + (size & 1)
+    if rate is None:
+        raise ValueError("missing fmt chunk")
+    return decode_wav(payload), int(rate)
+
+
+def audio_features(
+    media: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_fft: int = 512,
+) -> DataFrame:
+    """Real DSP features per audio payload — the signal statistics audio
+    curation filters on (silence, clipping, spectral character), computed
+    with numpy only (rfft) inside one Arrow-batched ``mapInPandas``:
+
+    - ``rms`` — root-mean-square amplitude, full-scale normalized (the
+      loudness / silence-detection signal);
+    - ``zcr`` — zero-crossing rate per sample (noisiness proxy);
+    - ``clipping_fraction`` — fraction of samples at ≥ 99% of full scale
+      (recording-defect detector);
+    - ``spectral_centroid_hz`` / ``spectral_rolloff_hz`` — magnitude-
+      weighted mean frequency and the 95th-percentile frequency of the
+      averaged ``n_fft``-frame power spectrum (timbre / bandwidth
+      signals, the features librosa computes, here over the engine's own
+      RIFF/PCM decode with no codec libraries).
+
+    Mono-mixed before analysis (mean across channels, the usual
+    convention). Undecodable payloads raise — the quarantine contract of
+    every codec in this module. Deterministic: fixed frame grid, no
+    windowing randomness; values are float64 of a fixed numpy op order.
+
+    Scale: embarrassingly parallel over payloads; cost per row is
+    O(samples + frames · n_fft log n_fft), entirely in the executor's
+    numpy — the same pipelined shape as the image decode path.
+    """
+
+    def run(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr, rate = decode_wav_info(bytes(payload))
+                full_scale = float(
+                    {1: 127, 2: 32767, 4: 2147483647}.get(
+                        arr.dtype.itemsize, 32767
+                    )
+                )
+                mono = arr.astype(np.float64).mean(axis=1) / full_scale
+                n = len(mono)
+                if n == 0:
+                    raise ValueError("empty audio payload")
+                rms = float(np.sqrt(np.mean(mono * mono)))
+                zcr = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                clip = float(np.mean(np.abs(mono) >= 0.99))
+                n_frames = n // n_fft
+                if n_frames == 0:
+                    centroid = rolloff = 0.0
+                else:
+                    frames = mono[: n_frames * n_fft].reshape(n_frames, n_fft)
+                    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                    spectrum = power.mean(axis=0)
+                    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+                    total = float(spectrum.sum())
+                    if total <= 0:
+                        centroid = rolloff = 0.0
+                    else:
+                        centroid = float((freqs * spectrum).sum() / total)
+                        cum = np.cumsum(spectrum)
+                        rolloff = float(
+                            freqs[int(np.searchsorted(cum, 0.95 * total))]
+                        )
+                rows.append(
+                    (
+                        mid, n, int(arr.shape[1]), int(rate),
+                        n / rate, rms, zcr, clip, centroid, rolloff,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_samples", "channels", "sample_rate",
+                    "duration_s", "rms", "zcr", "clipping_fraction",
+                    "spectral_centroid_hz", "spectral_rolloff_hz",
+                ],
+            )
+
+    schema = (
+        f"{id_col} long, n_samples long, channels int, sample_rate int, "
+        "duration_s double, rms double, zcr double, "
+        "clipping_fraction double, spectral_centroid_hz double, "
+        "spectral_rolloff_hz double"
+    )
+    return media.select(id_col, payload_col).mapInPandas(run, schema)

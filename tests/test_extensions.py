@@ -2286,3 +2286,84 @@ def test_pack_best_fit_beats_arrival_order_first_fit(spark):
             caps.append(1024 - tok)
             ff_bins += 1
     assert bfd_bins <= ff_bins
+
+
+# --------------------------------------------------------------------- #
+# audio DSP features (round 8)
+# --------------------------------------------------------------------- #
+
+
+def _tone_wav(freq_hz, seconds=0.5, rate=16_000, amp=0.5, channels=1):
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.multimodal import encode_wav
+
+    t = np.arange(int(seconds * rate)) / rate
+    sig = (amp * 32767 * np.sin(2 * np.pi * freq_hz * t)).astype("<i2")
+    return encode_wav(
+        np.repeat(sig[:, None], channels, axis=1), sample_rate=rate
+    )
+
+
+def test_audio_features_tone_physics(spark):
+    """A pure tone's spectral centroid must sit at the tone frequency,
+    zcr at 2f/rate, rms at amp/sqrt(2) — the features measure real
+    signal physics, not payload bytes."""
+    import math
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    rows = [
+        (1, bytearray(_tone_wav(440.0))),
+        (2, bytearray(_tone_wav(3000.0))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in audio_features(df).collect()}
+    for mid, f in ((1, 440.0), (2, 3000.0)):
+        r = got[mid]
+        assert r.sample_rate == 16_000 and r.channels == 1
+        assert abs(r.duration_s - 0.5) < 1e-9
+        # rfft bin width = rate/n_fft = 31.25 Hz
+        assert abs(r.spectral_centroid_hz - f) < 40.0, (mid, r)
+        assert r.spectral_rolloff_hz >= f - 40.0
+        assert abs(r.zcr - 2 * f / 16_000) < 0.01, (mid, r)
+        assert abs(r.rms - 0.5 / math.sqrt(2)) < 0.01
+        assert r.clipping_fraction == 0.0
+
+
+def test_audio_features_silence_and_clipping(spark):
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    silence = encode_wav(np.zeros((8000, 1), dtype="<i2"))
+    clipped = encode_wav(
+        np.full((8000, 1), 32767, dtype="<i2")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(silence)), (2, bytearray(clipped))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in audio_features(df).collect()}
+    assert got[1].rms == 0.0 and got[1].spectral_centroid_hz == 0.0
+    assert got[2].clipping_fraction == 1.0
+    assert got[2].zcr == 0.0  # DC signal never crosses zero
+
+
+def test_audio_features_quarantine_on_garbage(spark):
+    import pytest
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav at all"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="RIFF|WAVE"):
+        audio_features(df).collect()
