@@ -691,17 +691,41 @@ def simhash_near_pairs(
     elif max_hamming >= blocks:
         raise ValueError("pigeonhole blocking requires max_hamming < blocks")
     sigs = _materialize(simhash64(df, id_col, text_col))
+    return hamming_block_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        blocks=blocks,
+    )
+
+
+def hamming_block_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    blocks: int,
+) -> DataFrame:
+    """Pigeonhole-blocked Hamming self-join over ANY 64-bit signature
+    column — the shared kernel behind text SimHash (``simhash_near_pairs``)
+    and image perceptual hashing (``operators/phash.py``). Any pair within
+    distance ≤ blocks−1 shares at least one exact block, so the join is an
+    equi-join on (block index, block value), never all-pairs."""
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole blocking requires max_hamming < blocks")
     width = 64 // blocks
     mask = (1 << width) - 1
     blocked = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), i * width)
+                        F.shiftright(F.col(sig_col), i * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("blk_val"),
                     )
@@ -709,11 +733,11 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.blk", "bb.blk_val")
+    ).select(id_col, sig_col, "bb.blk", "bb.blk_val")
     a = blocked.alias("a")
     b = blocked.alias("b")
     hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
     ).cast("int")
     # Hamming filter BEFORE the distinct: a pair colliding in k blocks
     # appears k times, but false block-collisions (the vast majority at

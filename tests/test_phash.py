@@ -1,0 +1,88 @@
+"""Perceptual image hashing: brightness invariance (exact), perturbation
+robustness, distinct-image separation, and the blocked pair join."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from global_market_index_etl_spark.operators.multimodal import encode_png
+from global_market_index_etl_spark.operators.phash import (
+    image_phash,
+    phash64_array,
+    phash_near_pairs,
+)
+
+
+def _rand_img(rng, h=24, w=24):
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _hamming(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_brightness_shift_exact_invariance():
+    rng = np.random.default_rng(3)
+    img = rng.integers(40, 200, size=(32, 32, 3), dtype=np.uint8)
+    brighter = np.clip(img.astype(int) + 30, 0, 255).astype(np.uint8)
+    # +30 on every channel moves only the DC coefficient, which pHash drops
+    assert phash64_array(img) == phash64_array(brighter)
+
+
+def test_phash_small_edit_close_distinct_far():
+    rng = np.random.default_rng(5)
+    base = _rand_img(rng, 48, 48)
+    edited = base.copy()
+    edited[:4, :4] = 255  # small local edit
+    other = _rand_img(rng, 48, 48)
+    d_edit = _hamming(phash64_array(base), phash64_array(edited))
+    d_other = _hamming(phash64_array(base), phash64_array(other))
+    assert d_edit <= 12
+    assert d_other >= 20
+    assert d_edit < d_other
+
+
+def test_phash_resize_robust():
+    rng = np.random.default_rng(9)
+    # a smooth image (random low-res upsampled) survives resampling
+    low = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    big = np.repeat(np.repeat(low, 8, axis=0), 8, axis=1)  # 64x64
+    small = np.repeat(np.repeat(low, 4, axis=0), 4, axis=1)  # 32x32
+    d = _hamming(phash64_array(big), phash64_array(small))
+    assert d <= 6
+
+
+def test_phash_near_pairs_finds_planted_dups(spark):
+    rng = np.random.default_rng(11)
+    imgs = {}
+    for i in range(10):
+        imgs[i] = _rand_img(rng, 40, 40)
+    # plant: 100+i is a brightness-shifted copy of i (exact hash match)
+    rows = []
+    for i, img in imgs.items():
+        rows.append((i, bytearray(encode_png(img))))
+        if i < 3:
+            shifted = np.clip(img.astype(int) + 25, 0, 255).astype(np.uint8)
+            rows.append((100 + i, bytearray(encode_png(shifted))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r.id_1, r.id_2)
+        for r in phash_near_pairs(df, max_hamming=7, blocks=8).collect()
+    }
+    for i in range(3):
+        assert (i, 100 + i) in pairs, (i, sorted(pairs))
+    # distinct random images must not pair up
+    assert all(a % 100 == b % 100 for a, b in pairs), sorted(pairs)
+
+
+def test_image_phash_matches_reference(spark):
+    rng = np.random.default_rng(21)
+    rows = []
+    expect = {}
+    for i in range(6):
+        img = _rand_img(rng, 20, 28)
+        rows.append((i, bytearray(encode_png(img))))
+        expect[i] = phash64_array(img)
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.phash for r in image_phash(df).collect()}
+    assert got == expect
