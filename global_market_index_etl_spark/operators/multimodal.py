@@ -739,3 +739,74 @@ def audio_features(
         "spectral_rolloff_hz double"
     )
     return media.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def video_motion_features(
+    media: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Motion/temporal statistics per video payload — the video analog of
+    :func:`audio_features`, over the engine's own AVI decode (RGB24 DIB or
+    MJPEG via the internal JPEG codec; anything else raises — the module's
+    quarantine contract):
+
+    - ``n_frames``, ``height``, ``width``;
+    - ``motion_energy`` — mean absolute luma difference between
+      consecutive frames, full-scale normalized (0 = static clip; the
+      static-content / slideshow detector video curation filters on);
+    - ``motion_peak`` — the largest single frame-to-frame difference
+      (scene-cut indicator);
+    - ``luma_mean`` / ``luma_std`` — whole-clip exposure statistics
+      (black/blank-clip detector).
+
+    Single-frame clips score zero motion by definition. Deterministic
+    float64 numpy arithmetic; embarrassingly parallel over payloads.
+    """
+
+    def run(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_avi_frames(bytes(payload))
+                if not frames:
+                    raise ValueError("AVI payload contains no frames")
+                lumas = [
+                    0.299 * f[:, :, 0].astype(np.float64)
+                    + 0.587 * f[:, :, 1]
+                    + 0.114 * f[:, :, 2]
+                    for f in frames
+                ]
+                h, w = lumas[0].shape
+                stack = np.stack(lumas) / 255.0
+                if len(lumas) > 1:
+                    diffs = np.abs(stack[1:] - stack[:-1]).mean(axis=(1, 2))
+                    energy = float(diffs.mean())
+                    peak = float(diffs.max())
+                else:
+                    energy = peak = 0.0
+                rows.append(
+                    (
+                        mid, len(frames), int(h), int(w),
+                        energy, peak,
+                        float(stack.mean()), float(stack.std()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "height", "width",
+                    "motion_energy", "motion_peak", "luma_mean", "luma_std",
+                ],
+            )
+
+    schema = (
+        f"{id_col} long, n_frames int, height int, width int, "
+        "motion_energy double, motion_peak double, "
+        "luma_mean double, luma_std double"
+    )
+    return media.select(id_col, payload_col).mapInPandas(run, schema)

@@ -86,3 +86,61 @@ def test_image_phash_matches_reference(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: r.phash for r in image_phash(df).collect()}
     assert got == expect
+
+
+# --------------------------------------------------------------------- #
+# video motion features (round 8)
+# --------------------------------------------------------------------- #
+
+
+def test_video_motion_static_vs_moving(spark):
+    from global_market_index_etl_spark.operators.multimodal import (
+        encode_avi,
+        video_motion_features,
+    )
+
+    rng = np.random.default_rng(17)
+    frame = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    static = [frame] * 6
+    moving = [
+        np.roll(frame, shift=i * 3, axis=1) for i in range(6)
+    ]  # horizontal pan
+    cut = [frame] * 3 + [255 - frame] * 3  # hard scene cut
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_avi(static))),
+            (2, bytearray(encode_avi(moving))),
+            (3, bytearray(encode_avi(cut))),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in video_motion_features(df).collect()}
+    assert got[1].n_frames == 6 and (got[1].height, got[1].width) == (16, 16)
+    assert got[1].motion_energy == 0.0 and got[1].motion_peak == 0.0
+    assert got[2].motion_energy > 0.05
+    # the cut clip: one huge jump dominates the peak, energy modest
+    assert got[3].motion_peak > got[3].motion_energy * 2
+    assert got[3].motion_peak > got[2].motion_peak
+
+
+def test_video_motion_single_frame_and_quarantine(spark):
+    import pytest
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        encode_avi,
+        video_motion_features,
+    )
+
+    rng = np.random.default_rng(23)
+    one = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi(one)))], "media_id long, payload binary"
+    )
+    [r] = video_motion_features(df).collect()
+    assert r.n_frames == 1 and r.motion_energy == 0.0
+
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"garbage-not-avi"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        video_motion_features(bad).collect()
