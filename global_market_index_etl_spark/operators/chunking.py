@@ -190,6 +190,18 @@ def pack_documents_best_fit(
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
 
     def pack_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # a negative count would mint a bin with remaining capacity ABOVE
+        # max_tokens (silently breaking the capacity guarantee); a null
+        # becomes NaN and crashes obscurely — both are contract
+        # violations, surfaced with a clear error (round-8 review fix)
+        if pdf["__tok"].isna().any() or (pdf["__tok"] < 0).any():
+            bad = pdf.loc[
+                pdf["__tok"].isna() | (pdf["__tok"] < 0), "__id"
+            ].head(3).tolist()
+            raise ValueError(
+                f"token counts must be non-negative and non-null; "
+                f"offending ids include {bad}"
+            )
         pdf = pdf.sort_values(
             ["__tok", "__id"], ascending=[False, True]
         ).reset_index(drop=True)

@@ -97,7 +97,13 @@ def score_bigram_perplexity(
     smoothed bigram model: ``p(w2|w1) = (c12 + k) / (c1 + k·V)``; unseen
     bigrams/contexts use ``c12 = 0`` / ``c1 = 0``. ``log2_ppl`` is the
     average ``-log2 p`` per bigram — lower = more corpus-like; curation
-    thresholds on it exactly as CCNet buckets its KenLM scores."""
+    thresholds on it exactly as CCNet buckets its KenLM scores.
+
+    EVERY input document gets exactly one output row: docs with no
+    scorable bigram (empty/whitespace/null text) return ``n_bigrams = 0``
+    and ``log2_ppl = NULL`` — explicit "unscorable", never silently
+    missing, so joins back onto the corpus cannot drop documents
+    (round-8 review fix)."""
     if vocab_size is None:
         # bounded driver action: one row (distinct continuation count)
         vocab_size = int(
@@ -117,10 +123,13 @@ def score_bigram_perplexity(
         F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(k * vocab_size))
     )
     neg_log2 = -F.log2(p)
-    return (
-        joined.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum(neg_log2) / F.count(F.lit(1))).alias("log2_ppl"),
-        )
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum(neg_log2) / F.count(F.lit(1))).alias("log2_ppl"),
+    )
+    every_doc = docs.select(id_col).dropDuplicates([id_col])
+    return every_doc.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.col("log2_ppl"),
     )

@@ -437,21 +437,11 @@ def resize_images(
     return df.mapInPandas(batches, MEDIA_SCHEMA)
 
 
-def decode_wav(payload: bytes):
-    """Decode a RIFF/WAVE PCM payload to an ``(n_samples, channels)``
-    numpy array — pure stdlib + numpy, no codec libraries (the audio twin
-    of ``decode_png``; reference point: RIFF spec + WAVEFORMAT).
-
-    Supports integer PCM (format tag 1) at 8 bits (unsigned, rebased to
-    signed) and 16/32 bits (little-endian signed). Chunks are walked by
-    the declared sizes (word-aligned), so extra chunks (LIST, fact, cue)
-    are skipped, not tripped over. Raises ValueError on anything that is
-    not integer PCM — same contract as ``decode_png``'s unsupported
-    color types.
-    """
+def _riff_pcm_chunks(payload: bytes):
+    """ONE RIFF chunk walk → ``(fmt_tuple, data_bytes)`` — shared by
+    ``decode_wav`` and ``decode_wav_info`` so the fmt parse exists once
+    (round-8 review fix: the walk and the fmt unpack had two copies)."""
     import struct
-
-    import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -467,6 +457,13 @@ def decode_wav(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    return fmt, data
+
+
+def _pcm_array(fmt, data):
+    """Sample matrix from a parsed (fmt, data) pair."""
+    import numpy as np
+
     tag, channels, _rate, _byte_rate, _align, bits = fmt
     if tag != 1:
         raise ValueError(f"unsupported WAVE format tag {tag} (PCM only)")
@@ -480,6 +477,24 @@ def decode_wav(payload: bytes):
         raise ValueError(f"unsupported PCM bit depth {bits}")
     n = (len(arr) // channels) * channels
     return arr[:n].reshape(-1, channels)
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE PCM payload to an ``(n_samples, channels)``
+    numpy array — pure stdlib + numpy, no codec libraries (the audio twin
+    of ``decode_png``; reference point: RIFF spec + WAVEFORMAT).
+
+    Supports integer PCM (format tag 1) at 8 bits (unsigned, rebased to
+    signed — NOTE: returned as int16 in [-128, 127], so callers needing
+    the full-scale value must use the BIT DEPTH from ``decode_wav_info``,
+    never the array dtype) and 16/32 bits (little-endian signed). Chunks
+    are walked by the declared sizes (word-aligned), so extra chunks
+    (LIST, fact, cue) are skipped, not tripped over. Raises ValueError on
+    anything that is not integer PCM — same contract as ``decode_png``'s
+    unsupported color types.
+    """
+    fmt, data = _riff_pcm_chunks(payload)
+    return _pcm_array(fmt, data)
 
 
 def encode_wav(arr, sample_rate: int = 16_000) -> bytes:
@@ -622,26 +637,13 @@ def encode_avi(
 
 
 def decode_wav_info(payload: bytes):
-    """:func:`decode_wav` plus the sample rate: ``(array, sample_rate)``.
-
-    The rate lives in the fmt chunk the decoder already parses; Hz-scaled
-    spectral features (:func:`audio_features`) need it, the plain sample
-    matrix does not — so this stays a separate accessor and the original
-    API is untouched."""
-    import struct
-
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos, rate = 12, None
-    while pos + 8 <= len(payload):
-        ctype = payload[pos : pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        if ctype == b"fmt ":
-            rate = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])[2]
-        pos += 8 + size + (size & 1)
-    if rate is None:
-        raise ValueError("missing fmt chunk")
-    return decode_wav(payload), int(rate)
+    """:func:`decode_wav` plus format facts: ``(array, sample_rate,
+    bit_depth)`` — ONE chunk walk, shared with ``decode_wav``. Hz-scaled
+    spectral features need the rate; full-scale normalization needs the
+    BIT DEPTH (the array dtype cannot carry it: 8-bit audio decodes to an
+    int16 array in [-128, 127])."""
+    fmt, data = _riff_pcm_chunks(payload)
+    return _pcm_array(fmt, data), int(fmt[2]), int(fmt[5])
 
 
 def audio_features(
@@ -683,11 +685,13 @@ def audio_features(
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                arr, rate = decode_wav_info(bytes(payload))
+                arr, rate, bits = decode_wav_info(bytes(payload))
+                # full scale follows the DECLARED bit depth — 8-bit audio
+                # decodes to an int16 array in [-128, 127], so the dtype
+                # itemsize would normalize it 256x too small and classify
+                # loud/clipped 8-bit audio as silence (round-8 review fix)
                 full_scale = float(
-                    {1: 127, 2: 32767, 4: 2147483647}.get(
-                        arr.dtype.itemsize, 32767
-                    )
+                    {8: 127, 16: 32767, 32: 2147483647}[bits]
                 )
                 mono = arr.astype(np.float64).mean(axis=1) / full_scale
                 n = len(mono)

@@ -117,7 +117,12 @@ def phash_near_pairs(
     SimHash — lossless for ``max_hamming ≤ blocks − 1``; widen ``blocks``
     down (and tighten the radius) as the corpus grows, exactly the
     ``auto_simhash_blocks`` trade."""
-    sigs = image_phash(media, payload_col=payload_col, id_col=id_col)
+    from .util import materialize
+
+    # materialize signatures before the self-join — without it both join
+    # sides recompute the decode+DCT pass from the same mapInPandas
+    # lineage (the cost simhash_near_pairs also caches away)
+    sigs = materialize(image_phash(media, payload_col=payload_col, id_col=id_col))
     return hamming_block_pairs(
         sigs,
         id_col=id_col,

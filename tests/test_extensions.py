@@ -2367,3 +2367,46 @@ def test_audio_features_quarantine_on_garbage(spark):
     )
     with pytest.raises(Exception, match="RIFF|WAVE"):
         audio_features(df).collect()
+
+
+def test_pack_best_fit_rejects_bad_token_counts(spark):
+    import pytest
+
+    from global_market_index_etl_spark.operators.chunking import (
+        pack_documents_best_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, -5)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        pack_documents_best_fit(df, max_tokens=512, n_buckets=1).collect()
+
+
+def test_audio_features_8bit_full_scale(spark):
+    """8-bit PCM at full amplitude must read as LOUD (rms ~ amp) and
+    clipped — the bit-depth, not the array dtype, sets full scale."""
+    import struct
+
+    import numpy as np
+
+    from global_market_index_etl_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    # hand-build an 8-bit PCM WAV: constant full-positive samples
+    data = bytes([255] * 4000)  # unsigned 8-bit max
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id long, payload binary"
+    )
+    [r] = audio_features(df).collect()
+    assert r.sample_rate == 8000
+    assert r.rms > 0.9  # 127/127, NOT 127/32767
+    assert r.clipping_fraction == 1.0

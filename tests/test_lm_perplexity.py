@@ -123,3 +123,19 @@ def test_unseen_context_uses_smoothed_floor(spark):
         -(math.log2(1.0 / (1 + v)) + math.log2(1.0 / v)) / 2
     )
     assert abs(r.log2_ppl - expect) < 1e-9
+
+
+def test_every_doc_gets_a_row_even_unscorable(spark):
+    texts = [(0, "the cat sat"), (1, ""), (2, None), (3, "   "), (4, "one")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    model = train_bigram_lm(df)
+    got = {
+        r.doc_id: (r.n_bigrams, r.log2_ppl)
+        for r in score_bigram_perplexity(df, model).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0][0] > 0 and got[0][1] is not None
+    # "one" -> [BOS, one]: 1 bigram, scorable
+    assert got[4][0] == 1
+    for i in (1, 2, 3):  # unscorable: explicit zero-bigram NULL-ppl row
+        assert got[i] == (0, None), i
