@@ -47,11 +47,14 @@ DRIVER_WINDOW = 50
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
     # round 8: SCD2 semantics changed (row_number first-row detection +
-    # deterministic batch-wins conflict resolution, operators/scd2.py) and
-    # the interval join now defaults to auto bucket-width sizing
-    # (operators/rangejoin.py) — both plans changed, fresh driver rows
+    # deterministic batch-wins conflict resolution, operators/scd2.py); the
+    # interval join now defaults to auto bucket-width sizing
+    # (operators/rangejoin.py); mm_real_decode_stats grew the pHash /
+    # audio-DSP / video-motion feature legs — all plans changed, fresh
+    # driver rows
     "k5_scd2_history",
     "j4_interval_join",
+    "mm_real_decode_stats",
 ]
 
 _ROOT = _os.path.dirname(

@@ -1425,18 +1425,23 @@ def text_bpe_train(spark, sf):
 @query(
     "mm_real_decode_stats",
     None,  # binary codecs — not expressible in the SQL oracle
-    doc="REAL codec round-trip as a driver row: each document's text bytes "
-    "become a deterministic 8×8 RGB image, containerized by doc_id into "
-    "PNG, GIF, or baseline JPEG by the engine's own encoders, then "
-    "decoded back through decode_image's magic-byte dispatch (pure-numpy "
-    "PNG inflate+unfilter / GIF LZW / JPEG Huffman+IDCT — no stub "
-    "anywhere) inside one Arrow-batched mapInPandas. Emits per-doc "
-    "container + decoded shape + payload size + exact mean channel "
-    "value; fully deterministic, so the driver's repeat runs hash-stable "
-    "even without a SQL twin.",
+    doc="REAL codec + feature round-trip as a driver row, now spanning all "
+    "three modalities: each document's text bytes become a deterministic "
+    "8×8 RGB image (containerized by doc_id into PNG, GIF, or baseline "
+    "JPEG by the engine's own encoders and decoded back through "
+    "decode_image's magic-byte dispatch — no stub anywhere), a 16-bit "
+    "RIFF/PCM waveform, and a 4-frame panning AVI. The payloads are "
+    "materialized ONCE, then the round-8 feature operators run over "
+    "them: image pHash (operators/phash.py DCT hash), audio DSP stats "
+    "(rms + spectral centroid via numpy rfft over the engine's PCM "
+    "decode), and video motion energy (per-frame luma diffs over the "
+    "AVI decode). Emits per-doc container/shape/size/mean plus "
+    "integer-scaled feature values; fully deterministic, so the "
+    "driver's repeat runs hash-stable even without a SQL twin.",
 )
 def mm_real_decode_stats(spark, sf):
     from pyspark.sql.types import (
+        BinaryType,
         IntegerType,
         LongType,
         StringType,
@@ -1444,9 +1449,11 @@ def mm_real_decode_stats(spark, sf):
         StructType,
     )
 
-    from ..operators.util import parallelize_small
+    from ..operators.multimodal import audio_features, video_motion_features
+    from ..operators.phash import image_phash
+    from ..operators.util import materialize, parallelize_small
 
-    schema = StructType(
+    media_schema = StructType(
         [
             StructField("doc_id", LongType(), False),
             StructField("container", StringType(), False),
@@ -1454,6 +1461,9 @@ def mm_real_decode_stats(spark, sf):
             StructField("width", IntegerType(), False),
             StructField("n_bytes", LongType(), False),
             StructField("mean_milli", LongType(), False),
+            StructField("img", BinaryType(), False),
+            StructField("wav", BinaryType(), False),
+            StructField("avi", BinaryType(), False),
         ]
     )
 
@@ -1463,7 +1473,12 @@ def mm_real_decode_stats(spark, sf):
 
         from ..operators.gif import encode_gif
         from ..operators.jpeg import encode_jpeg
-        from ..operators.multimodal import decode_image, encode_png
+        from ..operators.multimodal import (
+            decode_image,
+            encode_avi,
+            encode_png,
+            encode_wav,
+        )
 
         for pdf in it:
             rows = []
@@ -1479,6 +1494,15 @@ def mm_real_decode_stats(spark, sf):
                 else:
                     payload, name = encode_jpeg(arr, quality=90), "jpeg"
                 decoded = decode_image(payload)
+                # deterministic audio: the buffer as a 16-bit waveform
+                sig = (
+                    (np.frombuffer(buf, dtype=np.uint8).astype(np.int64) - 128)
+                    * 256
+                ).astype("<i2")[:, None]
+                wav = encode_wav(np.tile(sig, (6, 1)), sample_rate=8_000)
+                # deterministic video: the image panned across 4 frames
+                frames = [np.roll(arr, s, axis=1) for s in range(4)]
+                avi = encode_avi(frames)
                 rows.append(
                     (
                         int(doc_id),
@@ -1487,17 +1511,41 @@ def mm_real_decode_stats(spark, sf):
                         decoded.shape[1],
                         len(payload),
                         int(round(float(decoded.mean()) * 1000)),
+                        bytearray(payload),
+                        bytearray(wav),
+                        bytearray(avi),
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "container", "height", "width", "n_bytes",
-                    "mean_milli",
+                    "mean_milli", "img", "wav", "avi",
                 ],
             )
 
     docs = parallelize_small(load_table(spark, sf, "documents")).select(
         "doc_id", "text"
     )
-    return docs.mapInPandas(batches, schema)
+    # four consumers (stats + three feature operators) — cache the
+    # synthesized payloads once instead of re-encoding per branch
+    media = materialize(docs.mapInPandas(batches, media_schema))
+    stats = media.select(
+        "doc_id", "container", "height", "width", "n_bytes", "mean_milli"
+    )
+    ph = image_phash(media, payload_col="img", id_col="doc_id")
+    au = audio_features(media, payload_col="wav", id_col="doc_id").select(
+        "doc_id",
+        F.round(F.col("rms") * 1_000_000).cast("long").alias("audio_rms_micro"),
+        F.round(F.col("spectral_centroid_hz") * 1000)
+        .cast("long")
+        .alias("audio_centroid_milli"),
+    )
+    vi = video_motion_features(media, payload_col="avi", id_col="doc_id").select(
+        "doc_id",
+        F.round(F.col("motion_energy") * 1_000_000)
+        .cast("long")
+        .alias("video_motion_micro"),
+        F.col("n_frames"),
+    )
+    return stats.join(ph, "doc_id").join(au, "doc_id").join(vi, "doc_id")

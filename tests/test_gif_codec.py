@@ -161,9 +161,17 @@ def test_mm_real_decode_stats_deterministic(spark):
     a = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
     assert a == b
-    containers = {r[1] for r in a}
+    df = q(spark, "/root/testdata/sf0.001")
+    cols = df.columns
+    i = {c: cols.index(c) for c in cols}
+    containers = {r[i["container"]] for r in a}
     assert containers == {"png", "gif", "jpeg"}
-    assert all(r[2] == 8 and r[3] == 8 for r in a)
+    assert all(r[i["height"]] == 8 and r[i["width"]] == 8 for r in a)
+    # the round-8 feature legs are populated and physically sane
+    assert all(r[i["n_frames"]] == 4 for r in a)
+    assert all(r[i["video_motion_micro"]] >= 0 for r in a)
+    assert any(r[i["video_motion_micro"]] > 0 for r in a)  # panning clips move
+    assert any(r[i["audio_rms_micro"]] > 0 for r in a)
 
 
 def _hand_gif(frames_spec, palette, w=2, h=2):
