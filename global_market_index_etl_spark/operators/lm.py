@@ -127,9 +127,15 @@ def score_bigram_perplexity(
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.sum(neg_log2) / F.count(F.lit(1))).alias("log2_ppl"),
     )
-    every_doc = docs.select(id_col).dropDuplicates([id_col])
-    return every_doc.join(scored, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-        F.col("log2_ppl"),
+    # null-safe join: a NULL id is a legal (if ugly) document identity —
+    # groupBy put its score under the NULL key, and a plain equi-join
+    # would drop that row and mislabel the doc unscorable (review fix)
+    every_doc = docs.select(id_col).dropDuplicates([id_col]).alias("e")
+    s = scored.alias("s")
+    return every_doc.join(
+        s, F.col(f"e.{id_col}").eqNullSafe(F.col(f"s.{id_col}")), "left"
+    ).select(
+        F.col(f"e.{id_col}").alias(id_col),
+        F.coalesce(F.col("s.n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.col("s.log2_ppl").alias("log2_ppl"),
     )

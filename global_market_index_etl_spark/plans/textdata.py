@@ -1483,8 +1483,12 @@ def mm_real_decode_stats(spark, sf):
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = (text or "").encode("utf-8")
-                buf = (raw * (192 // max(len(raw), 1) + 1))[:192]
+                # empty/NULL text still yields a full 192-byte buffer —
+                # without the fallback byte the reshape (and the audio
+                # leg's empty-payload guard) would fail the whole driver
+                # query on one blank document (review fix)
+                raw = (text or "").encode("utf-8") or b"\x00"
+                buf = (raw * (192 // len(raw) + 1))[:192]
                 arr = np.frombuffer(buf, dtype=np.uint8).reshape(8, 8, 3)
                 kind = int(doc_id) % 3
                 if kind == 0:

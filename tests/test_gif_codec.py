@@ -229,3 +229,35 @@ def test_disposal_undefined_codes_quarantine():
     for code in (4, 5, 6, 7):
         with pytest.raises(ValueError, match="disposal"):
             decode_gif_frames(_hand_gif([(f1, code, None)], palette))
+
+
+def test_mm_real_decode_stats_survives_blank_documents(spark):
+    """Empty/NULL text documents must produce a row, not sink the query."""
+    from global_market_index_etl_spark.plans.textdata import (
+        mm_real_decode_stats,
+    )
+
+    import pyspark.sql.functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    blanks = spark.createDataFrame(
+        [(90001, ""), (90002, None), (90003, "   ")],
+        "doc_id long, text string",
+    )
+    import tempfile, shutil, os
+    d = tempfile.mkdtemp()
+    try:
+        (
+            base.select("doc_id", "text").unionByName(blanks)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(os.path.join(d, "documents.parquet"))
+        )
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events embeddings").split():
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(d, f"{t}.parquet"))
+        out = mm_real_decode_stats(spark, d).collect()
+        ids = {r.doc_id for r in out}
+        assert {90001, 90002, 90003} <= ids
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -139,3 +139,19 @@ def test_every_doc_gets_a_row_even_unscorable(spark):
     assert got[4][0] == 1
     for i in (1, 2, 3):  # unscorable: explicit zero-bigram NULL-ppl row
         assert got[i] == (0, None), i
+
+
+def test_null_id_doc_keeps_its_score(spark):
+    """A NULL document id is a legal key: its score must surface under the
+    NULL id, not be mislabeled unscorable (null-safe join)."""
+    df = spark.createDataFrame(
+        [(None, "the cat sat on the mat"), (1, "the cat sat")],
+        "doc_id long, text string",
+    )
+    model = train_bigram_lm(df)
+    got = {
+        r.doc_id: (r.n_bigrams, r.log2_ppl)
+        for r in score_bigram_perplexity(df, model).collect()
+    }
+    assert set(got) == {None, 1}
+    assert got[None][0] == 6 and got[None][1] is not None
