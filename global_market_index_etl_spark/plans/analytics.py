@@ -217,25 +217,42 @@ def w_window_suite(spark, sf):
 
 
 @query(
-    "w_rank_in_group",
+    "w_rank_running_suite",
     """
-    SELECT n_name, c_custkey, spend, rnk FROM (
+    SELECT 'rank' AS leg, n_name AS s, c_custkey AS k1,
+           CAST(NULL AS BIGINT) AS k2, CAST(NULL AS TIMESTAMP) AS d,
+           spend AS v1, CAST(rnk AS BIGINT) AS v2
+    FROM (
       SELECT n_name, c_custkey,
              {spend} AS spend,
-             CAST(rank() OVER (PARTITION BY n_name
-                               ORDER BY {spend} DESC, c_custkey) AS INTEGER)
-               AS rnk
+             rank() OVER (PARTITION BY n_name
+                          ORDER BY {spend} DESC, c_custkey) AS rnk
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name, c_custkey)
     WHERE rnk <= 3
-    """.format(spend=sql_exact_money_sum("o_totalprice")),
-    doc="rank() over grouped aggregate — top spenders per nation. Aggregate "
-    "shuffle on (nation, customer), then a window shuffle on nation only; "
-    "tie-broken on the key for determinism.",
+    UNION ALL
+    SELECT 'run', NULL, o_custkey, o_orderkey, o_orderdate,
+           {cum}, NULL
+    FROM orders
+    """.format(
+        spend=sql_exact_money_sum("o_totalprice"),
+        cum="CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0",
+    ),
+    doc="Ranking + running-total window suite, fused round-3-style into "
+    "one driver row (rotation headroom) with BOTH legs at full row "
+    "granularity. Rank leg: rank() over a grouped aggregate — top "
+    "spenders per nation (aggregate shuffle on (nation, customer), then "
+    "a window shuffle on nation only, key tie-break for determinism). "
+    "Running leg: cumulative per-customer spend with a total order "
+    "(date, orderkey tie-break) so every prefix is deterministic — "
+    "integer cents inside the frame keep the running double exact; one "
+    "hash shuffle on the partition key.",
 )
-def w_rank_in_group(spark, sf):
+def w_rank_running_suite(spark, sf):
     orders = load_table(spark, sf, "orders")
     customer = load_table(spark, sf, "customer")
     nation = load_table(spark, sf, "nation")
@@ -245,12 +262,35 @@ def w_rank_in_group(spark, sf):
         .groupBy("n_name", "c_custkey")
         .agg(exact_money_sum("o_totalprice").alias("spend"))
     )
-    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
-    return (
-        spend.withColumn("rnk", F.rank().over(w))
+    wr = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    rank_leg = (
+        spend.withColumn("rnk", F.rank().over(wr))
         .filter(F.col("rnk") <= 3)
-        .select("n_name", "c_custkey", "spend", "rnk")
+        .select(
+            F.lit("rank").alias("leg"),
+            F.col("n_name").alias("s"),
+            F.col("c_custkey").alias("k1"),
+            F.lit(None).cast("long").alias("k2"),
+            F.lit(None).cast("timestamp_ntz").alias("d"),
+            F.col("spend").alias("v1"),
+            F.col("rnk").cast("long").alias("v2"),
+        )
     )
+    wc = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_leg = orders.select(
+        F.lit("run").alias("leg"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("o_custkey").alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderdate").alias("d"),
+        (F.sum(cents("o_totalprice")).over(wc) / F.lit(100.0)).alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+    )
+    return rank_leg.unionByName(run_leg)
 
 
 @query(
@@ -456,38 +496,6 @@ def sketch_event_profile(spark, sf):
         F.element_at(q, 2).alias("value_p95"),
         F.element_at(q, 3).alias("value_p99"),
         F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@query(
-    "w_running_total",
-    """
-    SELECT o_custkey, o_orderkey, o_orderdate,
-           {cum} AS cum_spend
-    FROM orders
-    """.format(
-        cum="CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER ("
-        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0"
-    ),
-    doc="Running per-customer spend: cumulative window sum with a total "
-    "order (date, orderkey tie-break) so every prefix is deterministic; "
-    "integer cents inside the frame keep the running double exact. One "
-    "hash shuffle on the partition key.",
-)
-def w_running_total(spark, sf):
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return load_table(spark, sf, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        (F.sum(cents("o_totalprice")).over(w) / F.lit(100.0)).alias(
-            "cum_spend"
-        ),
     )
 
 
