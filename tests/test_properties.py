@@ -465,3 +465,91 @@ def test_pruned_read_never_changes_answers(
         )
     )
     assert pruned == full
+
+
+BPE_TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["ab", "aab", "abab", "ba", "cat", "catcat", "x"]),
+        min_size=1,
+        max_size=5,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=BPE_TEXTS, k=st.integers(1, 6))
+@PROP_SETTINGS
+def test_bpe_training_equals_naive_reference_for_any_corpus(spark, texts, k):
+    """Both trainer paths must reproduce the from-scratch reference for
+    ANY corpus and merge budget — not just the fixture shapes."""
+    from collections import Counter
+
+    from global_market_index_etl_spark.operators.tokenize import (
+        bpe_train_merges,
+    )
+
+    def naive(texts, k):
+        words = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                if w:
+                    words[tuple(w)] += 1
+        vocab = dict(words)
+        merges = []
+        for _ in range(k):
+            pairs = Counter()
+            for syms, c in vocab.items():
+                for p in zip(syms, syms[1:]):
+                    pairs[p] += c
+            live = [(p, c) for p, c in pairs.items() if c > 0]
+            if not live:
+                break
+            best = min(live, key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            a, b = best
+            nv = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + c
+            vocab = nv
+        return merges
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expect = naive(texts, k)
+    assert bpe_train_merges(df, k=k) == expect
+    assert bpe_train_merges(df, k=k, driver_vocab_threshold=0) == expect
+
+
+@given(
+    tokens=st.lists(st.integers(1, 500), min_size=1, max_size=30),
+    max_tokens=st.integers(100, 600),
+)
+@PROP_SETTINGS
+def test_pack_best_fit_invariants_for_any_corpus(spark, tokens, max_tokens):
+    """Conservation + capacity hold for ANY token distribution."""
+    from global_market_index_etl_spark.operators.chunking import (
+        pack_documents_best_fit,
+    )
+
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_documents_best_fit(df, max_tokens=max_tokens, n_buckets=2).collect()
+    assert sorted((r.doc_id, r.n_tokens) for r in out) == sorted(rows)
+    packs = {}
+    for r in out:
+        packs.setdefault(r.pack_id, []).append(r)
+    for members in packs.values():
+        if any(m.oversize for m in members):
+            assert len(members) == 1
+        else:
+            assert sum(m.n_tokens for m in members) <= max_tokens
