@@ -188,6 +188,11 @@ def pack_documents_best_fit(
 
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if n_buckets < 1:
+        # pmod(x, 0) yields NULL buckets and the failure would surface as
+        # an obscure NaN/groupBy-on-null error inside pack_bucket — fail
+        # loudly at the API boundary like max_tokens (round-8 review fix)
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
 
     def pack_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
         # a negative count would mint a bin with remaining capacity ABOVE

@@ -40,18 +40,26 @@ from .text import words
 
 __all__ = ["train_bigram_lm", "score_bigram_perplexity", "BOS"]
 
-# sentence-start context token; a word can never equal it after lowercase
-# normalization (real tokens never contain the NUL-ish sentinel)
+# sentence-start context token. Tokenization is plain whitespace split, so
+# a hostile document could CONTAIN the literal sentinel and alias the
+# sentence-start context, skewing counts and scores for it — _doc_bigrams
+# therefore DROPS any token equal to BOS (round-8 review fix; the only
+# text change is removing a non-printable-prefixed pseudo-token).
 BOS = "\x02<s>"
 
 
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — one row per bigram occurrence, BOS-prefixed, over
-    lowercase whitespace tokens (the corpus-wide tokenization)."""
+    lowercase whitespace tokens (the corpus-wide tokenization). Tokens
+    equal to the BOS sentinel are dropped so no document can forge the
+    sentence-start context (see BOS above)."""
     toks = docs.select(
         F.col(id_col),
         F.concat(
-            F.array(F.lit(BOS)), words(F.lower(F.col(text_col)))
+            F.array(F.lit(BOS)),
+            F.filter(
+                words(F.lower(F.col(text_col))), lambda w: w != F.lit(BOS)
+            ),
         ).alias("__t"),
     ).where(F.size("__t") >= 2)
     return toks.select(

@@ -813,7 +813,19 @@ def optimize_table(
             **{r: s for r, s in prior.items() if r in live},
             **fresh,
         }
-    _commit_manifest(spark, path, version + 1, new_manifest)
+    try:
+        _commit_manifest(spark, path, version + 1, new_manifest)
+    except ManifestConflict:
+        # the staged files were already moved into live bucket dirs; a
+        # lost commit race would leave them orphaned there — unreferenced
+        # by any manifest, invisible to readers, but accumulating on every
+        # re-run until a vacuum. Undo the move before surfacing the OCC
+        # signal so a re-run starts clean (round-8 review fix).
+        for files in moved.values():
+            for rel in files:
+                fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
+        fs.delete(_hpath(jvm, staging), True)
+        raise
     fs.delete(_hpath(jvm, staging), True)
     if retain_versions <= 1:
         for b in targets:

@@ -158,6 +158,16 @@ def count_min_cells(
     reproduces the SAME sketch bit-for-bit — construction is
     oracle-checkable even though the sketch is approximate: approximation
     lives in the data structure, not in any nondeterminism.
+
+    The sketch's ``depth``/``width`` ride along as literal columns on
+    every cell row, so a persisted sketch (parquet deltas in
+    streaming/sketches.py, the storage layer) is never dimensionless:
+    :func:`count_min_estimate` reads the dimensions back from the cells
+    and REFUSES a probe with mismatched dimensions — probing a 4×1024
+    sketch with width 512 would hash into the wrong cells and could
+    UNDERestimate (even return 0), the one direction the CMS contract
+    forbids (round-8 review fix). Two int columns on ≤ depth·width rows
+    cost nothing.
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
@@ -180,7 +190,28 @@ def count_min_cells(
             F.col("__rc.row").alias("row"), F.col("__rc.cell").alias("cell")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("depth", F.lit(int(depth)))
+        .withColumn("width", F.lit(int(width)))
     )
+
+
+def count_min_params(eps: float, delta: float) -> tuple[int, int]:
+    """Size a sketch from an error budget: ``(depth, width)`` such that
+    for every term, ``estimate ≤ true + eps·N`` (N = total term
+    occurrences) with probability ≥ ``1 − delta`` — the standard CMS
+    contract (Cormode & Muthukrishnan, J.Alg 2005): ``width = ⌈e/eps⌉``,
+    ``depth = ⌈ln(1/delta)⌉``. Feed the result to
+    :func:`count_min_cells`; the ``estimate ≥ true`` direction holds
+    unconditionally."""
+    import math
+
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    if not 0.0 < delta < 1.0:
+        raise ValueError(f"delta must be in (0, 1), got {delta}")
+    width = max(2, math.ceil(math.e / eps))
+    depth = max(1, math.ceil(math.log(1.0 / delta)))
+    return depth, width
 
 
 def count_min_estimate(
@@ -188,17 +219,56 @@ def count_min_estimate(
     queries: DataFrame,
     *,
     term_col: str = "term",
-    depth: int = 4,
-    width: int = 1024,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Point-estimate each query term against a :func:`count_min_cells`
     sketch: ``(term, cms_estimate)`` where estimate = min over the depth
     rows (0 when a cell is empty — the term never occurred).
 
+    ``depth``/``width`` default to the dimensions RECORDED ON the sketch
+    itself (count_min_cells stamps them on every cell row); passing them
+    explicitly cross-checks against the recorded values and raises on
+    mismatch — a dimension mismatch probes the wrong cells and can
+    UNDERestimate, violating the ``estimate ≥ true`` contract (round-8
+    review fix). A sketch with NO rows carries no dimensions, so an empty
+    sketch requires explicit depth/width (estimates are then 0 — an empty
+    corpus). The dimension read is a bounded driver action: one
+    4-column aggregate row over the fixed-size cell table.
+
     ``queries`` is a bounded term list (heavy-hitter candidates, an
     allowlist); the fixed-size cell table (depth × width rows) is the
     broadcast side of the lookup join, so neither side ever shuffles.
     """
+    dims = cells.agg(
+        F.min("depth"), F.max("depth"), F.min("width"), F.max("width")
+    ).first()
+    if dims[0] is None:  # empty sketch — dimensions must come from the caller
+        if depth is None or width is None:
+            raise ValueError(
+                "empty sketch carries no dimensions — pass depth and width"
+            )
+    else:
+        if dims[0] != dims[1] or dims[2] != dims[3]:
+            raise ValueError(
+                f"sketch mixes dimensions (depth {dims[0]}..{dims[1]}, "
+                f"width {dims[2]}..{dims[3]}) — deltas from differently-"
+                "sized sketches cannot be merged"
+            )
+        if depth is None:
+            depth = int(dims[0])
+        elif depth != dims[0]:
+            raise ValueError(
+                f"depth {depth} does not match the sketch's recorded "
+                f"depth {dims[0]}"
+            )
+        if width is None:
+            width = int(dims[2])
+        elif width != dims[2]:
+            raise ValueError(
+                f"width {width} does not match the sketch's recorded "
+                f"width {dims[2]}"
+            )
     probes = queries.select(term_col).distinct()
     probe_cells = probes.select(
         term_col,

@@ -91,10 +91,18 @@ def read_count_min_state(spark: SparkSession, state_path: str) -> DataFrame:
             ):
                 committed.append(st.getPath().toString())
     if not committed:
-        return spark.createDataFrame([], "row int, cell bigint, cnt bigint")
+        return spark.createDataFrame(
+            [], "row int, cell bigint, cnt bigint, depth int, width int"
+        )
+    # depth/width ride through the merge as grouping keys: deltas written
+    # with different dimensions would survive as distinct rows, which
+    # count_min_estimate's dimension check then REJECTS instead of
+    # silently probing wrong cells (round-8 review fix — persisted state
+    # is never dimensionless)
     return (
         spark.read.option("basePath", state_path)
         .parquet(*sorted(committed))
-        .groupBy("row", "cell")
+        .groupBy("row", "cell", "depth", "width")
         .agg(F.sum("cnt").alias("cnt"))
+        .select("row", "cell", "cnt", "depth", "width")
     )

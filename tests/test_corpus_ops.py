@@ -647,7 +647,9 @@ def test_count_min_cells_match_duckdb_twin(spark):
     got = sorted(
         map(
             tuple,
-            count_min_cells(docs, depth=4, width=64).collect(),
+            count_min_cells(docs, depth=4, width=64)
+            .select("row", "cell", "cnt")
+            .collect(),
         )
     )
     want = sorted(
@@ -691,6 +693,47 @@ def test_count_min_estimates_bound_exact_counts(spark):
     # wide sketch, small vocab: the top-20 should estimate exactly
     exact_hits = sum(1 for t in top if est[t] == exact[t])
     assert exact_hits >= 15, (exact_hits, {t: (est[t], exact[t]) for t in top})
+
+
+def test_count_min_params_satisfy_error_budget(spark):
+    """(ε, δ) sizing contract (round-8 verdict item 4): with
+    (depth, width) = count_min_params(eps, delta), every estimate on the
+    fixture corpus satisfies est ≤ true + ε·N (N = total occurrences).
+    The guarantee is probabilistic (1 − δ) per term; on this corpus the
+    budget must hold for every queried term outright."""
+    import math
+    from collections import Counter
+
+    from global_market_index_etl_spark.operators.terms import (
+        count_min_cells,
+        count_min_estimate,
+        count_min_params,
+    )
+
+    eps, delta = 0.01, 0.05
+    depth, width = count_min_params(eps, delta)
+    assert width >= math.e / eps and depth >= math.log(1 / delta)
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = Counter()
+    for r in docs.select("text").collect():
+        exact.update(_norm_text_words(r.text or ""))
+    n_total = sum(exact.values())
+    probe_terms = sorted(exact)[::7] or list(exact)[:1]
+
+    cells = count_min_cells(docs, depth=depth, width=width)
+    est = {
+        r.term: r.cms_estimate
+        for r in count_min_estimate(
+            cells,
+            spark.createDataFrame([(t,) for t in probe_terms], "term string"),
+        ).collect()
+    }
+    budget = eps * n_total
+    for t in probe_terms:
+        assert exact[t] <= est[t] <= exact[t] + budget, (
+            t, exact[t], est[t], budget,
+        )
 
 
 def test_count_min_unknown_term_estimates_from_empty_cells(spark):

@@ -2383,6 +2383,22 @@ def test_pack_best_fit_rejects_bad_token_counts(spark):
         pack_documents_best_fit(df, max_tokens=512, n_buckets=1).collect()
 
 
+def test_pack_best_fit_rejects_nonpositive_buckets(spark):
+    """n_buckets <= 0 fails loudly at the API boundary — pmod(x, 0) would
+    otherwise surface as an obscure NULL-bucket error inside the packer
+    (round-8 review fix)."""
+    import pytest
+
+    from global_market_index_etl_spark.operators.chunking import (
+        pack_documents_best_fit,
+    )
+
+    df = spark.createDataFrame([(1, 100)], "doc_id long, n_tokens long")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_buckets"):
+            pack_documents_best_fit(df, max_tokens=512, n_buckets=bad)
+
+
 def test_audio_features_8bit_full_scale(spark):
     """8-bit PCM at full amplitude must read as LOUD (rms ~ amp) and
     clipped — the bit-depth, not the array dtype, sets full scale."""

@@ -16,12 +16,13 @@ from .conftest import SF_SMALL
 
 
 def _py_reference(train_texts, score_texts, k=1.0):
-    """Independent add-k bigram LM (python)."""
+    """Independent add-k bigram LM (python). Tokens equal to the BOS
+    sentinel are dropped, mirroring the operator's forgery guard."""
     c12: Counter = Counter()
     c1: Counter = Counter()
     vocab = set()
     for t in train_texts:
-        toks = [BOS] + [w for w in t.lower().split() if w]
+        toks = [BOS] + [w for w in t.lower().split() if w and w != BOS]
         if len(toks) < 2:
             continue
         for a, b in zip(toks, toks[1:]):
@@ -31,7 +32,7 @@ def _py_reference(train_texts, score_texts, k=1.0):
     v = len(vocab) or 1
     out = {}
     for i, t in enumerate(score_texts):
-        toks = [BOS] + [w for w in t.lower().split() if w]
+        toks = [BOS] + [w for w in t.lower().split() if w and w != BOS]
         if len(toks) < 2:
             continue
         s = 0.0
@@ -139,6 +140,34 @@ def test_every_doc_gets_a_row_even_unscorable(spark):
     assert got[4][0] == 1
     for i in (1, 2, 3):  # unscorable: explicit zero-bigram NULL-ppl row
         assert got[i] == (0, None), i
+
+
+def test_literal_bos_token_cannot_forge_start_context(spark):
+    """A document CONTAINING the literal BOS sentinel must not alias the
+    sentence-start context (round-8 review fix): the forged token is
+    dropped, so counts and scores equal the same corpus without it."""
+    poisoned = [(0, "the cat sat"), (1, f"{BOS} the dog sat")]
+    clean = [(0, "the cat sat"), (1, "the dog sat")]
+    ms = {}
+    for tag, rows in (("poisoned", poisoned), ("clean", clean)):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        model = train_bigram_lm(df)
+        ms[tag] = (
+            sorted(map(tuple, model.collect())),
+            sorted(
+                (r.doc_id, r.n_bigrams, round(r.log2_ppl, 12))
+                for r in score_bigram_perplexity(df, model).collect()
+            ),
+        )
+    assert ms["poisoned"] == ms["clean"]
+    # and in particular the start-context count was not inflated
+    want = _py_reference([t for _, t in clean], [t for _, t in clean])
+    got = dict(
+        (d, (n, p)) for d, n, p in ms["poisoned"][1]
+    )
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9
 
 
 def test_null_id_doc_keeps_its_score(spark):

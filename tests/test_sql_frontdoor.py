@@ -212,7 +212,9 @@ def test_sql_frontdoor_count_min_sketch(spark):
         """
     )
     docs = spark.table("documents")
-    via_df = count_min_cells(docs, depth=4, width=64)
+    via_df = count_min_cells(docs, depth=4, width=64).select(
+        "row", "cell", "cnt"
+    )
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_df.collect())
     )

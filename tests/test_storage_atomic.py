@@ -333,6 +333,60 @@ def test_commit_manifest_same_version_collision_raises(spark, tmp_path):
         _commit_manifest(spark, path, 1, {"buckets": {}})
 
 
+def test_optimize_conflict_removes_moved_files(spark, tmp_path, monkeypatch):
+    """A lost OPTIMIZE commit race must not strand its already-moved files
+    in the live bucket dirs (round-8 review fix): the ManifestConflict
+    handler deletes them, so re-running does not accumulate orphans and
+    the on-disk file set stays exactly the manifest's live set."""
+    import os
+
+    import global_market_index_etl_spark.operators.storage as S
+
+    path = str(tmp_path / "tbl")
+    target, _ = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=4)
+    before = _snapshot(spark, path)
+    [v1] = S.table_versions(spark, path)
+
+    def on_disk():
+        return {
+            os.path.relpath(p, path)
+            for p in glob.glob(f"{path}/__bucket=*/*.parquet")
+        }
+
+    live_before = on_disk()
+
+    # a competing writer claims the next version between optimize's moved
+    # files and its commit — the loser's commit hits EEXIST
+    orig_commit = S._commit_manifest
+    raced = []
+
+    def racing_commit(sp, p, version, manifest):
+        if not raced:
+            raced.append(version)
+            with open(f"{path}/{S._MANIFEST_PREFIX}{v1:010d}.json", "rb") as fh:
+                blob = fh.read()
+            with open(
+                f"{path}/{S._MANIFEST_PREFIX}{version:010d}.json", "wb"
+            ) as fh:
+                fh.write(blob)
+        return orig_commit(sp, p, version, manifest)
+
+    monkeypatch.setattr(S, "_commit_manifest", racing_commit)
+    with pytest.raises(S.ManifestConflict):
+        S.optimize_table(spark, path, min_files_per_bucket=1)
+
+    # the losing optimize cleaned up after itself: no staged dirs, no
+    # commit-tagged orphans — the file set is exactly what it was
+    assert not glob.glob(f"{path}/.staging-*")
+    assert on_disk() == live_before
+
+    # documented remedy: drop the competing commit, re-run — converges
+    os.remove(f"{path}/{S._MANIFEST_PREFIX}{raced[0]:010d}.json")
+    assert S.optimize_table(spark, path, min_files_per_bucket=1) > 0
+    assert _snapshot(spark, path) == before
+
+
 def test_empty_initial_table_merge_roundtrip(spark, tmp_path):
     """CREATE empty → MERGE a first batch: the manifest's stored schema
     makes the zero-file table readable, and the merge populates it."""

@@ -119,8 +119,34 @@ def test_partial_uncommitted_delta_is_excluded(spark, tmp_path):
     open(os.path.join(partial, "_SUCCESS"), "w").close()
     doubled = {
         (r, c): n
-        for r, c, n in map(
+        for r, c, n, _, _ in map(
             tuple, read_count_min_state(spark, state).collect()
         )
     }
-    assert doubled == {(r, c): 2 * n for r, c, n in committed}
+    assert doubled == {(r, c): 2 * n for r, c, n, _, _ in committed}
+
+
+def test_streamed_estimate_infers_dims_and_rejects_mismatch(spark, tmp_path):
+    """Persisted state is never dimensionless (round-8 review fix): the
+    estimate reads depth/width off the cells, and a probe with the wrong
+    dimensions raises instead of silently probing wrong cells."""
+    import pytest
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    _tick(spark, src, str(tmp_path / "ckpt"), state, depth=4, width=64)
+
+    q = spark.createDataFrame([("the",)], "term string")
+    merged = read_count_min_state(spark, state)
+    inferred = count_min_estimate(merged, q).first()
+    explicit = count_min_estimate(merged, q, depth=4, width=64).first()
+    assert inferred == explicit and inferred.cms_estimate > 0
+    with pytest.raises(ValueError, match="width"):
+        count_min_estimate(merged, q, depth=4, width=128)
+    with pytest.raises(ValueError, match="depth"):
+        count_min_estimate(merged, q, depth=8, width=64)
