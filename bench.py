@@ -60,7 +60,7 @@ HEADLINE = [
     "ts_resample_daily",
     "text_repetition",
     "q1_top5_recent",
-    "q4_per_key_topn",
+    "q_sort_limit_suite",
     "j1_enrich_broadcast",
     "j2_rate_lookup_join",
     "d3_upsert_lww",

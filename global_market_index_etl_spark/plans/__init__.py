@@ -46,15 +46,11 @@ DRIVER_WINDOW = 50
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
-    # round 8: SCD2 semantics changed (row_number first-row detection +
-    # deterministic batch-wins conflict resolution, operators/scd2.py); the
-    # interval join now defaults to auto bucket-width sizing
-    # (operators/rangejoin.py); mm_real_decode_stats grew the pHash /
-    # audio-DSP / video-motion feature legs — all plans changed, fresh
-    # driver rows
-    "k5_scd2_history",
-    "j4_interval_join",
-    "mm_real_decode_stats",
+    # round 9: text_metrics grew the fingerprint column (doc_fingerprint
+    # folded in — round-8 verdict item 5). The new rows
+    # (q_sort_limit_suite, curation_pipeline_v3, mm_phash_near_pairs) need
+    # no pin: never-checked queries sort at staleness 0 by themselves.
+    "text_metrics",
 ]
 
 _ROOT = _os.path.dirname(

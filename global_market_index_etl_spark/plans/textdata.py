@@ -147,6 +147,8 @@ _SQL_SPAN_REMOVAL_CTES = r"""
     """
     WITH feat AS (
       SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint,
              CAST(len({words}) AS INTEGER) AS n_tokens,
              CAST(len(regexp_extract_all(text,
                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)
@@ -168,7 +170,7 @@ _SQL_SPAN_REMOVAL_CTES = r"""
              len(regexp_extract_all(text, '[{cjk_lo}-{cjk_hi}]')) AS c_zh
       FROM documents
     )
-    SELECT doc_id, n_tokens, n_bpe_ish,
+    SELECT doc_id, fingerprint, n_tokens, n_bpe_ish,
            CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars_m AS DOUBLE), 0.0)
              AS punct_ratio,
            CAST(n_stop AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0)
@@ -190,8 +192,11 @@ _SQL_SPAN_REMOVAL_CTES = r"""
         cjk_lo=chr(0x4E00),
         cjk_hi=chr(0x9FFF),
     ),
-    doc="Per-document text-analysis suite in ONE pass over one scan: token "
-    "counting (whitespace tokens + BPE-ish regex pieces), quality scoring "
+    doc="Per-document text-analysis suite in ONE pass over one scan: "
+    "md5 document fingerprinting (lowercased, whitespace-collapsed — "
+    "portable, same hex in DuckDB, folded in from the former standalone "
+    "doc_fingerprint row; round-8 verdict item 5), token counting "
+    "(whitespace tokens + BPE-ish regex pieces), quality scoring "
     "from length/punctuation/stopword ratios (per-row double arithmetic, "
     "engine-portable bit-for-bit), and the language-ID heuristic (CJK "
     "short-circuit then marker-word argmax with a fixed tie order — the "
@@ -210,28 +215,13 @@ def text_metrics(spark, sf):
     docs = parallelize_small(load_table(spark, sf, "documents"))
     return T.language_id(quality_score(docs)).select(
         "doc_id",
+        T.fingerprint_md5("text").alias("fingerprint"),
         "n_tokens",
         T.bpe_ish_token_count("text").alias("n_bpe_ish"),
         "punct_ratio",
         "stopword_ratio",
         "quality_score",
         "lang_pred",
-    )
-
-
-@query(
-    "doc_fingerprint",
-    """
-    SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
-    """,
-    doc="Document fingerprinting: md5 of lowercased, whitespace-collapsed "
-    "text — portable (same hex in DuckDB), unlike Spark-internal hashes.",
-)
-def doc_fingerprint(spark, sf):
-    return load_table(spark, sf, "documents").select(
-        "doc_id", T.fingerprint_md5("text").alias("fingerprint")
     )
 
 

@@ -15,26 +15,36 @@ from .conftest import SF_SMALL
 
 def test_sql_frontdoor_matches_dataframe_queries(spark):
     register_views(spark, SF_SMALL)
-    pairs = {
-        # README.md:322-331 (Q1 shape)
-        "q1_top5_recent": """
-            SELECT o_orderkey, o_orderdate, o_totalprice
-            FROM orders WHERE o_custkey = 42
-            ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5
-        """,
-        # README.md:350-357 (Q3 shape)
-        "q3_catalog": """
-            SELECT n_nationkey, n_name, r_name
-            FROM nation JOIN region ON n_regionkey = r_regionkey
-            ORDER BY n_name
-        """,
-    }
-    for name, sql in pairs.items():
-        via_sql = spark.sql(sql)
-        via_df = REGISTRY[name].spark(spark, SF_SMALL)
-        assert sorted(map(tuple, via_sql.collect())) == sorted(
-            map(tuple, via_df.collect())
-        ), name
+    # README.md:322-331 (Q1 shape)
+    via_sql = spark.sql(
+        """
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders WHERE o_custkey = 42
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5
+        """
+    )
+    via_df = REGISTRY["q1_top5_recent"].spark(spark, SF_SMALL)
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
+    # README.md:350-357 (Q3 shape — now the 'catalog' leg of the fused
+    # sort/rank suite)
+    via_sql = spark.sql(
+        """
+        SELECT CAST(n_nationkey AS BIGINT) AS k1, n_name AS s1, r_name AS s2
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_name
+        """
+    )
+    via_df = (
+        REGISTRY["q_sort_limit_suite"]
+        .spark(spark, SF_SMALL)
+        .filter("leg = 'catalog'")
+        .select("k1", "s1", "s2")
+    )
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
 
 
 def test_sql_frontdoor_window_query(spark):
