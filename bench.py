@@ -83,6 +83,7 @@ HEADLINE = [
     "k5_scd2_history",
     "dedup_span_removal",
     "curation_pipeline_v2",
+    "curation_pipeline_v3",
     "text_bpe_train",
     "ann_sq8_rerank",
     "k6_skipping_read",

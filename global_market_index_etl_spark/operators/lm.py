@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame
 
 from .text import words
 
-__all__ = ["train_bigram_lm", "score_bigram_perplexity", "BOS"]
+__all__ = [
+    "train_bigram_lm",
+    "score_bigram_perplexity",
+    "score_bigram_bits_scaled",
+    "BOS",
+]
 
 # sentence-start context token. Tokenization is plain whitespace split, so
 # a hostile document could CONTAIN the literal sentinel and alias the
@@ -146,4 +151,74 @@ def score_bigram_perplexity(
         F.col(f"e.{id_col}").alias(id_col),
         F.coalesce(F.col("s.n_bigrams"), F.lit(0)).alias("n_bigrams"),
         F.col("s.log2_ppl").alias("log2_ppl"),
+    )
+
+
+def score_bigram_bits_scaled(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int | None = None,
+    k: float = 1.0,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """:func:`score_bigram_perplexity` in CROSS-ENGINE-EXACT integer form:
+    ``(id, n_bigrams, bits_scaled)`` where each bigram contributes
+    ``round(-log2(p) * scale)`` as a BIGINT and ``bits_scaled`` is their
+    exact integer sum (average bits = ``bits_scaled / n_bigrams / scale``).
+
+    Why this variant exists: the float score sums per-bigram doubles in
+    partition order, so the last ulp depends on the summation order — fine
+    for thresholds, fatal for the hash-exact oracle comparison the driver
+    runs. Rounding each bigram's cost to an integer FIRST makes the sum
+    order-independent and engine-portable: +,×,÷ are IEEE-exact on the
+    operands, and a libm-vs-JVM log2 ulp difference only matters when a
+    cost sits within ~1e-7 of a rounding boundary at nano scale (verified
+    zero occurrences on the fixture corpus; any future hit is a visible
+    hash mismatch, not silent drift). Same plan shape as the float scorer:
+    two keyed joins + one partial-agg groupBy, no UDF.
+
+    Unscorable docs (no bigram) keep their explicit row with
+    ``n_bigrams = 0`` and NULL ``bits_scaled``.
+
+    Unlike the float scorer, the vocabulary size defaults to an IN-PLAN
+    1-row aggregate (broadcast cross join) instead of a driver action —
+    the whole scoring stays one lazy plan, composable into larger
+    pipelines without forcing a pass at plan-construction time.
+    """
+    if k <= 0:
+        raise ValueError(f"smoothing k must be positive, got {k}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    bg = _doc_bigrams(docs, id_col, text_col)
+    contexts = model.groupBy("w1").agg(F.max("c1").alias("c1"))
+    joined = bg.join(
+        model.select("w1", "w2", "c12"), ["w1", "w2"], "left"
+    ).join(contexts, ["w1"], "left")
+    if vocab_size is None:
+        vrel = model.agg(
+            F.greatest(F.countDistinct("w2"), F.lit(1)).alias("__v")
+        )
+        joined = joined.crossJoin(F.broadcast(vrel))
+        v_term = F.lit(float(k)) * F.col("__v").cast("double")
+    else:
+        v_term = F.lit(float(k * vocab_size))
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(k))) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + v_term
+    )
+    cost = F.round(-F.log2(p) * F.lit(float(scale))).cast("long")
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(cost).alias("bits_scaled"),
+    )
+    every_doc = docs.select(id_col).dropDuplicates([id_col]).alias("e")
+    s = scored.alias("s")
+    return every_doc.join(
+        s, F.col(f"e.{id_col}").eqNullSafe(F.col(f"s.{id_col}")), "left"
+    ).select(
+        F.col(f"e.{id_col}").alias(id_col),
+        F.coalesce(F.col("s.n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.col("s.bits_scaled").alias("bits_scaled"),
     )

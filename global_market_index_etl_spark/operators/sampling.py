@@ -295,3 +295,63 @@ def corpus_mix_temperature(
     return corpus_mix(
         df, group_col, temperature_targets(counts, alpha), id_col
     )
+
+
+def corpus_mix_temperature_inplan(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    id_col: str,
+) -> DataFrame:
+    """Temperature mixing with ZERO driver actions — the whole derivation
+    stays one lazy plan, and every arithmetic step is cross-engine
+    bit-exact, so composed pipelines can carry it into a hash-checked
+    oracle (which the collect-then-normalize form cannot: normalizing
+    ``p_g = s_g / Σ s_g`` sums doubles in dict order, and the last-ulp
+    wobble can flip a ``floor`` at a quota boundary).
+
+    The normalization is ELIMINATED instead of reproduced: with
+    ``s_g = count_g^alpha``, the largest feasible scale is
+    ``t* = min_g (count_g / s_g)`` and each group keeps
+    ``floor(s_g · t*)`` rows — proportions ∝ count^alpha, total sized by
+    the scarcest group, identical regime to
+    :func:`corpus_mix_temperature` (Conneau & Lample §3.1) but every
+    operation (pow/sqrt, ÷, ×, floor, an order-independent min) is
+    IEEE-deterministic on any engine and any partitioning. ``alpha = 0.5``
+    uses ``sqrt`` explicitly (correctly-rounded by IEEE 754, unlike
+    general ``pow``); ``alpha = 1`` keeps everything (t* = 1).
+
+    Survivors are the md5-hash-order prefix of each group, as in
+    :func:`corpus_mix`. Plan: one partial-agg group count, a 1-row min
+    broadcast, one ranking window — two shuffles, no collect.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+
+    def powered(c):
+        if alpha == 1.0:
+            return c.cast("double")
+        if alpha == 0.5:
+            return F.sqrt(c.cast("double"))
+        if alpha == 0.0:
+            return F.lit(1.0)
+        return F.pow(c.cast("double"), F.lit(float(alpha)))
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    s = counts.withColumn("__s", powered(F.col("__cnt")))
+    tmin = s.agg(
+        F.min(F.col("__cnt").cast("double") / F.col("__s")).alias("__t")
+    )
+    quota = s.crossJoin(F.broadcast(tmin)).select(
+        group_col,
+        F.floor(F.col("__s") * F.col("__t")).alias("__quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(quota), group_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )

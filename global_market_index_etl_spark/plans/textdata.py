@@ -1355,6 +1355,124 @@ def curation_pipeline_v2(spark, sf):
 
 
 @query(
+    "curation_pipeline_v3",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS w0,
+             list_prepend(chr(2) || '<s>',
+               list_filter(CASE WHEN length(trim(text)) = 0 THEN []
+                 ELSE string_split_regex(trim(lower(text)), '\s+') END,
+                 x -> x <> chr(2) || '<s>')) AS t
+      FROM documents
+    ), big AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) AS g(i)
+      WHERE len(t) >= 2
+    ), model AS (
+      SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1
+    ), v AS (
+      SELECT greatest(count(DISTINCT w2), 1) AS v FROM model
+    ), cost AS (
+      SELECT b.doc_id,
+             CAST(round(-log2((coalesce(m.c12, 0) + 1.0)
+                  / (coalesce(c.c1, 0) + 1.0 * v.v)) * 1000000000)
+               AS BIGINT) AS nano
+      FROM big b
+      LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      LEFT JOIN ctx c ON b.w1 = c.w1
+      CROSS JOIN v
+    ), scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             sum(nano) AS score_nano
+      FROM cost GROUP BY doc_id
+    ), kept AS (
+      SELECT toks.doc_id, toks.lang, CAST(len(w0) AS BIGINT) AS n_tokens,
+             s.n_bigrams, s.score_nano
+      FROM toks JOIN scored s ON toks.doc_id = s.doc_id
+      WHERE s.n_bigrams >= 1
+        AND s.score_nano <= 4920000000 * s.n_bigrams
+    ), cnt AS (
+      SELECT lang, count(*) AS c FROM kept GROUP BY 1
+    ), tm AS (
+      SELECT min(CAST(c AS DOUBLE) / sqrt(CAST(c AS DOUBLE))) AS t FROM cnt
+    ), q AS (
+      SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE)) * t) AS BIGINT)
+               AS quota
+      FROM cnt, tm
+    ), r AS (
+      SELECT kept.*, q.quota, row_number() OVER (
+        PARTITION BY kept.lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM kept JOIN q USING (lang)
+    )
+    SELECT doc_id, lang, n_tokens, n_bigrams, score_nano,
+           n_tokens > 512 AS oversize
+    FROM r WHERE rk <= quota
+    """,
+    doc="Curation pipeline v3 — the round-8 LLM-data operators composed "
+    "end-to-end in ONE lazy plan, the exact flow a training-data build "
+    "runs (round-8 verdict item 1): bigram-LM perplexity scoring "
+    "(operators/lm.score_bigram_bits_scaled — the model is TRAINED "
+    "in-plan on the corpus itself, vocabulary as a broadcast 1-row "
+    "aggregate, per-bigram costs integer-scaled at 1e-9 bit so sums are "
+    "order-independent and cross-engine exact) → filter to docs "
+    "averaging ≤ 4.92 bits/bigram (integer comparison, no float "
+    "threshold wobble) → temperature-scaled corpus mixing by lang at "
+    "α = 0.5 (operators/sampling.corpus_mix_temperature_inplan — the "
+    "zero-driver-action form whose sqrt/÷/×/floor arithmetic is "
+    "IEEE-portable, quota_g = floor(√c_g · min_h √c_h)) → best-fit "
+    "whole-document packing at 512 tokens (operators/chunking."
+    "pack_documents_best_fit, 4 hash buckets). The oracle rebuilds "
+    "scoring + filter + mix in SQL; packing has no SQL form, so the "
+    "plan routes every survivor THROUGH the packer and joins back one "
+    "row per document — the hash match therefore PROVES the packer's "
+    "conservation property (each mixed doc placed exactly once, none "
+    "dropped, none duplicated) while pack capacity/quality invariants "
+    "stay pinned in tests/test_extensions.py. oversize is the packer's "
+    "flag, oracle-checked as n_tokens > 512.",
+)
+def curation_pipeline_v3(spark, sf):
+    from ..operators.chunking import pack_documents_best_fit
+    from ..operators.lm import score_bigram_bits_scaled, train_bigram_lm
+    from ..operators.sampling import corpus_mix_temperature_inplan
+    from ..operators.text import token_count
+    from ..operators.util import parallelize_small
+
+    docs = parallelize_small(load_table(spark, sf, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    model = train_bigram_lm(docs)
+    scored = score_bigram_bits_scaled(docs, model)
+    enriched = (
+        docs.join(scored, "doc_id")
+        .withColumn("n_tokens", token_count("text").cast("long"))
+        .select("doc_id", "lang", "n_tokens", "n_bigrams", "bits_scaled")
+    )
+    kept = enriched.filter(
+        (F.col("n_bigrams") >= 1)
+        & (F.col("bits_scaled") <= F.lit(4_920_000_000) * F.col("n_bigrams"))
+    )
+    mixed = corpus_mix_temperature_inplan(kept, "lang", 0.5, "doc_id")
+    packed = pack_documents_best_fit(
+        mixed.select("doc_id", "n_tokens"), max_tokens=512, n_buckets=4
+    )
+    return packed.join(
+        mixed.select("doc_id", "lang", "n_bigrams", "bits_scaled"), "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_bigrams",
+        F.col("bits_scaled").alias("score_nano"),
+        "oversize",
+    )
+
+
+@query(
     "text_bpe_tokens",
     None,  # iterative greedy merges have no SQL form — reference-encoder
     # parity is asserted per-word and per-document in pytest, and the FULL

@@ -809,3 +809,49 @@ def test_corpus_mix_temperature_end_to_end(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_corpus_mix_temperature_inplan_semantics(spark):
+    """The zero-driver-action mix: quota_g = floor(s_g · min_h(c_h/s_h))
+    with s_g = c_g^α — proportions track c^α, α=1 keeps everything, α=0
+    levels every group to the scarcest, and the survivor set is the same
+    md5 prefix as corpus_mix (deterministic under partitioning)."""
+    import math
+
+    from global_market_index_etl_spark.operators.sampling import (
+        corpus_mix_temperature_inplan,
+    )
+
+    counts = {"en": 800, "de": 150, "sw": 50}
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(10_000 + i, "de") for i in range(150)]
+        + [(20_000 + i, "sw") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    out = corpus_mix_temperature_inplan(df, "lang", 0.5, "doc_id")
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    tmin = min(c / math.sqrt(c) for c in counts.values())
+    for g, c in counts.items():
+        assert got[g] == math.floor(math.sqrt(c) * tmin), g
+
+    # α = 1: t* = 1, every row survives
+    assert (
+        corpus_mix_temperature_inplan(df, "lang", 1.0, "doc_id").count()
+        == len(rows)
+    )
+    # α = 0: every group levels to the scarcest group's size
+    uni = corpus_mix_temperature_inplan(df, "lang", 0.0, "doc_id")
+    assert {r[0]: r[1] for r in uni.groupBy("lang").count().collect()} == {
+        g: 50 for g in counts
+    }
+    # deterministic under partitioning, and a pure md5-prefix per group
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in corpus_mix_temperature_inplan(
+            df.repartition(7), "lang", 0.5, "doc_id"
+        ).collect()
+    )
+    assert a == b

@@ -170,6 +170,48 @@ def test_literal_bos_token_cannot_forge_start_context(spark):
         assert abs(got[i][1] - want[i][1]) < 1e-9
 
 
+def test_bits_scaled_agrees_with_float_scorer(spark):
+    """The integer-scaled scorer is the float scorer with per-bigram
+    rounding at 1e-9 bit: bits_scaled / n / 1e9 must equal log2_ppl to
+    within the accumulated rounding budget (n · 0.5e-9), and the in-plan
+    vocabulary default must equal an explicit vocab_size."""
+    from global_market_index_etl_spark.operators.lm import (
+        score_bigram_bits_scaled,
+    )
+
+    corpus = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 60")
+    )
+    model = train_bigram_lm(corpus)
+    flt = {
+        r.doc_id: (r.n_bigrams, r.log2_ppl)
+        for r in score_bigram_perplexity(corpus, model).collect()
+    }
+    fix = {
+        r.doc_id: (r.n_bigrams, r.bits_scaled)
+        for r in score_bigram_bits_scaled(corpus, model).collect()
+    }
+    assert set(flt) == set(fix)
+    for d, (n, ppl) in flt.items():
+        assert fix[d][0] == n
+        if n == 0:
+            assert fix[d][1] is None
+            continue
+        avg = fix[d][1] / n / 1e9
+        assert abs(avg - ppl) <= 0.5e-9 + 1e-12, (d, avg, ppl)
+
+    v = model.select("w2").distinct().count()
+    explicit = {
+        r.doc_id: (r.n_bigrams, r.bits_scaled)
+        for r in score_bigram_bits_scaled(
+            corpus, model, vocab_size=v
+        ).collect()
+    }
+    assert explicit == fix
+
+
 def test_null_id_doc_keeps_its_score(spark):
     """A NULL document id is a legal key: its score must surface under the
     NULL id, not be mislabeled unscorable (null-safe join)."""
