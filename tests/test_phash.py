@@ -144,3 +144,58 @@ def test_video_motion_single_frame_and_quarantine(spark):
     )
     with pytest.raises(Exception):
         video_motion_features(bad).collect()
+
+
+def test_phash_near_pairs_query_matches_brute_force(spark):
+    """Exact twin for the mm_phash_near_pairs driver row: the registry
+    query's pair set (pigeonhole-joined, engine PNG decode) must equal a
+    pure-python pHash + brute-force Hamming sweep over the same
+    synthesized corpus, and every planted perturbed duplicate must be in
+    it."""
+    import itertools
+
+    from global_market_index_etl_spark.plans import REGISTRY
+    from global_market_index_etl_spark.plans.textdata import (
+        _phash_corpus_media,
+    )
+
+    from .conftest import SF_SMALL
+
+    got = sorted(
+        (r.id_1, r.id_2, r.hamming)
+        for r in REGISTRY["mm_phash_near_pairs"].spark(spark, SF_SMALL).collect()
+    )
+
+    # brute force: decode every payload in python, hash, all-pairs Hamming
+    from global_market_index_etl_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    media = _phash_corpus_media(spark, SF_SMALL).collect()
+    hashes = {
+        r.media_id: phash64_array(decode_image(bytes(r.img))) for r in media
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = sorted(
+        (i, j, ham(hashes[i], hashes[j]))
+        for i, j in itertools.combinations(sorted(hashes), 2)
+        if ham(hashes[i], hashes[j]) <= 7
+    )
+    assert got == want
+
+    planted = {i for i in hashes if i >= 10_000_000}
+    found = {(a, b) for a, b, _ in got}
+    in_radius = {
+        p for p in planted if ham(hashes[p - 10_000_000], hashes[p]) <= 7
+    }
+    # every planted pair inside the radius is found (lossless blocking);
+    # the one-pixel edit keeps the vast majority inside — a couple landing
+    # at Hamming 8 documents the radius boundary, not a miss
+    for p in in_radius:
+        assert (p - 10_000_000, p) in found, p
+    assert len(in_radius) >= 0.8 * len(planted), (
+        len(in_radius), len(planted),
+    )
