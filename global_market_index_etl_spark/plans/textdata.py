@@ -1520,7 +1520,11 @@ def text_bpe_tokens(spark, sf):
     "anywhere; per-merge cost ∝ vocabulary, not corpus. This driver row "
     "FORCES the distributed path (threshold=0) so the genuinely "
     "distributed loop is what executes; pytest pins both paths equal to "
-    "an independent naive reference trainer. Returns the learned "
+    "an independent naive reference trainer, and the FULL sf0.01 row is "
+    "value-checked at fixture strength: tests/test_bpe_tokenize.py::"
+    "test_bpe_train_sf001_matches_pinned_fixture reproduces the exact "
+    "16-merge list precomputed by scripts/gen_bpe_train_fixture.py "
+    "(pure python, no Spark). Returns the learned "
     "(rank, left, right, merged) table.",
 )
 def text_bpe_train(spark, sf):

@@ -230,3 +230,32 @@ def test_bpe_stats_sf001_match_reference_digest(spark):
         "\n".join(f"{d}\t{t}\t{s}" for d, t, s in rows).encode()
     ).hexdigest()
     assert digest == fixture["sha256"]
+
+
+def test_bpe_train_sf001_matches_pinned_fixture(spark):
+    """Round-8 verdict item 3: the rows-only driver row ``text_bpe_train``
+    is value-checked, not just count-checked — the engine's FORCED
+    DISTRIBUTED trainer (the exact configuration of the registry row) must
+    reproduce the 16-merge list precomputed by the independent pure-python
+    trainer (scripts/gen_bpe_train_fixture.py, no Spark involved)."""
+    import json
+    from pathlib import Path
+
+    from global_market_index_etl_spark.plans import REGISTRY
+
+    fixture = json.loads(
+        (Path(__file__).parent / "fixtures" / "bpe_train_merges_sf0.01.json")
+        .read_text()
+    )
+    got = sorted(
+        (r.rank, r.left, r.right, r.merged)
+        for r in REGISTRY["text_bpe_train"]
+        .spark(spark, fixture["sf_dir"])
+        .collect()
+    )
+    want = sorted(
+        (m["rank"], m["left"], m["right"], m["merged"])
+        for m in fixture["merges"]
+    )
+    assert fixture["k"] == 16
+    assert got == want
