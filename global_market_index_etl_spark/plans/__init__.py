@@ -47,10 +47,14 @@ DRIVER_WINDOW = 50
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
     # round 9: text_metrics grew the fingerprint column (doc_fingerprint
-    # folded in — round-8 verdict item 5). The new rows
-    # (q_sort_limit_suite, curation_pipeline_v3, mm_phash_near_pairs) need
-    # no pin: never-checked queries sort at staleness 0 by themselves.
+    # folded in — round-8 verdict item 5); k6_skipping_read now caches its
+    # stats-tracked table per (process, sf) so the row measures the pruned
+    # READ (round-8 verdict item 6) — behavior changed, fresh driver row.
+    # The new rows (q_sort_limit_suite, curation_pipeline_v3,
+    # mm_phash_near_pairs) need no pin: never-checked queries sort at
+    # staleness 0 by themselves.
     "text_metrics",
+    "k6_skipping_read",
 ]
 
 _ROOT = _os.path.dirname(

@@ -460,34 +460,17 @@ def _k2_scratch_dir() -> str:
     "is still applied (pruning is correctness-neutral by construction; "
     "missing stats keep the file) and the aggregate must match the oracle "
     "computed over the UNPRUNED table — a wrongly-skipped file would "
-    "change the counts and hash-mismatch. Eager write at plan-"
-    "construction time like k2 (durability is the thing under test); "
+    "change the counts and hash-mismatch. The stats-tracked table is "
+    "written ONCE per (process, sf) and reused on repeat invocations "
+    "(round-8 verdict item 6): the write is deterministic per sf, k2 "
+    "already owns the eager-write durability story, and caching it lets "
+    "the bench number isolate the pruned READ this row exists to prove; "
     "the returned plan is the pruned read + aggregate.",
 )
 def k6_skipping_read(spark, sf):
-    from ..operators.storage import read_table, write_bucketed_table
+    from ..operators.storage import read_table
 
-    # a deterministic quarter of lineitem: the skipping semantics are
-    # identical, and the EAGER write this row performs 3x per bench rep
-    # stays proportionate at sf1 (full-table cost is k2's job)
-    li = (
-        load_table(spark, sf, "lineitem")
-        .filter(F.col("l_orderkey") % 4 == 0)
-        .select(
-            "l_orderkey", "l_linenumber", "l_returnflag",
-            "l_extendedprice", "l_discount",
-        )
-    )
-    path = _k6_scratch_dir()
-    write_bucketed_table(
-        li,
-        path,
-        ["l_orderkey", "l_linenumber"],
-        n_buckets=8,
-        stats_columns=["l_extendedprice"],
-        cluster_by=["l_extendedprice"],
-        max_records_per_file=2000,
-    )
+    path = _k6_table_for(spark, sf)
     lo, hi = 30000.0, 40000.0
     pruned = read_table(spark, path, prune={"l_extendedprice": (lo, hi)})
     return (
@@ -505,20 +488,49 @@ def k6_skipping_read(spark, sf):
 
 
 _K6_SCRATCH: list[str] = []
+_K6_WRITTEN: dict[str, str] = {}
 
 
-def _k6_scratch_dir() -> str:
-    """One scratch table root per process (k2 discipline: self-overwriting
-    across bench warm-up/reps, removed at interpreter exit)."""
+def _k6_table_for(spark, sf: str) -> str:
+    """The stats-tracked k6 table for ``sf`` — written on first use in
+    this process, reused afterwards (the write is deterministic per sf:
+    a fixed quarter of lineitem, fixed layout). One scratch root per
+    process, removed at interpreter exit (k2 discipline)."""
+    if sf in _K6_WRITTEN:
+        return _K6_WRITTEN[sf]
     if not _K6_SCRATCH:
         import atexit
         import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="gmie_k6_skipping_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        _K6_SCRATCH.append(path)
-    return _K6_SCRATCH[0]
+        root = tempfile.mkdtemp(prefix="gmie_k6_skipping_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _K6_SCRATCH.append(root)
+    from ..operators.storage import write_bucketed_table
+
+    # a deterministic quarter of lineitem: the skipping semantics are
+    # identical, and the one-time write stays proportionate at sf1
+    # (full-table write cost is k2's job)
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_extendedprice", "l_discount",
+        )
+    )
+    path = f"{_K6_SCRATCH[0]}/{abs(hash(sf)) % 10**9}"
+    write_bucketed_table(
+        li,
+        path,
+        ["l_orderkey", "l_linenumber"],
+        n_buckets=8,
+        stats_columns=["l_extendedprice"],
+        cluster_by=["l_extendedprice"],
+        max_records_per_file=2000,
+    )
+    _K6_WRITTEN[sf] = path  # only after a successful commit
+    return path
 
 
 # --------------------------------------------------------------------------
