@@ -1426,7 +1426,11 @@ def curation_pipeline_v2(spark, sf):
     "zero-driver-action form whose sqrt/÷/×/floor arithmetic is "
     "IEEE-portable, quota_g = floor(√c_g · min_h √c_h)) → best-fit "
     "whole-document packing at 512 tokens (operators/chunking."
-    "pack_documents_best_fit, 4 hash buckets). The oracle rebuilds "
+    "pack_documents_best_fit, 4 hash buckets). The vocabulary-sized "
+    "model and the metadata-only mixed survivor set are persisted "
+    "(multi-branch consumers; Catalyst does not reuse exchanges across "
+    "the join mix — 36 corpus scans collapse to 2 passes, 2.8→1.1 s at "
+    "sf0.1). The oracle rebuilds "
     "scoring + filter + mix in SQL; packing has no SQL form, so the "
     "plan routes every survivor THROUGH the packer and joins back one "
     "row per document — the hash match therefore PROVES the packer's "
@@ -1440,12 +1444,18 @@ def curation_pipeline_v3(spark, sf):
     from ..operators.lm import score_bigram_bits_scaled, train_bigram_lm
     from ..operators.sampling import corpus_mix_temperature_inplan
     from ..operators.text import token_count
-    from ..operators.util import parallelize_small
+    from ..operators.util import materialize, parallelize_small
 
     docs = parallelize_small(load_table(spark, sf, "documents")).select(
         "doc_id", "lang", "text"
     )
-    model = train_bigram_lm(docs)
+    # the model (vocabulary-sized) feeds three branches (c12 join, context
+    # counts, vocab aggregate) and the mixed survivor set (metadata-only
+    # rows) feeds two (packer input + join back); Catalyst re-derives each
+    # branch from the corpus scan (no exchange reuse across the join mix —
+    # the dedup-pipeline lesson), so persist BOTH small relations: 36
+    # corpus scans collapse to 2 passes, measured 2.8 s → 1.1 s at sf0.1
+    model = materialize(train_bigram_lm(docs))
     scored = score_bigram_bits_scaled(docs, model)
     enriched = (
         docs.join(scored, "doc_id")
@@ -1456,7 +1466,9 @@ def curation_pipeline_v3(spark, sf):
         (F.col("n_bigrams") >= 1)
         & (F.col("bits_scaled") <= F.lit(4_920_000_000) * F.col("n_bigrams"))
     )
-    mixed = corpus_mix_temperature_inplan(kept, "lang", 0.5, "doc_id")
+    mixed = materialize(
+        corpus_mix_temperature_inplan(kept, "lang", 0.5, "doc_id")
+    )
     packed = pack_documents_best_fit(
         mixed.select("doc_id", "n_tokens"), max_tokens=512, n_buckets=4
     )
