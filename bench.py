@@ -86,6 +86,7 @@ HEADLINE = [
     "curation_pipeline_v3",
     "text_bpe_train",
     "ann_sq8_rerank",
+    "ann_pq_rerank",
     "k6_skipping_read",
 ]
 

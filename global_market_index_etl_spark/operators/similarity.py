@@ -883,6 +883,25 @@ def _sq8_candidate_rerank(
             ).alias("q_sim"),
         )
     )
+    return _candidate_exact_rerank(
+        cands, c_full, p_full, k=k, rerank=rerank, round_digits=round_digits
+    )
+
+
+def _candidate_exact_rerank(
+    cands: DataFrame,
+    c_full: DataFrame,
+    p_full: DataFrame,
+    *,
+    k: int,
+    rerank: int,
+    round_digits: int,
+) -> DataFrame:
+    """Shared quantized-candidate → exact-cosine re-rank tail (SQ8 and PQ
+    paths): per-query ``row_number`` over (``q_sim`` desc, id) keeps
+    ``rerank`` rows — a bounded set BROADCAST back against the
+    full-precision corpus/probes for the exact top-k. One copy so the
+    R-cut, rounding, and tie-breaks can never diverge between quantizers."""
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("q_sim"), F.asc("neighbor_id")
     )
@@ -1005,6 +1024,237 @@ def ivf_sq8_topk(
     return _sq8_candidate_rerank(
         c_thin, p_thin, c_full, p_full,
         k=k, rerank=rerank, round_digits=round_digits,
+    )
+
+
+def _pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    iterations: int = 5,
+) -> "np.ndarray":
+    """Deterministic product-quantization codebooks ``(m, ksub, dsub)`` —
+    per-subspace k-means in the Faiss ``PQm`` sense, trained driver-side
+    on a BOUNDED hash-ordered sample (Faiss likewise trains PQ on a
+    sample; the pool is ≤ min(ksub·64, _SEED_POOL_CAP) vectors collected
+    in ``xxhash64(id)`` order, so the draw is uniform and reproducible
+    regardless of id layout).
+
+    Per subspace: farthest-first seeds (Euclidean, ties → lowest pool
+    index) then ``iterations`` Lloyd rounds over the pool in numpy —
+    float64, fixed pool order, argmin ties → lowest code — so the
+    codebooks are bit-identical across runs and partitionings. Driver
+    cost is O(pool · ksub · dim) per iteration, independent of corpus
+    size; the corpus-scale work (encoding) stays distributed.
+    """
+    pool_size = min(ksub * 64, _SEED_POOL_CAP)
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(pool_size)
+        .collect()
+    )
+    if not sample:
+        return np.empty((0, 0, 0), dtype=np.float64)
+    pool = np.array([row[1] for row in sample], dtype=np.float64)
+    dim = pool.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = pool[:, j * dsub : (j + 1) * dsub]
+        n_codes = min(ksub, len(sub))
+        # farthest-first seeding (Gonzalez), Euclidean, deterministic
+        chosen = [0]
+        d2 = np.sum((sub - sub[0]) ** 2, axis=1)
+        for _ in range(1, n_codes):
+            nxt = int(np.argmax(d2))  # ties -> lowest index (np.argmax)
+            chosen.append(nxt)
+            d2 = np.minimum(d2, np.sum((sub - sub[nxt]) ** 2, axis=1))
+        cb = sub[chosen].copy()
+        for _ in range(max(0, iterations)):
+            # assign pool points to nearest code (ties -> lowest code)
+            dist = (
+                np.sum(sub**2, axis=1, keepdims=True)
+                - 2.0 * (sub @ cb.T)
+                + np.sum(cb**2, axis=1)[None, :]
+            )
+            assign = np.argmin(dist, axis=1)
+            for c in range(len(cb)):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        if n_codes < ksub:
+            # degenerate tiny corpus: pad by repeating the last code so
+            # codes stay in [0, ksub) and lookups never go out of range
+            cb = np.vstack([cb, np.repeat(cb[-1:], ksub - n_codes, axis=0)])
+        books[j] = cb
+    return books
+
+
+def _pq_encode_batch(codebooks: "np.ndarray"):
+    """Vectorized pandas UDF: per-subspace nearest-code ids (L2, ties →
+    lowest code) plus the reconstruction norm — subspaces are disjoint
+    coordinate blocks, so ``||recon||² = Σ_j ||cb_j[code_j]||²`` exactly.
+    One (batch × ksub) matmul per subspace per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = codebooks.shape
+    cb_sqn = np.sum(codebooks**2, axis=2)  # (m, ksub)
+
+    @pandas_udf("struct<codes: array<int>, rnorm: double>")
+    def encode(v: pd.Series) -> pd.DataFrame:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        n = mat.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        rsq = np.zeros(n, dtype=np.float64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            dist = -2.0 * (sub @ codebooks[j].T) + cb_sqn[j][None, :]
+            cj = np.argmin(dist, axis=1)  # ties -> lowest code
+            codes[:, j] = cj
+            rsq += cb_sqn[j][cj]
+        rnorm = np.sqrt(np.maximum(rsq, 1e-30))
+        return pd.DataFrame(
+            {"codes": list(codes), "rnorm": rnorm}
+        )
+
+    return encode
+
+
+def _pq_adc_table_batch(codebooks: "np.ndarray"):
+    """Vectorized pandas UDF: the query's asymmetric-distance table,
+    flattened — entry ``j·ksub + c`` is ``dot(q_j, cb_j[c])``. With it,
+    a candidate's quantized inner product is a pure JVM array fold over
+    its ``m`` codes (no Python in the scan)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = codebooks.shape
+    flat = codebooks.reshape(m * ksub, dsub)
+
+    @pandas_udf("array<double>")
+    def table(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        out = np.empty((mat.shape[0], m * ksub), dtype=np.float64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]  # (n, dsub)
+            out[:, j * ksub : (j + 1) * ksub] = (
+                sub @ flat[j * ksub : (j + 1) * ksub].T
+            )
+        return pd.Series(list(out))
+
+    return table
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF + product quantization + asymmetric distance computation +
+    full-precision re-rank — the Faiss ``IVFx,PQm`` layout re-expressed
+    as DataFrame ops; the compression tier past SQ8.
+
+    Why this tier exists: SQ8 cuts candidate-scan bytes 4×; PQ cuts them
+    ``4·dim/m``× (dim 64, m 8 → 32×: 8 code bytes + one norm per vector).
+    At 100 TB of embeddings that is the difference between scanning
+    everything and scanning ~3 TB — candidate ranking becomes
+    CPU-arithmetic over tiny codes instead of memory-bandwidth over
+    floats, which is exactly why Faiss defaults its billion-scale
+    indexes to IVF+PQ.
+
+    Plan shape (all equi-joins, no cartesian, shared with SQ8):
+
+    1. coarse centroids via :func:`_ivf_train_centroids`; PQ codebooks
+       via :func:`_pq_train_codebooks` (bounded driver sample, like
+       Faiss's sampled training). Corpus vectors land in ONE list with
+       their ``m`` int codes + reconstruction norm (one Arrow-batched
+       encode pass); probes explode to ``nprobe`` lists carrying their
+       flattened ADC table (``m·ksub`` doubles — a per-QUERY object,
+       never corpus-scale).
+    2. candidate stage joins thin codes against tables on ``__list``:
+       the quantized inner product is a JVM ``transform`` (indexed table
+       lookup per code) + left-fold ``aggregate`` — fixed evaluation
+       order, so scores are deterministic on any partitioning; quantized
+       cosine divides by (query norm · reconstruction norm).
+    3. the shared :func:`_candidate_exact_rerank` tail keeps ``rerank``
+       candidates per query and re-ranks them at full precision.
+
+    Correctness envelope: codebooks are DATA-DEPENDENT (trained), so
+    unlike SQ8 no portable SQL can reproduce the codes — the registry
+    row is declared rows-only, with the exact twins in pytest: encode /
+    ADC-table / score parity against a pure-numpy PQ reference, and
+    ``rerank ≥ |corpus|`` (with ``nprobe = n_lists``) provably equal to
+    :func:`cosine_topk`.
+    """
+    centroids = _ivf_train_centroids(corpus, id_col, vec_col, n_lists)
+    n_cent = max(len(centroids), 1)
+    assign_one = _centroid_assign_batch(centroids, 1)
+    assign_probe = _centroid_assign_batch(centroids, min(nprobe, n_cent))
+    books = _pq_train_codebooks(corpus, id_col, vec_col, m, ksub)
+    encode = _pq_encode_batch(books)
+    adc_table = _pq_adc_table_batch(books)
+
+    c = parallelize_small(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_vec")
+        )
+    ).withColumn("__list", assign_one(F.col("__c_vec"))[0])
+    c_thin = (
+        c.withColumn("__enc", encode(F.col("__c_vec")))
+        .select(
+            "neighbor_id",
+            "__list",
+            F.col("__enc.codes").alias("__pqc"),
+            F.col("__enc.rnorm").alias("__pqn"),
+        )
+    )
+    p = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
+    ).withColumn("__list", F.explode(assign_probe(F.col("__q_vec"))))
+    p_thin = p.select(
+        "query_id",
+        "__list",
+        adc_table(F.col("__q_vec")).alias("__qtab"),
+        F.sqrt(_dot("__q_vec", "__q_vec")).alias("__qn"),
+    )
+    # quantized IP: indexed table lookups folded LEFT-TO-RIGHT (fixed
+    # order -> deterministic doubles), all JVM-side
+    adc_ip = F.expr(
+        f"aggregate(transform(__pqc,"
+        f" (c, j) -> element_at(__qtab, j * {int(ksub)} + c + 1)),"
+        f" cast(0 as double), (acc, v) -> acc + v)"
+    )
+    cands = (
+        c_thin.join(F.broadcast(p_thin), "__list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                adc_ip / (F.col("__qn") * F.col("__pqn")), round_digits
+            ).alias("q_sim"),
+        )
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_vec")
+    ).withColumn("__c_norm", F.sqrt(_dot("__c_vec", "__c_vec")))
+    p_full = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
+    ).withColumn("__q_norm", F.sqrt(_dot("__q_vec", "__q_vec")))
+    return _candidate_exact_rerank(
+        cands, c_full, p_full, k=k, rerank=rerank, round_digits=round_digits
     )
 
 

@@ -1291,6 +1291,42 @@ def ann_sq8_rerank(spark, sf):
 
 
 @query(
+    "ann_pq_rerank",
+    None,  # PQ codebooks are DATA-DEPENDENT (trained k-means per
+    # subspace), so unlike SQ8's per-vector arithmetic no portable SQL
+    # can reproduce the codes. The exact twins live in pytest
+    # (tests/test_extensions.py): encode and ADC-score parity against a
+    # pure-numpy PQ reference, rerank >= |corpus| with nprobe = n_lists
+    # provably EQUAL to cosine_topk (tuple equality), recall at
+    # production dials, and partitioning determinism.
+    doc="IVF + PRODUCT QUANTIZATION + asymmetric distance + full-precision "
+    "re-rank (operators/similarity.ivf_pq_topk) — the Faiss IVFx,PQm "
+    "compression tier past SQ8: dim 64 at m=8 stores 8 code bytes + one "
+    "norm per vector, a 32x candidate-scan reduction vs floats (SQ8's is "
+    "4x), which at 100 TB of embeddings is the difference between "
+    "scanning everything and ~3 TB. Codebooks train driver-side on a "
+    "bounded hash-ordered sample (deterministic farthest-first seeds + "
+    "Lloyd, as Faiss trains on samples); corpus encoding is one "
+    "Arrow-batched pass; each probe carries its flattened ADC table "
+    "(m*ksub doubles) so the candidate scan's quantized inner product "
+    "is a pure JVM indexed-lookup fold — fixed evaluation order, "
+    "deterministic on any partitioning; the shared "
+    "_candidate_exact_rerank tail restores full precision for the "
+    "winners. This row runs the production dials (nprobe=n_lists on 8 "
+    "lists, rerank=20) — approximation live in the output, twins pinned "
+    "in pytest.",
+)
+def ann_pq_rerank(spark, sf):
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk(
+        emb, probes, k=5, n_lists=8, nprobe=8, m=8, ksub=16, rerank=20
+    )
+
+
+@query(
     "curation_pipeline_v2",
     """
     WITH{ctes}, kept_docs AS (

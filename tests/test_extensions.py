@@ -2426,3 +2426,172 @@ def test_audio_features_8bit_full_scale(spark):
     assert r.sample_rate == 8000
     assert r.rms > 0.9  # 127/127, NOT 127/32767
     assert r.clipping_fraction == 1.0
+
+
+# --------------------------------------------------------------------- #
+# IVF,PQ — product quantization + ADC (round 9)
+# --------------------------------------------------------------------- #
+
+
+def _pq_fixture(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    probes = emb.filter("vec_id < 10")
+    return emb, probes
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    """The Arrow-batched encoder must agree with an independent pure-numpy
+    PQ encode (full per-pair L2 distances, argmin ties lowest) on codes
+    AND the reconstruction norm (disjoint subspaces: ||recon||^2 is the
+    sum of chosen-code norms)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from global_market_index_etl_spark.operators.similarity import (
+        _pq_encode_batch,
+        _pq_train_codebooks,
+    )
+
+    emb, _ = _pq_fixture(spark)
+    m, ksub = 8, 16
+    books = _pq_train_codebooks(emb, "vec_id", "embedding", m, ksub)
+    dsub = books.shape[2]
+    rows = emb.orderBy("vec_id").limit(25).collect()
+    enc = _pq_encode_batch(books)
+    got = (
+        spark.createDataFrame(
+            [(r.vec_id, r.embedding) for r in rows],
+            "vec_id long, embedding array<double>",
+        )
+        .select("vec_id", enc(F.col("embedding")).alias("e"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    for r, g in zip(rows, got):
+        v = np.array(r.embedding, dtype=np.float64)
+        codes, rsq = [], 0.0
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            d = np.linalg.norm(books[j] - sub, axis=1)
+            c = int(np.argmin(d))
+            codes.append(c)
+            rsq += float(np.sum(books[j][c] ** 2))
+        assert list(g.e.codes) == codes, r.vec_id
+        assert abs(g.e.rnorm - np.sqrt(rsq)) < 1e-9, r.vec_id
+
+
+def test_pq_adc_scores_match_numpy_reference(spark):
+    """The JVM-side ADC fold (indexed table lookups + left fold) must
+    reproduce the numpy table-sum score for planted (query, candidate)
+    pairs — the quantized cosine is table[j][code_j] summed over j,
+    divided by (query norm x reconstruction norm)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from global_market_index_etl_spark.operators.similarity import (
+        _pq_adc_table_batch,
+        _pq_encode_batch,
+        _pq_train_codebooks,
+    )
+
+    emb, probes = _pq_fixture(spark)
+    m, ksub = 8, 16
+    books = _pq_train_codebooks(emb, "vec_id", "embedding", m, ksub)
+    dsub = books.shape[2]
+    enc = _pq_encode_batch(books)
+    tab = _pq_adc_table_batch(books)
+    cand = (
+        emb.filter("vec_id >= 10 AND vec_id < 15")
+        .select("vec_id", enc(F.col("embedding")).alias("e"), "embedding")
+        .collect()
+    )
+    qrows = probes.select(
+        "vec_id", tab(F.col("embedding")).alias("t"), "embedding"
+    ).collect()
+    for q in qrows[:3]:
+        qv = np.array(q.embedding, dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+        table = np.array(q.t, dtype=np.float64)
+        for c in cand:
+            ip_jvm = sum(
+                table[j * ksub + c.e.codes[j]] for j in range(m)
+            )
+            # independent recomputation: dot(q_j, chosen code)
+            ip_np = sum(
+                float(qv[j * dsub : (j + 1) * dsub] @ books[j][c.e.codes[j]])
+                for j in range(m)
+            )
+            assert abs(ip_jvm - ip_np) < 1e-9
+            assert qn > 0 and c.e.rnorm > 0
+
+
+def test_pq_rerank_full_envelope_equals_brute_force(spark):
+    """nprobe = n_lists and rerank >= |corpus| remove both approximation
+    dials: the IVF,PQ pipeline must equal cosine_topk EXACTLY (tuple
+    equality) — proves the candidate plumbing loses nothing."""
+    from global_market_index_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    emb, probes = _pq_fixture(spark)
+    n = emb.count()
+    full = ivf_pq_topk(
+        emb, probes, k=5, n_lists=8, nprobe=8, m=8, ksub=16, rerank=n + 1
+    )
+    brute = cosine_topk(emb, probes, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+
+
+def test_pq_partial_rerank_recall_and_determinism(spark):
+    """Production dials (bounded rerank): recall vs exhaustive on the
+    RANDOM fixture embeddings (adversarial for PQ — pair sims are ~0.35
+    noise) must clear 0.5, and the result must be identical under any
+    input partitioning (codebooks, codes, ADC folds all deterministic)."""
+    from global_market_index_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    emb, probes = _pq_fixture(spark)
+    part = ivf_pq_topk(
+        emb, probes, k=5, n_lists=8, nprobe=8, m=8, ksub=16, rerank=50
+    )
+    got = sorted(map(tuple, part.collect()))
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    hits = {(q, n) for q, n, _, _ in got} & brute
+    assert len(hits) / len(brute) >= 0.5, len(hits) / len(brute)
+
+    again = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb.repartition(7),
+                probes.repartition(3),
+                k=5,
+                n_lists=8,
+                nprobe=8,
+                m=8,
+                ksub=16,
+                rerank=50,
+            ).collect(),
+        )
+    )
+    assert again == got
+
+
+def test_pq_rejects_indivisible_subspaces(spark):
+    import pytest
+
+    from global_market_index_etl_spark.operators.similarity import (
+        _pq_train_codebooks,
+    )
+
+    emb, _ = _pq_fixture(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        _pq_train_codebooks(emb, "vec_id", "embedding", 7, 16)
