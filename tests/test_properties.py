@@ -553,3 +553,48 @@ def test_pack_best_fit_invariants_for_any_corpus(spark, tokens, max_tokens):
             assert len(members) == 1
         else:
             assert sum(m.n_tokens for m in members) <= max_tokens
+
+
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["en", "de", "fr", "sw", "zh"]),
+        st.integers(1, 60),
+        min_size=1,
+        max_size=5,
+    ),
+    alpha=st.sampled_from([0.0, 0.5, 1.0]),
+)
+@PROP_SETTINGS
+def test_temperature_mix_inplan_invariants_for_any_counts(
+    spark, counts, alpha
+):
+    """For ANY group-count shape and the exactly-portable alphas: every
+    quota equals floor(c^α · min_h(c_h/c_h^α)) computed in python, no
+    group keeps more than it has, the scarcest-feasible-scale bound keeps
+    at least the smallest group's floor, and survivors are a pure
+    md5-prefix (membership independent of other groups' row identity)."""
+    import math
+
+    from global_market_index_etl_spark.operators.sampling import (
+        corpus_mix_temperature_inplan,
+    )
+
+    rows = []
+    base = 0
+    for g in sorted(counts):
+        rows += [(base + i, g) for i in range(counts[g])]
+        base += 1000
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus_mix_temperature_inplan(df, "lang", alpha, "doc_id")
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+
+    def s(c):
+        return 1.0 if alpha == 0.0 else (
+            math.sqrt(c) if alpha == 0.5 else float(c)
+        )
+
+    tmin = min(c / s(c) for c in counts.values())
+    for g, c in counts.items():
+        want = math.floor(s(c) * tmin)
+        assert got.get(g, 0) == want, (g, alpha)
+        assert got.get(g, 0) <= c
