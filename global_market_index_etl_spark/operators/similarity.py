@@ -694,7 +694,9 @@ def ivf_build_index(
     vec_col: str = "embedding",
     n_lists: int = 32,
     train_iterations: int = 2,
-    quantize: bool = False,
+    quantize: bool | str = False,
+    pq_m: int = 8,
+    pq_ksub: int = 16,
 ) -> None:
     """Persist an IVF index: the corpus written PARTITIONED BY its nearest-
     centroid list, plus the centroid table — the at-rest layout that makes
@@ -711,14 +713,23 @@ def ivf_build_index(
     repartition on the partition column first so each list is one file,
     not one file per task × list.
 
-    ``quantize=True`` is the at-rest IVF,SQ8 layout: per-vector int8
-    codes (``__cq``, stored as ``array<tinyint>`` — 1 byte/dim on disk vs
-    4 for the float) plus the code norm ride NEXT TO the float vectors in
-    the same files. Parquet is columnar, so a quantized search's candidate
-    scan projects ONLY the code columns (¼ the bytes off disk — asserted
-    via ReadSchema in tests) and the float column is read just for the
-    ``rerank`` winners.
+    ``quantize=True`` (or ``"sq8"``) is the at-rest IVF,SQ8 layout:
+    per-vector int8 codes (``__cq``, stored as ``array<tinyint>`` — 1
+    byte/dim on disk vs 4 for the float) plus the code norm ride NEXT TO
+    the float vectors in the same files. Parquet is columnar, so a
+    quantized search's candidate scan projects ONLY the code columns (¼
+    the bytes off disk — asserted via ReadSchema in tests) and the float
+    column is read just for the ``rerank`` winners.
+
+    ``quantize="pq"`` is the at-rest IVF,PQ layout — the compression tier
+    past SQ8: ``pq_m`` subspace codes (``__pqc``, array<smallint> —
+    2·m bytes/vector vs 8·dim for the double column) plus the
+    reconstruction norm, with the trained codebooks persisted at
+    ``path + "/pq_codebooks"`` so searches reuse them without
+    retraining. Same columnar property: candidate scans read codes only.
     """
+    if quantize not in (False, True, "sq8", "pq"):
+        raise ValueError(f"quantize must be False, True, 'sq8' or 'pq': {quantize!r}")
     centroids = _ivf_train_centroids(
         corpus, id_col, vec_col, n_lists, iterations=train_iterations
     )
@@ -726,7 +737,29 @@ def ivf_build_index(
     listed = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
         "__list", assign_one(F.col(vec_col))[0]
     )
-    if quantize:
+    spark = corpus.sparkSession
+    if quantize == "pq":
+        books = _pq_train_codebooks(corpus, id_col, vec_col, pq_m, pq_ksub)
+        encode = _pq_encode_batch(books)
+        listed = (
+            listed.withColumn("__enc", encode(F.col(vec_col)))
+            .withColumn(
+                "__pqc",
+                F.expr("transform(__enc.codes, x -> cast(x as smallint))"),
+            )
+            .withColumn("__pqn", F.col("__enc.rnorm"))
+            .drop("__enc")
+        )
+        m, ksub, _ = books.shape
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in books[j, c]])
+                for j in range(m)
+                for c in range(ksub)
+            ],
+            "subspace int, code int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/pq_codebooks")
+    elif quantize:
         listed = _sq8_cols(listed, vec_col, "__c").withColumn(
             "__cq", F.expr("transform(__cq, x -> cast(x as tinyint))")
         )
@@ -736,7 +769,6 @@ def ivf_build_index(
         .mode("overwrite")
         .parquet(path + "/lists")
     )
-    spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "list_id int, centroid array<double>",
@@ -763,14 +795,17 @@ def ivf_search_index(
     |probes|·nprobe ints — not a corpus action. nprobe == n_lists
     degenerates to exact brute force over the whole index (recall 1.0).
 
-    ``rerank`` activates the SQ8 fast path on an index built with
-    ``quantize=True``: the candidate scan projects ONLY the stored int8
-    codes (parquet column pruning — ¼ the bytes of the float column),
-    ranks by quantized cosine, and the float vectors are read back for
-    just the ``rerank`` winners per query (a second, candidate-pruned
-    scan), exact-cosine re-ranked to the final top-k. On an unquantized
-    index ``rerank`` raises — silently scanning floats would defeat the
-    caller's bandwidth expectation.
+    ``rerank`` activates the quantized fast path, dispatched on what the
+    index stores: SQ8 (``quantize=True``/``"sq8"`` — int8 codes, ¼ the
+    float bytes) or PQ (``quantize="pq"`` — m subspace codes + the
+    persisted codebooks at ``path + "/pq_codebooks"``, ``4·dim/m``× less
+    candidate-scan traffic). Either way the candidate scan projects ONLY
+    the stored codes (parquet column pruning), ranks by quantized
+    cosine, and the float vectors are read back for just the ``rerank``
+    winners per query (a second, candidate-pruned scan), exact-cosine
+    re-ranked to the final top-k. On an unquantized index ``rerank``
+    raises — silently scanning floats would defeat the caller's
+    bandwidth expectation.
     """
     cent_rows = (
         spark.read.parquet(path + "/centroids").orderBy("list_id").collect()
@@ -796,12 +831,69 @@ def ivf_search_index(
     )
 
     if rerank is not None:
-        if "__cq" not in lists.columns:
+        if "__cq" not in lists.columns and "__pqc" not in lists.columns:
             raise ValueError(
-                f"index at {path} was not built with quantize=True — "
-                "rerank has no int8 codes to scan"
+                f"index at {path} was not built with quantize= — "
+                "rerank has no stored codes to scan"
             )
-        # candidate stage: codes + norm only — the float vec_col never
+        c_full = lists.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__c_vec"),
+        ).withColumn("__c_norm", F.sqrt(_dot("__c_vec", "__c_vec")))
+        p_full = probes.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
+        ).withColumn("__q_norm", F.sqrt(_dot("__q_vec", "__q_vec")))
+        if "__pqc" in lists.columns:
+            # PQ fast path: load the persisted codebooks (bounded m·ksub
+            # rows), candidate scan projects ONLY (__pqc, __pqn)
+            book_rows = (
+                spark.read.parquet(path + "/pq_codebooks")
+                .orderBy("subspace", "code")
+                .collect()
+            )
+            m = 1 + max(r.subspace for r in book_rows)
+            ksub = 1 + max(r.code for r in book_rows)
+            dsub = len(book_rows[0].centroid)
+            books = np.empty((m, ksub, dsub), dtype=np.float64)
+            for r in book_rows:
+                books[r.subspace, r.code] = r.centroid
+            adc_table = _pq_adc_table_batch(books)
+            c_q = lists.select(
+                F.col(id_col).alias("neighbor_id"),
+                "__list",
+                F.expr("transform(__pqc, x -> cast(x as int))").alias(
+                    "__pqc"
+                ),
+                "__pqn",
+            )
+            p_q = p_listed.select(
+                "query_id",
+                "__list",
+                adc_table(F.col("__q_vec")).alias("__qtab"),
+                F.col("__q_norm").alias("__qn"),
+            )
+            adc_ip = F.expr(
+                f"aggregate(transform(__pqc,"
+                f" (c, j) -> element_at(__qtab, j * {int(ksub)} + c + 1)),"
+                f" cast(0 as double), (acc, v) -> acc + v)"
+            )
+            cands = (
+                c_q.join(F.broadcast(p_q), "__list")
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    F.round(
+                        adc_ip / (F.col("__qn") * F.col("__pqn")),
+                        round_digits,
+                    ).alias("q_sim"),
+                )
+            )
+            return _candidate_exact_rerank(
+                cands, c_full, p_full,
+                k=k, rerank=rerank, round_digits=round_digits,
+            )
+        # SQ8 fast path: codes + norm only — the float vec_col never
         # appears in this scan's ReadSchema
         c_q = lists.select(
             F.col(id_col).alias("neighbor_id"),
@@ -812,13 +904,6 @@ def ivf_search_index(
         p_q = _sq8_cols(p_listed, "__q_vec", "__q").select(
             "query_id", "__list", "__qq", "__qqn"
         )
-        c_full = lists.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__c_vec"),
-        ).withColumn("__c_norm", F.sqrt(_dot("__c_vec", "__c_vec")))
-        p_full = probes.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
-        ).withColumn("__q_norm", F.sqrt(_dot("__q_vec", "__q_vec")))
         return _sq8_candidate_rerank(
             c_q, p_q, c_full, p_full,
             k=k, rerank=rerank, round_digits=round_digits,

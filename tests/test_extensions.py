@@ -2595,3 +2595,76 @@ def test_pq_rejects_indivisible_subspaces(spark):
     emb, _ = _pq_fixture(spark)
     with pytest.raises(ValueError, match="not divisible"):
         _pq_train_codebooks(emb, "vec_id", "embedding", 7, 16)
+
+
+def test_pq_persisted_index_candidate_scan_skips_float_column(
+    spark, tmp_path
+):
+    """quantize='pq' index: the candidate scan's ReadSchema carries the
+    subspace codes but NOT the float embedding column (2*m bytes/vector
+    vs 8*dim — the 32x at-rest reduction); exhaustive dials equal exact
+    brute force, and production dials equal the in-memory ivf_pq_topk
+    (same deterministic training -> same codebooks -> same answer)."""
+    import re
+
+    from global_market_index_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build_index,
+        ivf_pq_topk,
+        ivf_search_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    ivf_build_index(emb, path, n_lists=8, quantize="pq", pq_m=8, pq_ksub=16)
+    n = emb.count()
+
+    out = ivf_search_index(spark, path, probes, k=5, nprobe=8, rerank=n)
+    exact = sorted(map(tuple, cosine_topk(emb, probes, k=5).collect()))
+    assert sorted(map(tuple, out.collect())) == exact
+
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cand_scans = [s for s in schemas if "__pqc" in s]
+    assert cand_scans, plan[:500]
+    for s in cand_scans:
+        assert "embedding" not in s, s  # codes-only candidate scan
+    # the float column is read by exactly the re-rank scan
+    assert any("embedding" in s and "__pqc" not in s for s in schemas)
+
+    # production dials: persisted search == in-memory operator
+    got = sorted(
+        map(
+            tuple,
+            ivf_search_index(
+                spark, path, probes, k=5, nprobe=8, rerank=25
+            ).collect(),
+        )
+    )
+    mem = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, probes, k=5, n_lists=8, nprobe=8, m=8, ksub=16,
+                rerank=25,
+            ).collect(),
+        )
+    )
+    assert got == mem
+
+
+def test_build_index_rejects_unknown_quantize(spark, tmp_path):
+    import pytest
+
+    from global_market_index_etl_spark.operators.similarity import (
+        ivf_build_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    with pytest.raises(ValueError, match="quantize"):
+        ivf_build_index(emb, str(tmp_path / "i"), quantize="int4")
