@@ -700,24 +700,15 @@ def simhash_near_pairs(
     )
 
 
-def hamming_block_pairs(
-    sigs: DataFrame,
-    *,
-    id_col: str,
-    sig_col: str,
-    max_hamming: int,
-    blocks: int,
+def _hamming_blocked(
+    sigs: DataFrame, id_col: str, sig_col: str, blocks: int
 ) -> DataFrame:
-    """Pigeonhole-blocked Hamming self-join over ANY 64-bit signature
-    column — the shared kernel behind text SimHash (``simhash_near_pairs``)
-    and image perceptual hashing (``operators/phash.py``). Any pair within
-    distance ≤ blocks−1 shares at least one exact block, so the join is an
-    equi-join on (block index, block value), never all-pairs."""
-    if max_hamming >= blocks:
-        raise ValueError("pigeonhole blocking requires max_hamming < blocks")
+    """Explode a 64-bit signature into ``blocks`` (blk, blk_val) rows —
+    the pigeonhole join key shared by the self-join and two-sided
+    (incremental) Hamming kernels."""
     width = 64 // blocks
     mask = (1 << width) - 1
-    blocked = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.col(sig_col),
         F.explode(
@@ -734,6 +725,24 @@ def hamming_block_pairs(
             )
         ).alias("bb"),
     ).select(id_col, sig_col, "bb.blk", "bb.blk_val")
+
+
+def hamming_block_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    blocks: int,
+) -> DataFrame:
+    """Pigeonhole-blocked Hamming self-join over ANY 64-bit signature
+    column — the shared kernel behind text SimHash (``simhash_near_pairs``)
+    and image perceptual hashing (``operators/phash.py``). Any pair within
+    distance ≤ blocks−1 shares at least one exact block, so the join is an
+    equi-join on (block index, block value), never all-pairs."""
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole blocking requires max_hamming < blocks")
+    blocked = _hamming_blocked(sigs, id_col, sig_col, blocks)
     a = blocked.alias("a")
     b = blocked.alias("b")
     hamming = F.bit_count(
@@ -755,6 +764,50 @@ def hamming_block_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_1"),
             F.col(f"b.{id_col}").alias("id_2"),
+            "hamming",
+        )
+        .distinct()
+    )
+
+
+def hamming_block_pairs_against(
+    left_sigs: DataFrame,
+    right_sigs: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    blocks: int,
+) -> DataFrame:
+    """Two-sided pigeonhole Hamming kernel: every pair within
+    ``max_hamming`` that joins a LEFT signature to a RIGHT one — the
+    incremental form of :func:`hamming_block_pairs` (left = the new
+    batch, right = batch ∪ stored index), with the same losslessness
+    guarantee for ``max_hamming ≤ blocks − 1``. Pairs are normalized to
+    ``id_1 < id_2`` and deduped, so a pair discoverable from both sides
+    appears once. Cost: |left| · blocks join rows against the right's
+    bucket — independent of how much of the right side is old index."""
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole blocking requires max_hamming < blocks")
+    a = _hamming_blocked(left_sigs, id_col, sig_col, blocks).alias("a")
+    b = _hamming_blocked(right_sigs, id_col, sig_col, blocks).alias("b")
+    hamming = F.bit_count(
+        F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_1"),
+            F.greatest(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_2"),
             "hamming",
         )
         .distinct()

@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame
 
 from .dedup import hamming_block_pairs
 
-__all__ = ["phash64_array", "image_phash", "phash_near_pairs"]
+__all__ = [
+    "phash64_array",
+    "image_phash",
+    "phash_near_pairs",
+    "incremental_phash_pairs",
+]
 
 
 def _dct_matrix(n: int):
@@ -130,3 +135,50 @@ def phash_near_pairs(
         max_hamming=max_hamming,
         blocks=blocks,
     )
+
+
+def incremental_phash_pairs(
+    new_media: DataFrame,
+    index_sigs: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 7,
+    blocks: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup image pairs for a NEW batch against an already-hashed
+    corpus — without re-decoding or re-hashing one stored image (the
+    image twin of :func:`dedup.incremental_minhash_pairs`, completing
+    the incremental-index family across modalities).
+
+    ``index_sigs`` is the persisted ``(id, phash)`` table previous
+    batches produced (:func:`image_phash` output — deterministic from
+    payloads, so yesterday's index and today's batch hash identically).
+    Batch cost is |batch| decode+DCT plus a pigeonhole bucket join whose
+    LEFT side is batch-sized; the stored index contributes only its
+    bucket partitions, never a rescan of payload bytes. Returned pairs
+    are exactly the full-corpus pairs that INVOLVE a new image
+    (new×indexed ∪ new×new); old×old pairs were emitted when those
+    images were indexed, which is what makes
+    ``pairs(b1) ∪ incremental(b2 | b1)`` ≡ ``pairs(b1 ∪ b2)``
+    (asserted in tests).
+
+    Returns ``(pairs, new_sigs)`` — append ``new_sigs`` to the stored
+    index (e.g. ``storage.merge_into_parquet``) to complete the tick.
+    """
+    from .dedup import hamming_block_pairs_against
+    from .util import materialize
+
+    new_sigs = materialize(
+        image_phash(new_media, payload_col=payload_col, id_col=id_col)
+    )
+    all_sigs = index_sigs.select(id_col, "phash").unionByName(new_sigs)
+    pairs = hamming_block_pairs_against(
+        new_sigs,
+        all_sigs,
+        id_col=id_col,
+        sig_col="phash",
+        max_hamming=max_hamming,
+        blocks=blocks,
+    )
+    return pairs, new_sigs

@@ -199,3 +199,84 @@ def test_phash_near_pairs_query_matches_brute_force(spark):
     assert len(in_radius) >= 0.8 * len(planted), (
         len(in_radius), len(planted),
     )
+
+
+def test_incremental_phash_matches_full_corpus(spark):
+    """index(b1) ∪ incremental(b2 | b1) must equal the full-corpus pair
+    set — the invariant that lets a growing image corpus dedup at
+    batch cost (the image twin of incremental MinHash)."""
+    from global_market_index_etl_spark.operators.phash import (
+        incremental_phash_pairs,
+        phash_near_pairs,
+    )
+    from global_market_index_etl_spark.plans.textdata import (
+        _phash_corpus_media,
+    )
+
+    from .conftest import SF_SMALL
+
+    media = _phash_corpus_media(spark, SF_SMALL)
+    b1 = media.filter("media_id % 2 = 0")
+    b2 = media.filter("media_id % 2 = 1")
+
+    full = sorted(
+        map(tuple, phash_near_pairs(media, payload_col="img").collect())
+    )
+    base = phash_near_pairs(b1, payload_col="img")
+    from global_market_index_etl_spark.operators.phash import image_phash
+
+    idx = image_phash(b1, payload_col="img")
+    inc_pairs, new_sigs = incremental_phash_pairs(
+        b2, idx, payload_col="img"
+    )
+    merged = sorted(
+        map(tuple, base.collect())
+    ) + sorted(map(tuple, inc_pairs.collect()))
+    assert sorted(merged) == full
+    # the appended signatures equal a fresh hash of the batch
+    assert sorted(map(tuple, new_sigs.collect())) == sorted(
+        map(tuple, image_phash(b2, payload_col="img").collect())
+    )
+
+
+def test_hamming_block_pairs_against_is_lossless(spark):
+    """The two-sided pigeonhole kernel must find every cross pair within
+    the radius that a brute-force sweep finds (planted bit-flips at
+    exactly the boundary)."""
+    from global_market_index_etl_spark.operators.dedup import (
+        hamming_block_pairs_against,
+    )
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    base = 0x0123456789ABCDEF
+    left = [(1, base), (2, base ^ 0b1111111)]  # 7 bits from base
+    right = [
+        (10, base),                               # ham 0 vs id1, 7 vs id2
+        (11, base ^ 0b1),                         # ham 1 vs id1
+        (12, signed(base ^ ((1 << 63) | 0xFF))),  # ham 9 vs id1 — outside
+    ]
+    ldf = spark.createDataFrame(left, "media_id long, phash long")
+    rdf = spark.createDataFrame(
+        left + right, "media_id long, phash long"
+    )
+    got = sorted(
+        (r.id_1, r.id_2, r.hamming)
+        for r in hamming_block_pairs_against(
+            ldf, rdf, id_col="media_id", sig_col="phash",
+            max_hamming=7, blocks=8,
+        ).collect()
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    allv = dict(left + right)
+    want = sorted(
+        (min(i, j), max(i, j), ham(allv[i], allv[j]))
+        for i, _ in left
+        for j, _ in left + right
+        if i != j and ham(allv[i], allv[j]) <= 7
+    )
+    assert got == sorted(set(want))
