@@ -449,3 +449,81 @@ def streaming_embedding_neardup(
         .foreachBatch(handle_batch)
         .start()
     )
+
+
+def streaming_phash_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 7,
+    blocks: int = 8,
+) -> StreamingQuery:
+    """IMAGE near-dup streaming dedup — the pHash twin of
+    :func:`streaming_minhash_dedup`, completing the incremental-index
+    streaming family across modalities.
+
+    Per ``foreachBatch`` tick: decode + DCT-hash only the BATCH's
+    payloads, pair them against the persisted ``(id, phash)`` signature
+    index via the two-sided pigeonhole kernel
+    (``operators/phash.incremental_phash_pairs``), and append the
+    batch's signatures as this tick's ``batch=<id>`` delta. Stored
+    payload bytes are never re-read — the index holds 8-byte hashes, so
+    at 100 TB of images the per-tick state read is megabytes.
+
+    Same idempotence discipline as the MinHash maintainer: the current
+    batch's own delta is excluded from the prior-index read (replay
+    byte-identical), deltas land under ``batch=<id>`` with
+    mode=overwrite, and a transient listing failure RAISES instead of
+    bootstrapping a fresh index.
+    """
+    from ..operators.phash import image_phash, incremental_phash_pairs, phash_near_pairs
+
+    sigs_dir = index_dir + "/sigs"
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        stored = _read_prior_index(
+            spark, sigs_dir, batch_id, [id_col, "phash"]
+        )
+        if stored is not None:
+            pairs, new_sigs = incremental_phash_pairs(
+                batch,
+                stored,
+                payload_col=payload_col,
+                id_col=id_col,
+                max_hamming=max_hamming,
+                blocks=blocks,
+            )
+        else:
+            pairs = phash_near_pairs(
+                batch,
+                payload_col=payload_col,
+                id_col=id_col,
+                max_hamming=max_hamming,
+                blocks=blocks,
+            )
+            new_sigs = image_phash(
+                batch, payload_col=payload_col, id_col=id_col
+            )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
+        new_sigs.write.mode("overwrite").parquet(
+            f"{sigs_dir}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle_batch)
+        .start()
+    )

@@ -345,3 +345,59 @@ def test_streaming_embedding_neardup_matches_batch(spark, tmp_path):
     assert got == expect
     # the planted cross-batch pairs were actually found
     assert sum(1 for a, b, _ in got if b > 100000) >= 5
+
+
+def test_streaming_phash_dedup_matches_batch(spark, tmp_path):
+    """Two availableNow ticks through the IMAGE streaming dedup loop must
+    reproduce exactly the full-corpus pHash pair set: tick 1 bootstraps
+    the persisted signature index, tick 2 hashes only batch 2 and joins
+    it against stored 8-byte signatures — the pHash twin of
+    test_streaming_minhash_dedup_matches_batch."""
+    from global_market_index_etl_spark.operators.phash import (
+        phash_near_pairs,
+    )
+    from global_market_index_etl_spark.plans.textdata import (
+        _phash_corpus_media,
+    )
+    from global_market_index_etl_spark.streaming.incremental import (
+        streaming_phash_dedup,
+    )
+
+    from .conftest import SF_SMALL
+
+    media = _phash_corpus_media(spark, SF_SMALL)
+    b1 = media.filter(F.col("media_id") % 2 == 0)
+    b2 = media.filter(F.col("media_id") % 2 == 1)
+
+    src = str(tmp_path / "src")
+    args = dict(
+        source_dir=src,
+        schema=media.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        payload_col="img",
+    )
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    streaming_phash_dedup(spark, **args).awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    streaming_phash_dedup(spark, **args).awaitTermination(120)
+
+    got = {
+        (r.id_1, r.id_2): r.hamming
+        for r in spark.read.parquet(args["pairs_dir"]).collect()
+    }
+    full = {
+        (r.id_1, r.id_2): r.hamming
+        for r in phash_near_pairs(media, payload_col="img").collect()
+    }
+    assert got == full and len(full) > 0
+
+    # no new files → a further tick must be a no-op
+    streaming_phash_dedup(spark, **args).awaitTermination(120)
+    again = {
+        (r.id_1, r.id_2): r.hamming
+        for r in spark.read.parquet(args["pairs_dir"]).collect()
+    }
+    assert again == got
