@@ -311,40 +311,46 @@ def corpus_mix_temperature_inplan(
     wobble can flip a ``floor`` at a quota boundary).
 
     The normalization is ELIMINATED instead of reproduced: with
-    ``s_g = count_g^alpha``, the largest feasible scale is
-    ``t* = min_g (count_g / s_g)`` and each group keeps
-    ``floor(s_g · t*)`` rows — proportions ∝ count^alpha, total sized by
-    the scarcest group, identical regime to
+    ``s_g = count_g^alpha`` and ``alpha ∈ [0, 1]``, ``count / s`` is
+    monotone in ``count``, so the largest feasible scale is exactly
+    ``t* = (min_g count_g)^(1 - alpha)`` and each group keeps
+    ``floor(count_g^alpha · min_cnt^(1-alpha))`` rows — proportions ∝
+    count^alpha, total sized by the scarcest group, identical regime to
     :func:`corpus_mix_temperature` (Conneau & Lample §3.1) but every
-    operation (pow/sqrt, ÷, ×, floor, an order-independent min) is
-    IEEE-deterministic on any engine and any partitioning. ``alpha = 0.5``
-    uses ``sqrt`` explicitly (correctly-rounded by IEEE 754, unlike
-    general ``pow``); ``alpha = 1`` keeps everything (t* = 1).
+    operation is IEEE-deterministic on any engine and any partitioning.
+    The exact alphas avoid even the floor-boundary ulp: ``alpha = 1``
+    keeps everything, ``alpha = 0`` levels every group to ``min_cnt``
+    (pure integers), and ``alpha = 0.5`` computes ONE correctly-rounded
+    ``sqrt`` of the exact integer product ``count_g · min_cnt`` — in
+    particular the scarcest group keeps ``sqrt(min²) = min`` EXACTLY,
+    where the naive ``floor(sqrt(c)·(c/sqrt(c)))`` form loses a row to
+    ``floor(6.999…)``. Other alphas go through ``pow`` with the
+    documented floor-boundary caveat.
 
     Survivors are the md5-hash-order prefix of each group, as in
     :func:`corpus_mix`. Plan: one partial-agg group count, a 1-row min
     broadcast, one ranking window — two shuffles, no collect.
     """
-    if alpha < 0:
-        raise ValueError(f"alpha must be >= 0, got {alpha}")
-
-    def powered(c):
-        if alpha == 1.0:
-            return c.cast("double")
-        if alpha == 0.5:
-            return F.sqrt(c.cast("double"))
-        if alpha == 0.0:
-            return F.lit(1.0)
-        return F.pow(c.cast("double"), F.lit(float(alpha)))
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    s = counts.withColumn("__s", powered(F.col("__cnt")))
-    tmin = s.agg(
-        F.min(F.col("__cnt").cast("double") / F.col("__s")).alias("__t")
-    )
-    quota = s.crossJoin(F.broadcast(tmin)).select(
-        group_col,
-        F.floor(F.col("__s") * F.col("__t")).alias("__quota"),
+    mn = counts.agg(F.min("__cnt").alias("__mn"))
+    if alpha == 1.0:
+        q = F.col("__cnt")
+    elif alpha == 0.0:
+        q = F.col("__mn")
+    elif alpha == 0.5:
+        q = F.floor(
+            F.sqrt((F.col("__cnt") * F.col("__mn")).cast("double"))
+        )
+    else:
+        q = F.floor(
+            F.pow(F.col("__cnt").cast("double"), F.lit(float(alpha)))
+            * F.pow(F.col("__mn").cast("double"), F.lit(1.0 - float(alpha)))
+        )
+    quota = counts.crossJoin(F.broadcast(mn)).select(
+        group_col, q.alias("__quota")
     )
     w = Window.partitionBy(group_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)

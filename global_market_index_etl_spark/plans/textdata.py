@@ -1434,9 +1434,9 @@ def curation_pipeline_v2(spark, sf):
     ), cnt AS (
       SELECT lang, count(*) AS c FROM kept GROUP BY 1
     ), tm AS (
-      SELECT min(CAST(c AS DOUBLE) / sqrt(CAST(c AS DOUBLE))) AS t FROM cnt
+      SELECT min(c) AS mn FROM cnt
     ), q AS (
-      SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE)) * t) AS BIGINT)
+      SELECT lang, CAST(floor(sqrt(CAST(c * mn AS DOUBLE))) AS BIGINT)
                AS quota
       FROM cnt, tm
     ), r AS (
@@ -1459,8 +1459,9 @@ def curation_pipeline_v2(spark, sf):
     "averaging ≤ 4.92 bits/bigram (integer comparison, no float "
     "threshold wobble) → temperature-scaled corpus mixing by lang at "
     "α = 0.5 (operators/sampling.corpus_mix_temperature_inplan — the "
-    "zero-driver-action form whose sqrt/÷/×/floor arithmetic is "
-    "IEEE-portable, quota_g = floor(√c_g · min_h √c_h)) → best-fit "
+    "zero-driver-action form; quota_g = floor(√(c_g · min_c)), ONE "
+    "correctly-rounded sqrt of an exact integer product, so even the "
+    "binding group's quota is cross-engine exact) → best-fit "
     "whole-document packing at 512 tokens (operators/chunking."
     "pack_documents_best_fit, 4 hash buckets). The vocabulary-sized "
     "model and the metadata-only mixed survivor set are persisted "

@@ -855,3 +855,41 @@ def test_corpus_mix_temperature_inplan_semantics(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_corpus_mix_inplan_empty_and_single_group(spark):
+    """Degenerate shapes: an empty input yields an empty result (the
+    1-row min aggregate is NULL and the quota comparison drops
+    everything, never crashes); a single group keeps floor(s*t) = its
+    own count at every alpha."""
+    from global_market_index_etl_spark.operators.sampling import (
+        corpus_mix_temperature_inplan,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, lang string")
+    assert (
+        corpus_mix_temperature_inplan(empty, "lang", 0.5, "doc_id").count()
+        == 0
+    )
+    one = spark.createDataFrame(
+        [(i, "en") for i in range(7)], "doc_id long, lang string"
+    )
+    for alpha in (0.0, 0.5, 1.0):
+        assert (
+            corpus_mix_temperature_inplan(one, "lang", alpha, "doc_id").count()
+            == 7
+        ), alpha
+
+
+def test_count_min_params_validation():
+    import pytest
+
+    from global_market_index_etl_spark.operators.terms import count_min_params
+
+    for bad in (0.0, 1.0, -0.1, 2.0):
+        with pytest.raises(ValueError):
+            count_min_params(bad, 0.05)
+        with pytest.raises(ValueError):
+            count_min_params(0.01, bad)
+    d, w = count_min_params(0.9, 0.9)
+    assert d >= 1 and w >= 2

@@ -569,10 +569,10 @@ def test_temperature_mix_inplan_invariants_for_any_counts(
     spark, counts, alpha
 ):
     """For ANY group-count shape and the exactly-portable alphas: every
-    quota equals floor(c^α · min_h(c_h/c_h^α)) computed in python, no
-    group keeps more than it has, the scarcest-feasible-scale bound keeps
-    at least the smallest group's floor, and survivors are a pure
-    md5-prefix (membership independent of other groups' row identity)."""
+    quota equals the exact integer derivation (α=1 keeps all, α=0 levels
+    to min, α=0.5 is floor(sqrt(c·min)) — isqrt-exact), no group keeps
+    more than it has, and the scarcest group NEVER loses a row to a
+    floor-boundary ulp."""
     import math
 
     from global_market_index_etl_spark.operators.sampling import (
@@ -588,13 +588,15 @@ def test_temperature_mix_inplan_invariants_for_any_counts(
     out = corpus_mix_temperature_inplan(df, "lang", alpha, "doc_id")
     got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
 
-    def s(c):
-        return 1.0 if alpha == 0.0 else (
-            math.sqrt(c) if alpha == 0.5 else float(c)
-        )
-
-    tmin = min(c / s(c) for c in counts.values())
+    mn = min(counts.values())
     for g, c in counts.items():
-        want = math.floor(s(c) * tmin)
+        if alpha == 1.0:
+            want = c
+        elif alpha == 0.0:
+            want = mn
+        else:
+            want = math.isqrt(c * mn)
         assert got.get(g, 0) == want, (g, alpha)
         assert got.get(g, 0) <= c
+    binding = min(counts, key=counts.get)
+    assert got.get(binding, 0) == (mn if alpha != 1.0 else counts[binding])

@@ -252,7 +252,7 @@ def test_sql_frontdoor_bigram_lm_scoring(spark):
 def test_sql_frontdoor_temperature_mix(spark):
     """Temperature-scaled corpus mixing as plain spark.sql (round-8
     verdict item 7): the unnormalized quota derivation
-    floor(sqrt(c) * min(c / sqrt(c))) + md5-prefix survivors must equal
+    floor(sqrt(c * min_c)) + md5-prefix survivors must equal
     sampling.corpus_mix_temperature_inplan at alpha = 0.5."""
     from global_market_index_etl_spark.operators.sampling import (
         corpus_mix_temperature_inplan,
@@ -264,10 +264,9 @@ def test_sql_frontdoor_temperature_mix(spark):
         WITH cnt AS (
           SELECT lang, count(*) AS c FROM documents GROUP BY lang
         ), tm AS (
-          SELECT min(CAST(c AS DOUBLE) / sqrt(CAST(c AS DOUBLE))) AS t
-          FROM cnt
+          SELECT min(c) AS mn FROM cnt
         ), q AS (
-          SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE)) * t) AS BIGINT)
+          SELECT lang, CAST(floor(sqrt(CAST(c * mn AS DOUBLE))) AS BIGINT)
                    AS quota
           FROM cnt CROSS JOIN tm
         ), r AS (
