@@ -256,6 +256,71 @@ def corpus_mix(
     )
 
 
+def corpus_mix_temperature_tokens(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    id_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """TOKEN-weighted temperature mixing — what a training mixture
+    actually balances: LM data recipes are specified in tokens per
+    source, not documents (a source of long documents would otherwise be
+    overweighted by exactly its length ratio). Same regime as
+    :func:`corpus_mix_temperature_inplan` with group WEIGHT
+    ``W_g = Σ tokens`` instead of row count: the kept-token quota is
+    ``floor(W_g^α · min_W^(1-α))`` (α = 0.5 → ``floor(√(W_g · min_W))``
+    — products taken in double so 100 TB token sums cannot overflow
+    int64; multiply and sqrt are correctly rounded, so the quota is
+    still cross-engine deterministic), and the survivors are the maximal
+    md5-hash-order PREFIX of each group whose cumulative token count
+    fits the quota — reproducible on any engine/partitioning, membership
+    stable under other groups' growth.
+
+    Plan: one partial-agg weight sum, a 1-row min broadcast, one
+    per-group cumulative-sum window (integer sums — exact) — two
+    shuffles, zero driver actions. A document longer than its group's
+    entire quota simply never starts the prefix; token conservation is
+    ``Σ kept ≤ quota`` per group (asserted in tests), not padding to it.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+
+    weights = df.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__tw")
+    )
+    mn = weights.agg(F.min("__tw").alias("__mn"))
+    if alpha == 1.0:
+        q = F.col("__tw")
+    elif alpha == 0.0:
+        q = F.col("__mn")
+    elif alpha == 0.5:
+        q = F.floor(
+            F.sqrt(F.col("__tw").cast("double") * F.col("__mn").cast("double"))
+        )
+    else:
+        q = F.floor(
+            F.pow(F.col("__tw").cast("double"), F.lit(float(alpha)))
+            * F.pow(F.col("__mn").cast("double"), F.lit(1.0 - float(alpha)))
+        )
+    quota = weights.crossJoin(F.broadcast(mn)).select(
+        group_col, q.alias("__quota")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(quota), group_col)
+        .withColumn(
+            "__cum", F.sum(F.col(tokens_col).cast("long")).over(w)
+        )
+        .filter(F.col("__cum") <= F.col("__quota"))
+        .drop("__cum", "__quota")
+    )
+
+
 def temperature_targets(counts: dict, alpha: float) -> dict:
     """Temperature-scaled mix proportions: ``p_g ∝ count_g^alpha``.
 

@@ -669,6 +669,54 @@ def samp_corpus_mix(spark, sf):
 
 
 @query(
+    "samp_token_mix",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+    ), cnt AS (
+      SELECT lang, sum(n_chars) AS tw FROM w GROUP BY 1
+    ), tm AS (
+      SELECT min(tw) AS mn FROM cnt
+    ), q AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(tw AS DOUBLE) * CAST(mn AS DOUBLE)))
+               AS BIGINT) AS quota
+      FROM cnt, tm
+    ), r AS (
+      SELECT w.doc_id, w.lang, w.n_chars, q.quota,
+             sum(n_chars) OVER (
+               PARTITION BY w.lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w JOIN q USING (lang)
+    )
+    SELECT doc_id, lang, n_chars FROM r WHERE cum <= quota
+    """,
+    doc="TOKEN-weighted temperature mixing at α = 0.5 (operators/sampling"
+    ".corpus_mix_temperature_tokens) — the form a training mixture is "
+    "actually specified in: recipes balance TOKENS per source, not "
+    "documents, so a long-document source is no longer overweighted by "
+    "its length ratio. Group weight = Σ n_chars (the fixture's length "
+    "column as the token proxy); kept-token quota = floor(√(W_g·min_W)) "
+    "(double products so 100 TB token sums cannot overflow; multiply "
+    "and sqrt correctly rounded → cross-engine exact); survivors are "
+    "the maximal md5-order prefix whose cumulative tokens fit the "
+    "quota. Two shuffles (weight agg + per-group integer cumsum "
+    "window), a 1-row min broadcast, zero driver actions, no RNG — the "
+    "oracle rebuilds the whole derivation in SQL.",
+)
+def samp_token_mix(spark, sf):
+    from ..operators.sampling import corpus_mix_temperature_tokens
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return corpus_mix_temperature_tokens(
+        docs, "lang", 0.5, "doc_id", "n_chars"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "dedup_cluster_survivors",
     """
     WITH RECURSIVE words AS (

@@ -893,3 +893,63 @@ def test_count_min_params_validation():
             count_min_params(0.01, bad)
     d, w = count_min_params(0.9, 0.9)
     assert d >= 1 and w >= 2
+
+
+def test_corpus_mix_tokens_semantics(spark):
+    """Token-weighted mix: per-group kept tokens never exceed the quota
+    floor(sqrt(W*minW)); the binding group keeps ALL its tokens at
+    alpha=0.5; survivors are the maximal md5-order prefix (adding the
+    next doc in hash order would overshoot); deterministic under
+    partitioning."""
+    import hashlib
+    import math
+
+    from global_market_index_etl_spark.operators.sampling import (
+        corpus_mix_temperature_tokens,
+    )
+
+    rows = (
+        [(i, "en", 50 + (i % 7)) for i in range(200)]
+        + [(10_000 + i, "de", 80 + (i % 5)) for i in range(40)]
+        + [(20_000 + i, "sw", 30 + (i % 3)) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = corpus_mix_temperature_tokens(df, "lang", 0.5, "doc_id", "n")
+    kept = {(r.doc_id, r.lang, r.n) for r in out.collect()}
+
+    weights = {}
+    for _, g, n in rows:
+        weights[g] = weights.get(g, 0) + n
+    mn = min(weights.values())
+    quotas = {g: math.floor(math.sqrt(float(w) * float(mn))) for g, w in weights.items()}
+
+    by_group: dict = {}
+    for d, g, n in rows:
+        by_group.setdefault(g, []).append((d, n))
+    for g, members in by_group.items():
+        order = sorted(
+            members, key=lambda m: (hashlib.md5(str(m[0]).encode()).hexdigest(), m[0])
+        )
+        cum, expect = 0, set()
+        for d, n in order:
+            cum += n
+            if cum <= quotas[g]:
+                expect.add(d)
+        got_g = {d for d, gg, _ in kept if gg == g}
+        assert got_g == expect, g
+        spent = sum(n for d, n in members if d in got_g)
+        assert spent <= quotas[g]
+    # binding group (smallest weight) keeps everything: quota == weight
+    binding = min(weights, key=weights.get)
+    assert quotas[binding] == weights[binding]
+    assert {d for d, g, _ in kept if g == binding} == {
+        d for d, g, _ in rows if g == binding
+    }
+
+    again = {
+        (r.doc_id, r.lang, r.n)
+        for r in corpus_mix_temperature_tokens(
+            df.repartition(9), "lang", 0.5, "doc_id", "n"
+        ).collect()
+    }
+    assert again == kept
