@@ -51,8 +51,8 @@ PRIORITY_FIRST = [
     # stats-tracked table per (process, sf) so the row measures the pruned
     # READ (round-8 verdict item 6) — behavior changed, fresh driver row.
     # The new rows (q_sort_limit_suite, curation_pipeline_v3,
-    # mm_phash_near_pairs) need no pin: never-checked queries sort at
-    # staleness 0 by themselves.
+    # mm_phash_near_pairs, ann_pq_rerank, samp_token_mix) need no pin:
+    # never-checked queries sort at staleness 0 by themselves.
     "text_metrics",
     "k6_skipping_read",
 ]
