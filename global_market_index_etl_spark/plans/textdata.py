@@ -51,6 +51,47 @@ _SQL_QUALITY_SCORE = """\
                AS quality_score"""
 
 
+# Bigram-LM scoring CTE chain (BOS-guarded tokenize → bigram explode →
+# model/context/vocab counts → integer-scaled per-bigram costs → per-doc
+# exact sums), parameterized on the source relation — shared by
+# curation_pipeline_v3 and text_ppl_buckets so the scoring arithmetic has
+# one source of truth (same discipline as _SQL_CLASSIFIER_CTES).
+_SQL_LM_SCORING_CTES = r"""
+    toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS w0,
+             list_prepend(chr(2) || '<s>',
+               list_filter(CASE WHEN length(trim(text)) = 0 THEN []
+                 ELSE string_split_regex(trim(lower(text)), '\s+') END,
+                 x -> x <> chr(2) || '<s>')) AS t
+      FROM {src}
+    ), big AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) AS g(i)
+      WHERE len(t) >= 2
+    ), model AS (
+      SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1
+    ), v AS (
+      SELECT greatest(count(DISTINCT w2), 1) AS v FROM model
+    ), cost AS (
+      SELECT b.doc_id,
+             CAST(round(-log2((coalesce(m.c12, 0) + 1.0)
+                  / (coalesce(c.c1, 0) + 1.0 * v.v)) * 1000000000)
+               AS BIGINT) AS nano
+      FROM big b
+      LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      LEFT JOIN ctx c ON b.w1 = c.w1
+      CROSS JOIN v
+    ), scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             sum(nano) AS score_nano
+      FROM cost GROUP BY doc_id
+    )"""
+
+
 def _sql_split_case(id_ref: str) -> str:
     """Deterministic 80/10/10 md5-bucket split CASE over ``id_ref``
     (oracle twin of operators.sampling.train_val_test_split)."""
@@ -1440,40 +1481,8 @@ def curation_pipeline_v2(spark, sf):
 
 @query(
     "curation_pipeline_v3",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, lang,
-             CASE WHEN length(trim(text)) = 0 THEN []
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS w0,
-             list_prepend(chr(2) || '<s>',
-               list_filter(CASE WHEN length(trim(text)) = 0 THEN []
-                 ELSE string_split_regex(trim(lower(text)), '\s+') END,
-                 x -> x <> chr(2) || '<s>')) AS t
-      FROM documents
-    ), big AS (
-      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) AS g(i)
-      WHERE len(t) >= 2
-    ), model AS (
-      SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
-    ), ctx AS (
-      SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1
-    ), v AS (
-      SELECT greatest(count(DISTINCT w2), 1) AS v FROM model
-    ), cost AS (
-      SELECT b.doc_id,
-             CAST(round(-log2((coalesce(m.c12, 0) + 1.0)
-                  / (coalesce(c.c1, 0) + 1.0 * v.v)) * 1000000000)
-               AS BIGINT) AS nano
-      FROM big b
-      LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
-      LEFT JOIN ctx c ON b.w1 = c.w1
-      CROSS JOIN v
-    ), scored AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             sum(nano) AS score_nano
-      FROM cost GROUP BY doc_id
-    ), kept AS (
+    """
+    WITH{lm}, kept AS (
       SELECT toks.doc_id, toks.lang, CAST(len(w0) AS BIGINT) AS n_tokens,
              s.n_bigrams, s.score_nano
       FROM toks JOIN scored s ON toks.doc_id = s.doc_id
@@ -1496,7 +1505,7 @@ def curation_pipeline_v2(spark, sf):
     SELECT doc_id, lang, n_tokens, n_bigrams, score_nano,
            n_tokens > 512 AS oversize
     FROM r WHERE rk <= quota
-    """,
+    """.format(lm=_SQL_LM_SCORING_CTES.format(src="documents")),
     doc="Curation pipeline v3 — the round-8 LLM-data operators composed "
     "end-to-end in ONE lazy plan, the exact flow a training-data build "
     "runs (round-8 verdict item 1): bigram-LM perplexity scoring "
@@ -1566,6 +1575,72 @@ def curation_pipeline_v3(spark, sf):
         "n_bigrams",
         F.col("bits_scaled").alias("score_nano"),
         "oversize",
+    )
+
+
+@query(
+    "text_ppl_buckets",
+    """
+    WITH{lm}, sc AS (
+      SELECT toks.doc_id, toks.lang,
+             s.score_nano // (s.n_bigrams * 1000000) AS avg_milli
+      FROM toks JOIN scored s ON toks.doc_id = s.doc_id
+      WHERE s.n_bigrams >= 1
+    ), ranked AS (
+      SELECT sc.*,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY avg_milli, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM sc
+    )
+    SELECT doc_id, lang, avg_milli,
+           CASE WHEN 3 * (rn - 1) < n THEN 'head'
+                WHEN 3 * (rn - 1) < 2 * n THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """.format(lm=_SQL_LM_SCORING_CTES.format(src="documents")),
+    doc="CCNet-style per-language perplexity TERTILES (Wenzek et al., "
+    "LREC 2020 §4.3 — CCNet buckets each language's documents into "
+    "head/middle/tail by KenLM perplexity percentile and trains on the "
+    "head/middle): scorable documents get integer milli-bit average "
+    "perplexity (score_nano div (n_bigrams·1e6) — exact integer "
+    "division, no float threshold), then a per-language ranking window "
+    "assigns tertiles with PURE-INTEGER boundaries (3·(rn−1) < n / < 2n "
+    "— no percent_rank float compare to wobble at a tertile edge). "
+    "Reuses the SAME _SQL_LM_SCORING_CTES oracle fragment as "
+    "curation_pipeline_v3, so the scoring arithmetic has one source of "
+    "truth. Plan: the LM train/score joins + one ranking window per "
+    "language — all keyed shuffles.",
+)
+def text_ppl_buckets(spark, sf):
+    from ..operators.lm import score_bigram_bits_scaled, train_bigram_lm
+    from ..operators.util import materialize, parallelize_small
+
+    docs = parallelize_small(load_table(spark, sf, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    model = materialize(train_bigram_lm(docs))
+    scored = score_bigram_bits_scaled(docs, model).filter(
+        F.col("n_bigrams") >= 1
+    )
+    sc = docs.select("doc_id", "lang").join(scored, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr("bits_scaled div (n_bigrams * 1000000)").alias("avg_milli"),
+    )
+    wlang = W.partitionBy("lang")
+    ranked = sc.withColumn(
+        "rn",
+        F.row_number().over(wlang.orderBy("avg_milli", "doc_id")),
+    ).withColumn("n", F.count(F.lit(1)).over(wlang))
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "avg_milli",
+        F.when(3 * (F.col("rn") - 1) < F.col("n"), "head")
+        .when(3 * (F.col("rn") - 1) < 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
     )
 
 
