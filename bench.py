@@ -126,6 +126,7 @@ SMOKE_REPS = int(os.environ.get("SPARK_GRAFT_SMOKE_REPS", "3"))
 SMOKE_TABLES = ["documents", "embeddings"]
 SMOKE_QUERIES = [
     "curation_pipeline",
+    "curation_pipeline_v3",
     "dedup_minhash_lsh",
     "dedup_semantic",
     "text_metrics",
