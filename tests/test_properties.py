@@ -600,3 +600,59 @@ def test_temperature_mix_inplan_invariants_for_any_counts(
         assert got.get(g, 0) <= c
     binding = min(counts, key=counts.get)
     assert got.get(binding, 0) == (mn if alpha != 1.0 else counts[binding])
+
+
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["en", "de", "sw"]),
+        st.lists(st.integers(1, 200), min_size=1, max_size=12),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@PROP_SETTINGS
+def test_token_mix_invariants_for_any_weights(spark, groups):
+    """Token-weighted mixing at α = 0.5, for ANY per-doc token shape:
+    kept tokens per group never exceed floor(sqrt(W·minW)), the binding
+    group keeps every token, and the survivor set is the maximal
+    md5-order prefix."""
+    import hashlib
+    import math
+
+    from global_market_index_etl_spark.operators.sampling import (
+        corpus_mix_temperature_tokens,
+    )
+
+    rows = []
+    base = 0
+    for g in sorted(groups):
+        rows += [(base + i, g, n) for i, n in enumerate(groups[g])]
+        base += 10_000
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    kept = {
+        r.doc_id
+        for r in corpus_mix_temperature_tokens(
+            df, "lang", 0.5, "doc_id", "n"
+        ).collect()
+    }
+
+    weights = {g: sum(ns) for g, ns in groups.items()}
+    mn = min(weights.values())
+    for g, ns in groups.items():
+        quota = math.floor(math.sqrt(float(weights[g]) * float(mn)))
+        members = [
+            (d, n) for d, gg, n in rows if gg == g
+        ]
+        order = sorted(
+            members,
+            key=lambda m: (hashlib.md5(str(m[0]).encode()).hexdigest(), m[0]),
+        )
+        cum, expect = 0, set()
+        for d, n in order:
+            cum += n
+            if cum <= quota:
+                expect.add(d)
+        got_g = {d for d, gg, _ in rows if gg == g and d in kept}
+        assert got_g == expect, g
+    binding = min(weights, key=weights.get)
+    assert {d for d, g, _ in rows if g == binding} <= kept
