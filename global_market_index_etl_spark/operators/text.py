@@ -111,6 +111,103 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# the 8 Gopher "stop words" (Rae et al. 2021, A1.1) — presence of at
+# least 2 is the document-coherence signal, distinct from STOPWORDS_EN's
+# ratio feature
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_word_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher rule filters (Rae et al. 2021, Appendix A1.1
+    — the same bundle RefinedWeb/Dolma/FineWeb reuse), as one pass of
+    per-row codegen expressions: word-count band, mean-word-length band,
+    symbol-to-word ratio (# and … as boilerplate markers), bullet-started
+    and ellipsis-ended line fractions, alphabetic-word fraction, and the
+    ≥ 2-of-8 stop-word coherence check.
+
+    Appends one boolean per rule plus the conjunction ``gopher_keep``, so
+    a curation pipeline can either hard-filter or report per-rule drop
+    reasons. All thresholds are the paper's defaults, overridable.
+    Null/empty text fails the word-count rule (explicitly keep=false,
+    never null). Zero shuffles, zero Python — scan-speed at 100 TB; the
+    arithmetic is integer counts and exact double ratios, reproduced
+    verbatim by the DuckDB twin test.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    w = words(t)
+    n_words = F.size(w)
+    nw = F.nullif(n_words.cast("double"), F.lit(0.0))
+    sum_len = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = sum_len.cast("double") / nw
+    n_symbols = F.regexp_count(t, F.lit(r"#")) + F.regexp_count(
+        t, F.lit(r"\.\.\.")
+    ) + F.regexp_count(t, F.lit("…"))
+    symbol_ratio = n_symbols.cast("double") / nw
+    lines = F.split(t, "\n")
+    n_lines = F.nullif(F.size(lines).cast("double"), F.lit(0.0))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.ltrim(ln).rlike(r"^([-*•‣▪])"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / nw
+    )
+    low = F.lower(t)
+    stop_hits = sum(
+        F.when(low.rlike(rf"\b{s}\b"), 1).otherwise(0)
+        for s in GOPHER_STOP_WORDS
+    )
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_word_ratio,
+        "rule_bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "rule_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+        "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "rule_stop_words": F.lit(stop_hits) >= min_stop_word_hits
+        if isinstance(stop_hits, int)
+        else stop_hits >= min_stop_word_hits,
+    }
+    out = df.withColumns(
+        {name: F.coalesce(cond, F.lit(False)) for name, cond in rules.items()}
+    )
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/marker-word language heuristic → ``lang_pred``.
 

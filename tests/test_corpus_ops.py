@@ -953,3 +953,119 @@ def test_corpus_mix_tokens_semantics(spark):
         ).collect()
     }
     assert again == kept
+
+
+def test_gopher_rules_match_duckdb_twin(spark, docs):
+    """Every Gopher rule boolean must match a DuckDB re-derivation of the
+    same counts/ratios over the fixture corpus (thresholds loosened so
+    both keep and drop outcomes occur on this synthetic data)."""
+    from global_market_index_etl_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    kw = dict(min_words=30, min_mean_word_len=2.0, max_mean_word_len=12.0,
+              max_symbol_word_ratio=0.05, min_alpha_word_frac=0.7,
+              min_stop_word_hits=1)  # the synthetic vocab carries only 'the'
+    got = {
+        r.doc_id: (
+            r.rule_word_count, r.rule_mean_word_len, r.rule_symbol_ratio,
+            r.rule_bullet_lines, r.rule_ellipsis_lines, r.rule_alpha_words,
+            r.rule_stop_words, r.gopher_keep,
+        )
+        for r in gopher_quality_rules(docs, **kw).collect()
+    }
+    want = {
+        int(r[0]): tuple(bool(x) for x in r[1:])
+        for r in duck_connection(SF_SMALL).execute(r"""
+        WITH f AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+                      ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+                 END AS w,
+                 string_split(coalesce(text, ''), chr(10)) AS lines,
+                 coalesce(text, '') AS t
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 list_sum(list_transform(w, x -> length(x)))
+                   / nullif(CAST(len(w) AS DOUBLE), 0.0) AS mean_len,
+                 (len(regexp_extract_all(t, '#'))
+                  + len(regexp_extract_all(t, '\.\.\.'))
+                  + len(regexp_extract_all(t, '…')))
+                   / nullif(CAST(len(w) AS DOUBLE), 0.0) AS sym_ratio,
+                 len(list_filter(lines, l -> regexp_matches(ltrim(l),
+                   '^([-*•‣▪])')))
+                   / nullif(CAST(len(lines) AS DOUBLE), 0.0) AS bullet_frac,
+                 len(list_filter(lines, l -> regexp_matches(rtrim(l),
+                   '(\.\.\.|…)$')))
+                   / nullif(CAST(len(lines) AS DOUBLE), 0.0) AS ell_frac,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   / nullif(CAST(len(w) AS DOUBLE), 0.0) AS alpha_frac,
+                 (CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END)
+                   AS stop_hits
+          FROM f
+        )
+        SELECT doc_id,
+               coalesce(n_words >= 30 AND n_words <= 100000, FALSE),
+               coalesce(mean_len >= 2.0 AND mean_len <= 12.0, FALSE),
+               coalesce(sym_ratio <= 0.05, FALSE),
+               coalesce(bullet_frac <= 0.9, FALSE),
+               coalesce(ell_frac <= 0.3, FALSE),
+               coalesce(alpha_frac >= 0.7, FALSE),
+               coalesce(stop_hits >= 1, FALSE),
+               coalesce(n_words >= 30 AND n_words <= 100000, FALSE)
+                 AND coalesce(mean_len >= 2.0 AND mean_len <= 12.0, FALSE)
+                 AND coalesce(sym_ratio <= 0.05, FALSE)
+                 AND coalesce(bullet_frac <= 0.9, FALSE)
+                 AND coalesce(ell_frac <= 0.3, FALSE)
+                 AND coalesce(alpha_frac >= 0.7, FALSE)
+                 AND coalesce(stop_hits >= 1, FALSE)
+        FROM m
+        """).fetchall()
+    }
+    assert got == want
+    # both outcomes occur (the twin is not vacuous)
+    keeps = {v[-1] for v in got.values()}
+    assert keeps == {True, False}, keeps
+
+
+def test_gopher_rules_planted_violations(spark):
+    """Each rule trips on a document constructed to violate exactly it."""
+    from global_market_index_etl_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    good = "the quick brown fox likes to jump over logs and naps with " \
+           "friends that have seen many fine days " * 3
+    rows = [
+        (0, good),
+        (1, "too short"),                                   # word count
+        (2, " ".join(["a"] * 60)),                          # mean word len low
+        (3, good + " ### ... … ### ... … ### ... … ### ..."),  # symbols
+        (4, "\n".join("- bullet point item here" for _ in range(10))),
+        (5, "\n".join("this line trails off..." for _ in range(10))),
+        (6, good + " " + " ".join(["12345"] * 60)),         # alpha fraction
+        (7, " ".join(["zork"] * 80)),                       # no stop words
+        (8, None),                                          # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_rules(df).collect()}
+    assert got[0].gopher_keep
+    assert not got[1].rule_word_count
+    assert not got[2].rule_mean_word_len
+    assert not got[3].rule_symbol_ratio
+    assert not got[4].rule_bullet_lines
+    assert not got[5].rule_ellipsis_lines
+    assert not got[6].rule_alpha_words
+    assert not got[7].rule_stop_words
+    assert not got[8].gopher_keep and not got[8].rule_word_count
+    for i in range(1, 9):
+        assert not got[i].gopher_keep, i

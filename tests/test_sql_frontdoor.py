@@ -289,6 +289,56 @@ def test_sql_frontdoor_temperature_mix(spark):
     )
 
 
+def test_sql_frontdoor_token_mix(spark):
+    """Token-weighted temperature mixing as plain spark.sql: the
+    kept-token quota floor(sqrt(W * minW)) + cumulative md5-prefix must
+    equal sampling.corpus_mix_temperature_tokens at alpha = 0.5."""
+    from global_market_index_etl_spark.operators.sampling import (
+        corpus_mix_temperature_tokens,
+    )
+
+    register_views(spark, SF_SMALL)
+    via_sql = spark.sql(
+        """
+        WITH w AS (
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+          FROM documents
+        ), cnt AS (
+          SELECT lang, sum(n_chars) AS tw FROM w GROUP BY lang
+        ), tm AS (
+          SELECT min(tw) AS mn FROM cnt
+        ), q AS (
+          SELECT lang,
+                 CAST(floor(sqrt(CAST(tw AS DOUBLE) * CAST(mn AS DOUBLE)))
+                   AS BIGINT) AS quota
+          FROM cnt CROSS JOIN tm
+        ), r AS (
+          SELECT w.doc_id, w.lang, w.n_chars, q.quota,
+                 sum(n_chars) OVER (
+                   PARTITION BY w.lang
+                   ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM w JOIN q USING (lang)
+        )
+        SELECT doc_id, lang, n_chars FROM r WHERE cum <= quota
+        """
+    )
+    via_df = corpus_mix_temperature_tokens(
+        spark.table("documents").select(
+            "doc_id",
+            "lang",
+            spark.table("documents").n_chars.cast("long").alias("n_chars"),
+        ),
+        "lang",
+        0.5,
+        "doc_id",
+        "n_chars",
+    ).select("doc_id", "lang", "n_chars")
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
+
+
 def test_sql_frontdoor_count_min_sketch(spark):
     """The count-min construction re-expressed as one spark.sql statement
     (same md5-derived cells) must equal the operator."""
