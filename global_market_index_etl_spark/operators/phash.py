@@ -124,6 +124,8 @@ def phash_near_pairs(
     ``auto_simhash_blocks`` trade."""
     from .util import materialize
 
+    if max_hamming >= blocks:  # before the eager decode pass, see below
+        raise ValueError("pigeonhole blocking requires max_hamming < blocks")
     # materialize signatures before the self-join — without it both join
     # sides recompute the decode+DCT pass from the same mapInPandas
     # lineage (the cost simhash_near_pairs also caches away)
@@ -169,6 +171,11 @@ def incremental_phash_pairs(
     from .dedup import hamming_block_pairs_against
     from .util import materialize
 
+    # front-load the pigeonhole argument check: materialize() below runs
+    # the full decode+DCT pass eagerly, and wasting it on a ValueError
+    # the join helper would raise anyway is pure loss (round-9 review)
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole blocking requires max_hamming < blocks")
     new_sigs = materialize(
         image_phash(new_media, payload_col=payload_col, id_col=id_col)
     )

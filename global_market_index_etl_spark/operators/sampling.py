@@ -256,6 +256,27 @@ def corpus_mix(
     )
 
 
+def _temperature_quota(w_col: str, mn_col: str, alpha: float, half_product):
+    """The α-quota ladder shared by the two in-plan temperature mixers:
+    ``quota = floor(W^α · min^(1−α))`` with exact branches at
+    ``α ∈ {0, ½, 1}`` (see :func:`corpus_mix_temperature_inplan` for why
+    the exact alphas matter). ``half_product`` is the α = 0.5 product
+    ``W · min`` as a Column — the caller chooses where the multiply
+    happens (exact int64 for row counts; double-side for token sums that
+    could overflow int64 at 100 TB). One source of truth so a ladder fix
+    can never silently miss the other mixer (round-9 review fix)."""
+    if alpha == 1.0:
+        return F.col(w_col)
+    if alpha == 0.0:
+        return F.col(mn_col)
+    if alpha == 0.5:
+        return F.floor(F.sqrt(half_product))
+    return F.floor(
+        F.pow(F.col(w_col).cast("double"), F.lit(float(alpha)))
+        * F.pow(F.col(mn_col).cast("double"), F.lit(1.0 - float(alpha)))
+    )
+
+
 def corpus_mix_temperature_tokens(
     df: DataFrame,
     group_col: str,
@@ -290,19 +311,14 @@ def corpus_mix_temperature_tokens(
         F.sum(F.col(tokens_col).cast("long")).alias("__tw")
     )
     mn = weights.agg(F.min("__tw").alias("__mn"))
-    if alpha == 1.0:
-        q = F.col("__tw")
-    elif alpha == 0.0:
-        q = F.col("__mn")
-    elif alpha == 0.5:
-        q = F.floor(
-            F.sqrt(F.col("__tw").cast("double") * F.col("__mn").cast("double"))
-        )
-    else:
-        q = F.floor(
-            F.pow(F.col("__tw").cast("double"), F.lit(float(alpha)))
-            * F.pow(F.col("__mn").cast("double"), F.lit(1.0 - float(alpha)))
-        )
+    # token sums at 100 TB can exceed what an int64 product holds, so
+    # the α = 0.5 multiply happens in double (correctly rounded)
+    q = _temperature_quota(
+        "__tw",
+        "__mn",
+        alpha,
+        F.col("__tw").cast("double") * F.col("__mn").cast("double"),
+    )
     quota = weights.crossJoin(F.broadcast(mn)).select(
         group_col, q.alias("__quota")
     )
@@ -401,19 +417,11 @@ def corpus_mix_temperature_inplan(
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
     mn = counts.agg(F.min("__cnt").alias("__mn"))
-    if alpha == 1.0:
-        q = F.col("__cnt")
-    elif alpha == 0.0:
-        q = F.col("__mn")
-    elif alpha == 0.5:
-        q = F.floor(
-            F.sqrt((F.col("__cnt") * F.col("__mn")).cast("double"))
-        )
-    else:
-        q = F.floor(
-            F.pow(F.col("__cnt").cast("double"), F.lit(float(alpha)))
-            * F.pow(F.col("__mn").cast("double"), F.lit(1.0 - float(alpha)))
-        )
+    # row counts: the α = 0.5 product is taken exactly in int64 first
+    # (cnt · mn fits comfortably), then one correctly-rounded sqrt
+    q = _temperature_quota(
+        "__cnt", "__mn", alpha, (F.col("__cnt") * F.col("__mn")).cast("double")
+    )
     quota = counts.crossJoin(F.broadcast(mn)).select(
         group_col, q.alias("__quota")
     )

@@ -810,6 +810,16 @@ def ivf_search_index(
     cent_rows = (
         spark.read.parquet(path + "/centroids").orderBy("list_id").collect()
     )
+    if not cent_rows:
+        # an index built from an empty corpus has zero centroids (and,
+        # when quantized, zero codebook rows); every downstream step
+        # would fail obscurely (numpy AxisError in probe assignment,
+        # max()-of-empty in the codebook load) — fail with the story
+        # instead (round-9 review fix)
+        raise ValueError(
+            f"index at {path} has no centroids (built from an empty "
+            "corpus?) — rebuild with a non-empty corpus"
+        )
     centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
     nprobe = min(nprobe, len(centroids))
     assign_probe = _centroid_assign_batch(centroids, nprobe)
@@ -851,6 +861,15 @@ def ivf_search_index(
                 .orderBy("subspace", "code")
                 .collect()
             )
+            if not book_rows:
+                # an index built from an empty corpus writes zero
+                # codebook rows; fail with the story rather than a bare
+                # max()-of-empty ValueError (round-9 review fix)
+                raise ValueError(
+                    f"index at {path} has no PQ codebooks (built from an "
+                    "empty corpus?) — rebuild with a non-empty corpus or "
+                    "search without rerank"
+                )
             m = 1 + max(r.subspace for r in book_rows)
             ksub = 1 + max(r.code for r in book_rows)
             dsub = len(book_rows[0].centroid)

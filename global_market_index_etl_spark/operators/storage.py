@@ -815,16 +815,23 @@ def optimize_table(
         }
     try:
         _commit_manifest(spark, path, version + 1, new_manifest)
-    except ManifestConflict:
-        # the staged files were already moved into live bucket dirs; a
-        # lost commit race would leave them orphaned there — unreferenced
-        # by any manifest, invisible to readers, but accumulating on every
-        # re-run until a vacuum. Undo the move before surfacing the OCC
-        # signal so a re-run starts clean (round-8 review fix).
-        for files in moved.values():
-            for rel in files:
-                fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
-        fs.delete(_hpath(jvm, staging), True)
+    except BaseException:
+        # the staged files were already moved into live bucket dirs; ANY
+        # failed commit — a lost OCC race or a transient IO error — would
+        # leave them orphaned there: unreferenced by any manifest,
+        # invisible to readers, but accumulating on every re-run until a
+        # vacuum (round-8 fix covered ManifestConflict only; round-9
+        # review widened it to every commit failure). Undo the move
+        # best-effort before surfacing the original error so a re-run
+        # starts clean; if the filesystem is too broken to delete,
+        # vacuum_table remains the backstop.
+        try:
+            for files in moved.values():
+                for rel in files:
+                    fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
+            fs.delete(_hpath(jvm, staging), True)
+        except Exception:
+            pass  # never mask the commit failure with a cleanup failure
         raise
     fs.delete(_hpath(jvm, staging), True)
     if retain_versions <= 1:

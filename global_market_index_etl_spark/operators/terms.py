@@ -231,15 +231,26 @@ def count_min_estimate(
     explicitly cross-checks against the recorded values and raises on
     mismatch — a dimension mismatch probes the wrong cells and can
     UNDERestimate, violating the ``estimate ≥ true`` contract (round-8
-    review fix). A sketch with NO rows carries no dimensions, so an empty
-    sketch requires explicit depth/width (estimates are then 0 — an empty
-    corpus). The dimension read is a bounded driver action: one
-    4-column aggregate row over the fixed-size cell table.
+    review fix). The check is DELIBERATELY eager and driver-side: a
+    wrong-width probe usually hashes into cells the sketch never
+    occupied, so a lazy matched-row assertion would see no match and
+    silently return the forbidden 0. To keep the eager read from
+    doubling the work, the cells plan is ``localCheckpoint``-ed first —
+    one bounded materialization (the merged sketch is ≤ depth × width
+    rows by construction; for persisted state that's the one
+    delta-merge pass the estimate needs anyway) that BOTH the dimension
+    read and the lookup join reuse, instead of the dims aggregate and
+    the join each re-executing the merge (round-9 review fix). A sketch
+    with NO rows carries no dimensions, so an empty sketch requires
+    explicit depth/width (estimates are then 0 — an empty corpus).
 
     ``queries`` is a bounded term list (heavy-hitter candidates, an
     allowlist); the fixed-size cell table (depth × width rows) is the
     broadcast side of the lookup join, so neither side ever shuffles.
     """
+    # one materialization of the (≤ depth·width row) merge, shared by
+    # the dims read below and the broadcast join — never two passes
+    cells = cells.localCheckpoint(eager=True)
     dims = cells.agg(
         F.min("depth"), F.max("depth"), F.min("width"), F.max("width")
     ).first()

@@ -195,9 +195,7 @@ def gopher_quality_rules(
         "rule_bullet_lines": bullet_frac <= max_bullet_line_frac,
         "rule_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
         "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
-        "rule_stop_words": F.lit(stop_hits) >= min_stop_word_hits
-        if isinstance(stop_hits, int)
-        else stop_hits >= min_stop_word_hits,
+        "rule_stop_words": stop_hits >= min_stop_word_hits,
     }
     out = df.withColumns(
         {name: F.coalesce(cond, F.lit(False)) for name, cond in rules.items()}

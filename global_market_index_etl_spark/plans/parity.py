@@ -519,7 +519,12 @@ def _k6_table_for(spark, sf: str) -> str:
             "l_extendedprice", "l_discount",
         )
     )
-    path = f"{_K6_SCRATCH[0]}/{abs(hash(sf)) % 10**9}"
+    # deterministic, collision-free per-sf subdir: sf is a filesystem
+    # path, so sanitize rather than hash (hash() is PYTHONHASHSEED-salted
+    # — nondeterministic across processes and collision-prone across sf
+    # values, which could silently serve one sf's table for another's
+    # pruned-read bench — round-9 review fix)
+    path = f"{_K6_SCRATCH[0]}/{sf.strip('/').replace('/', '__')}"
     write_bucketed_table(
         li,
         path,

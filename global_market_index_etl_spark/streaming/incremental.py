@@ -481,7 +481,9 @@ def streaming_phash_dedup(
     mode=overwrite, and a transient listing failure RAISES instead of
     bootstrapping a fresh index.
     """
-    from ..operators.phash import image_phash, incremental_phash_pairs, phash_near_pairs
+    from ..operators.dedup import hamming_block_pairs
+    from ..operators.phash import image_phash, incremental_phash_pairs
+    from ..operators.util import materialize
 
     sigs_dir = index_dir + "/sigs"
 
@@ -501,15 +503,22 @@ def streaming_phash_dedup(
                 blocks=blocks,
             )
         else:
-            pairs = phash_near_pairs(
-                batch,
-                payload_col=payload_col,
+            # bootstrap tick: hash ONCE and share the materialized
+            # signatures between the self-join and the index delta —
+            # calling phash_near_pairs + image_phash separately would run
+            # the decode+DCT pass twice over the same payloads, doubling
+            # the most expensive stage of the first tick (round-9 review
+            # fix; the incremental branch already shares via
+            # incremental_phash_pairs' returned new_sigs)
+            new_sigs = materialize(
+                image_phash(batch, payload_col=payload_col, id_col=id_col)
+            )
+            pairs = hamming_block_pairs(
+                new_sigs,
                 id_col=id_col,
+                sig_col="phash",
                 max_hamming=max_hamming,
                 blocks=blocks,
-            )
-            new_sigs = image_phash(
-                batch, payload_col=payload_col, id_col=id_col
             )
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
         new_sigs.write.mode("overwrite").parquet(

@@ -94,14 +94,29 @@ def read_count_min_state(spark: SparkSession, state_path: str) -> DataFrame:
         return spark.createDataFrame(
             [], "row int, cell bigint, cnt bigint, depth int, width int"
         )
+    deltas = spark.read.option("basePath", state_path).parquet(
+        *sorted(committed)
+    )
     # depth/width ride through the merge as grouping keys: deltas written
     # with different dimensions would survive as distinct rows, which
     # count_min_estimate's dimension check then REJECTS instead of
     # silently probing wrong cells (round-8 review fix — persisted state
-    # is never dimensionless)
+    # is never dimensionless). State written BEFORE dimension stamping
+    # has no depth/width columns; grouping on them would crash with an
+    # unresolved-column AnalysisException mid-merge, so detect it up
+    # front and fail with the migration story instead (round-9 review
+    # fix): the sketch is cheap to rebuild, and guessing dimensions here
+    # would reintroduce exactly the wrong-cell underestimate the
+    # stamping exists to prevent.
+    if "depth" not in deltas.columns or "width" not in deltas.columns:
+        raise ValueError(
+            f"count-min state at {state_path} predates dimension "
+            "stamping (deltas lack depth/width columns) — rebuild the "
+            "sketch with a fresh state dir + checkpoint, or backfill "
+            "literal depth/width columns onto every batch=* delta"
+        )
     return (
-        spark.read.option("basePath", state_path)
-        .parquet(*sorted(committed))
+        deltas
         .groupBy("row", "cell", "depth", "width")
         .agg(F.sum("cnt").alias("cnt"))
         .select("row", "cell", "cnt", "depth", "width")

@@ -280,3 +280,49 @@ def test_hamming_block_pairs_against_is_lossless(spark):
         if i != j and ham(allv[i], allv[j]) <= 7
     )
     assert got == sorted(set(want))
+
+
+def test_phash_argument_errors_precede_decode(spark):
+    """The pigeonhole max_hamming < blocks check fires BEFORE the eager
+    decode+DCT materialization, so an argument error costs nothing
+    (round-9 review fix). The payload here is garbage — if either
+    function touched it, the decode itself would blow up instead of
+    raising the argument ValueError."""
+    import pytest
+
+    from global_market_index_etl_spark.operators.phash import (
+        incremental_phash_pairs,
+        phash_near_pairs,
+    )
+
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"not an image"))], "media_id long, payload binary"
+    )
+    empty_index = spark.createDataFrame([], "media_id long, phash long")
+    with pytest.raises(ValueError, match="max_hamming < blocks"):
+        phash_near_pairs(junk, max_hamming=8, blocks=8)
+    with pytest.raises(ValueError, match="max_hamming < blocks"):
+        incremental_phash_pairs(junk, empty_index, max_hamming=8, blocks=8)
+
+
+def test_ivf_search_empty_index_fails_clearly(spark, tmp_path):
+    """An IVF index built from an empty corpus succeeds at build time
+    (zero centroids, zero PQ codebooks) but is unusable — searching it
+    must raise the actionable error, not a numpy AxisError from probe
+    assignment or max()-of-empty from the codebook load (round-9 review
+    fix)."""
+    import pytest
+
+    from global_market_index_etl_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    path = str(tmp_path / "idx")
+    ivf_build_index(empty, path, n_lists=4, quantize="pq", pq_m=4, pq_ksub=4)
+    probes = spark.createDataFrame(
+        [(1, [0.1] * 16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no centroids"):
+        ivf_search_index(spark, path, probes, k=3, nprobe=4, rerank=5)

@@ -387,6 +387,51 @@ def test_optimize_conflict_removes_moved_files(spark, tmp_path, monkeypatch):
     assert _snapshot(spark, path) == before
 
 
+def test_optimize_io_failure_removes_moved_files(spark, tmp_path, monkeypatch):
+    """ANY failed commit — not only a lost OCC race — rolls the moved
+    files back out of the live bucket dirs (round-9 review fix: the
+    round-8 handler caught ManifestConflict only, so a transient IO
+    error stranded commit-tagged orphans that accumulated on every
+    re-run)."""
+    import os
+
+    import global_market_index_etl_spark.operators.storage as S
+
+    path = str(tmp_path / "tbl")
+    target, _ = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=4)
+    before = _snapshot(spark, path)
+
+    def on_disk():
+        return {
+            os.path.relpath(p, path)
+            for p in glob.glob(f"{path}/__bucket=*/*.parquet")
+        }
+
+    live_before = on_disk()
+
+    orig_commit = S._commit_manifest
+    failed = []
+
+    def flaky_commit(sp, p, version, manifest):
+        if not failed:
+            failed.append(version)
+            raise IOError("transient filesystem hiccup")
+        return orig_commit(sp, p, version, manifest)
+
+    monkeypatch.setattr(S, "_commit_manifest", flaky_commit)
+    with pytest.raises(IOError, match="hiccup"):
+        S.optimize_table(spark, path, min_files_per_bucket=1)
+
+    # the failed optimize cleaned up: no staging dirs, no orphans
+    assert not glob.glob(f"{path}/.staging-*")
+    assert on_disk() == live_before
+
+    # the transient error cleared — plain re-run converges
+    assert S.optimize_table(spark, path, min_files_per_bucket=1) > 0
+    assert _snapshot(spark, path) == before
+
+
 def test_empty_initial_table_merge_roundtrip(spark, tmp_path):
     """CREATE empty → MERGE a first batch: the manifest's stored schema
     makes the zero-file table readable, and the merge populates it."""

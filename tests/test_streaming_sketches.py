@@ -150,3 +150,21 @@ def test_streamed_estimate_infers_dims_and_rejects_mismatch(spark, tmp_path):
         count_min_estimate(merged, q, depth=4, width=128)
     with pytest.raises(ValueError, match="depth"):
         count_min_estimate(merged, q, depth=8, width=64)
+
+
+def test_legacy_dimensionless_state_fails_with_migration_story(
+    spark, tmp_path
+):
+    """State persisted BEFORE dimension stamping (deltas with only
+    row/cell/cnt columns) must fail the merge with an actionable
+    migration error, not an unresolved-column AnalysisException mid-plan
+    (round-9 review fix)."""
+    import pytest
+
+    state = str(tmp_path / "state")
+    legacy = spark.createDataFrame(
+        [(0, 3, 7), (1, 9, 2)], "row int, cell bigint, cnt bigint"
+    )
+    legacy.coalesce(1).write.mode("overwrite").parquet(f"{state}/batch=0")
+    with pytest.raises(ValueError, match="dimension stamping"):
+        read_count_min_state(spark, state)
