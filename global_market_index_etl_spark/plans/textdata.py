@@ -87,7 +87,7 @@ _SQL_LM_SCORING_CTES = r"""
       CROSS JOIN v
     ), scored AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             sum(nano) AS score_nano
+             CAST(sum(nano) AS BIGINT) AS score_nano
       FROM cost GROUP BY doc_id
     )"""
 

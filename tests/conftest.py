@@ -57,9 +57,34 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
+# Oracle output types the driver's value hash maps 1:1 onto Spark output
+# types.  DuckDB's sum(BIGINT) yields HUGEINT (int128) — value-identical to
+# Spark's BIGINT but representation-divergent, which fails the driver's
+# type-sensitive hash while passing a post-normalization value compare
+# (exactly what happened to curation_pipeline_v3 / text_ppl_buckets in r9).
+ORACLE_TYPE_ALLOWLIST = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+}
+
+
+def _dtype_family(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the family the driver's hash keys on."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def assert_matches_oracle(spark, name, spark_fn, sql, sf_dir, float_rtol=0.0):
-    """Differential check mimicking the driver: row count, column set, and
-    (sorted) values — exact for non-floats, optional rtol for floats."""
+    """Differential check mimicking the driver: row count, column set,
+    output dtype family, and (sorted) values — exact for non-floats,
+    optional rtol for floats."""
     sdf = spark_fn(spark, sf_dir).toPandas()
     con = duck_connection(sf_dir)
     odf = con.execute(sql).fetchdf()
@@ -70,6 +95,18 @@ def assert_matches_oracle(spark, name, spark_fn, sql, sf_dir, float_rtol=0.0):
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"{name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     )
+    # Type identity BEFORE normalization: an oracle emitting HUGEINT (→
+    # float64 in fetchdf) against Spark's int64 is a driver hash failure
+    # even when every value matches, so it must fail here too.
+    for c in sdf.columns:
+        fs, fo = _dtype_family(sdf[c]), _dtype_family(odf[c])
+        # all-null columns surface as object/float on either side — only
+        # enforce when both sides carry at least one non-null value
+        if sdf[c].notna().any() and odf[c].notna().any():
+            assert fs == fo, (
+                f"{name}.{c}: output dtype family spark={fs} ({sdf[c].dtype}) "
+                f"oracle={fo} ({odf[c].dtype}) — value hash would diverge"
+            )
     s = _normalize(sdf)
     o = _normalize(odf)
     for c in s.columns:

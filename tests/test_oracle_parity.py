@@ -24,6 +24,39 @@ def test_query_matches_oracle(spark, name):
     assert_matches_oracle(spark, name, qd.spark, qd.oracle, SF_SMALL)
 
 
+def test_oracle_output_types_spark_mappable():
+    """Registry-wide typeof lint: bind (not execute) every oracle against
+    DuckDB and reject any output type outside the Spark-mappable allowlist.
+    DuckDB's sum(BIGINT) → HUGEINT is the canonical offender (r9 driver hash
+    failures on curation_pipeline_v3 / text_ppl_buckets): values identical,
+    representation divergent. Binding is cheap — this sweeps all 80+ oracles
+    in under a second."""
+    from .conftest import ORACLE_TYPE_ALLOWLIST, duck_connection
+
+    con = duck_connection(SF_SMALL)
+    bad = []
+    for name in SQL_CHECKED:
+        rel = con.sql(REGISTRY[name].oracle)
+        for col, ty in zip(rel.columns, rel.types):
+            if str(ty) not in ORACLE_TYPE_ALLOWLIST:
+                bad.append((name, col, str(ty)))
+    con.close()
+    assert not bad, f"oracle columns outside Spark-mappable type set: {bad}"
+
+
+def test_oracle_type_lint_catches_seeded_hugeint():
+    """The lint must flag the exact regression class it exists for: an
+    uncast sum(BIGINT) whose bound type is HUGEINT."""
+    from .conftest import ORACLE_TYPE_ALLOWLIST, duck_connection
+
+    con = duck_connection(SF_SMALL)
+    rel = con.sql("SELECT sum(o_orderkey) AS s FROM orders")
+    types = [str(t) for t in rel.types]
+    con.close()
+    assert types == ["HUGEINT"]
+    assert "HUGEINT" not in ORACLE_TYPE_ALLOWLIST
+
+
 def test_all_queries_return_dataframes(spark):
     """Rows-only queries (no oracle) still execute and have stable schemas."""
     for name, qd in REGISTRY.items():
