@@ -730,6 +730,13 @@ def ivf_build_index(
     """
     if quantize not in (False, True, "sq8", "pq"):
         raise ValueError(f"quantize must be False, True, 'sq8' or 'pq': {quantize!r}")
+    if quantize == "pq" and not 2 <= pq_ksub <= 32768:
+        # codes persist as array<smallint>: a ksub past 2^15 would wrap
+        # the cast silently (non-ANSI mode) and corrupt the stored codes
+        # while the codebook table still claims the full ksub
+        raise ValueError(
+            f"pq_ksub must be in [2, 32768] (codes are smallint): {pq_ksub}"
+        )
     centroids = _ivf_train_centroids(
         corpus, id_col, vec_col, n_lists, iterations=train_iterations
     )

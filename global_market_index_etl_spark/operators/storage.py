@@ -825,13 +825,38 @@ def optimize_table(
         # best-effort before surfacing the original error so a re-run
         # starts clean; if the filesystem is too broken to delete,
         # vacuum_table remains the backstop.
+        #
+        # CRITICAL guard (round-10 advice): _commit_manifest can raise
+        # AFTER the commit became visible — tmp-file cleanup IO error, or
+        # a KeyboardInterrupt landing between the exclusive link/rename
+        # and the return. Deleting the moved files then would corrupt the
+        # now-live version+1 manifest, the exact opposite of what this
+        # handler protects. Roll back only if version+1 is verifiably
+        # absent OR verifiably someone ELSE's commit (a lost OCC race: the
+        # live manifest does not reference our commit_tag files, so ours
+        # really are orphans). If OUR commit is live — or we cannot tell —
+        # the moved files ARE the data; never delete.
         try:
-            for files in moved.values():
-                for rel in files:
-                    fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
-            fs.delete(_hpath(jvm, staging), True)
+            vpath = f"{path}/{_MANIFEST_PREFIX}{version + 1:010d}.json"
+            if not fs.exists(_hpath(jvm, vpath)):
+                committed = False
+            else:
+                _, live_m = _read_manifest(spark, path, version + 1)
+                live_files = {
+                    f for files in live_m["buckets"].values() for f in files
+                }
+                ours = {f for files in moved.values() for f in files}
+                committed = bool(ours & live_files)
         except Exception:
-            pass  # never mask the commit failure with a cleanup failure
+            committed = True  # can't tell — assume live, never delete
+        if not committed:
+            try:
+                for files in moved.values():
+                    for rel in files:
+                        fs.delete(_hpath(jvm, f"{path}/{rel}"), False)
+                fs.delete(_hpath(jvm, staging), True)
+            except Exception:
+                pass  # never mask the commit failure with a cleanup failure
         raise
     fs.delete(_hpath(jvm, staging), True)
     if retain_versions <= 1:
@@ -1031,6 +1056,8 @@ def write_zordered(
     columns: list[str],
     n_files: int = 32,
     bits: int = 16,
+    method: str = "linear",
+    relative_error: float = 0.001,
 ) -> None:
     """Write parquet clustered on the Z-order curve of ``columns`` — the
     multi-dimensional pruning layout (Delta/Iceberg ``OPTIMIZE ZORDER``
@@ -1050,15 +1077,40 @@ def write_zordered(
     :func:`zorder_value`) — with 4+ columns the default 16-bit grid would
     otherwise overflow; clamping trades grid resolution, never ordering
     correctness.
+
+    ``method`` picks the grid calibration:
+
+    - ``"linear"`` (default) — min/max scaling from one bounded min/max
+      aggregate. Stateless, cheapest; heavily skewed columns cluster
+      less tightly (most rows collapse into a few grid cells).
+    - ``"quantile"`` — rank-bucketed grid from one ``approxQuantile``
+      pass (:func:`..zorder.zorder_key`): equal-POPULATION cells, so
+      skewed distributions (zipfian keys, long-tailed amounts) still
+      spread across the full grid and per-file rectangles stay tight.
+      Costs one extra Greenwald-Khanna pass; bounded driver action of
+      ``2^bits − 1`` doubles per column.
     """
+    if method not in ("linear", "quantile"):
+        raise ValueError(f"method must be 'linear' or 'quantile': {method!r}")
     bits = min(bits, 63 // max(len(columns), 1))
-    stats = df.agg(
-        *[F.min(c).alias(f"__min_{c}") for c in columns],
-        *[F.max(c).alias(f"__max_{c}") for c in columns],
-    ).first()
-    mins = {c: stats[f"__min_{c}"] for c in columns}
-    maxs = {c: stats[f"__max_{c}"] for c in columns}
-    z = zorder_value(columns, mins, maxs, bits)
+    if method == "quantile":
+        from .zorder import zorder_key
+
+        # rank grids don't need linear-grid resolution: cells are equal
+        # population by construction, and file-level pruning only needs
+        # ~log2(n_files) discriminating bits — cap at 8 (256 cells/col)
+        # so the quantile pass ships ≤255 boundary doubles per column
+        z = zorder_key(
+            df, columns, bits=min(bits, 8), relative_error=relative_error
+        )
+    else:
+        stats = df.agg(
+            *[F.min(c).alias(f"__min_{c}") for c in columns],
+            *[F.max(c).alias(f"__max_{c}") for c in columns],
+        ).first()
+        mins = {c: stats[f"__min_{c}"] for c in columns}
+        maxs = {c: stats[f"__max_{c}"] for c in columns}
+        z = zorder_value(columns, mins, maxs, bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

@@ -182,9 +182,13 @@ def gopher_quality_rules(
         F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double")
         / nw
     )
-    low = F.lower(t)
+    # membership against the SAME whitespace tokenization every other
+    # rule uses (round-10 advice: the earlier \b-regex over raw text
+    # counted hyphen/punct-bound fragments like 'to-do' that the
+    # tokenizer never produces — one tokenization for all rules)
+    low_w = F.transform(w, lambda x: F.lower(x))
     stop_hits = sum(
-        F.when(low.rlike(rf"\b{s}\b"), 1).otherwise(0)
+        F.when(F.array_contains(low_w, s), 1).otherwise(0)
         for s in GOPHER_STOP_WORDS
     )
     rules = {

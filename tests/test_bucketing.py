@@ -204,6 +204,86 @@ def test_zorder_write_tightens_file_ranges_on_both_dims(spark, tmp_path):
     ).first()[0]
 
 
+def test_zorder_quantile_method_tightens_skewed_column(spark, tmp_path):
+    """method='quantile' rank-buckets the grid (operators.zorder) so a
+    heavily skewed column still spreads across all cells: per-file
+    POPULATION coverage stays tight where linear min/max scaling
+    collapses most rows into a few cells. Measured as the mean per-file
+    fraction of distinct skewed-key population (the quantity row-group
+    pruning actually saves), not value-range."""
+    import glob
+
+    from global_market_index_etl_spark.operators.storage import (
+        write_zordered,
+    )
+    from global_market_index_etl_spark.sources.tables import load_table
+
+    # exponential skew: 24 equal-population key values spanning 1..2^23,
+    # so a linear min/max grid collapses ~2/3 of the population into its
+    # bottom cell while rank buckets keep one value per cell
+    events = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", "user_id", "value")
+        .withColumn(
+            "skew_key",
+            F.pow(F.lit(2.0), (F.col("user_id") % 24)).cast("long"),
+        )
+    )
+
+    def mean_pop_fraction(path, col):
+        """Mean over files of: fraction of the global population of
+        `col` values falling inside the file's [min, max] stats."""
+        import pyarrow.parquet as pq
+
+        vals = sorted(
+            r[0] for r in events.select(col).distinct().collect()
+        )
+        fracs = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            names = [
+                md.row_group(0).column(i).path_in_schema
+                for i in range(md.num_columns)
+            ]
+            idx = names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            lo, hi = min(los), max(his)
+            inside = sum(1 for v in vals if lo <= v <= hi)
+            fracs.append(inside / len(vals))
+        return sum(fracs) / len(fracs)
+
+    lin = str(tmp_path / "lin")
+    write_zordered(events, lin, ["skew_key", "value"], n_files=16)
+    qnt = str(tmp_path / "qnt")
+    write_zordered(
+        events, qnt, ["skew_key", "value"], n_files=16, method="quantile"
+    )
+
+    lin_f = mean_pop_fraction(lin, "skew_key")
+    qnt_f = mean_pop_fraction(qnt, "skew_key")
+    # quantile cells are equal-population: strictly better coverage on
+    # the skewed dimension (the core claim), and each file still covers
+    # only a sub-rectangle — not the whole dimension
+    assert qnt_f < lin_f, (qnt_f, lin_f)
+    assert qnt_f < 0.6, qnt_f
+
+    # rows survive both layouts intact
+    back = spark.read.parquet(qnt)
+    assert back.count() == events.count()
+    assert back.agg(F.sum("event_id")).first()[0] == events.agg(
+        F.sum("event_id")
+    ).first()[0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        write_zordered(events, str(tmp_path / "x"), ["value"], method="nope")
+
+
 def test_zorder_key_must_fit_signed_long(spark, tmp_path):
     """bits × columns > 63 silently scrambles the curve (sign bit, JVM
     shift wrap) — zorder_value must refuse it; write_zordered clamps bits

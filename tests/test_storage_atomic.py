@@ -432,6 +432,49 @@ def test_optimize_io_failure_removes_moved_files(spark, tmp_path, monkeypatch):
     assert _snapshot(spark, path) == before
 
 
+def test_optimize_post_commit_failure_never_deletes_live_files(
+    spark, tmp_path, monkeypatch
+):
+    """_commit_manifest can raise AFTER the commit became visible (tmp
+    cleanup IO error, or an interrupt between the exclusive link and the
+    return). The rollback handler must detect that version+1 is live and
+    references the moved files, and must NOT delete them — doing so would
+    corrupt the committed table (round-10 advice)."""
+    import os
+
+    import global_market_index_etl_spark.operators.storage as S
+
+    path = str(tmp_path / "tbl")
+    target, _ = _orders_fixture(spark)
+    write_bucketed_table(target, path, ["o_orderkey"], n_buckets=4)
+    before = _snapshot(spark, path)
+    [v1] = S.table_versions(spark, path)
+
+    orig_commit = S._commit_manifest
+    tripped = []
+
+    def commit_then_raise(sp, p, version, manifest):
+        orig_commit(sp, p, version, manifest)  # the commit IS live now
+        if not tripped:
+            tripped.append(version)
+            raise IOError("tmp-file cleanup failed after successful link")
+        return None
+
+    monkeypatch.setattr(S, "_commit_manifest", commit_then_raise)
+    with pytest.raises(IOError, match="cleanup failed"):
+        S.optimize_table(spark, path, min_files_per_bucket=1)
+
+    # version+1 is committed and every file it references must exist —
+    # the old (pre-guard) handler deleted them here, corrupting the table
+    assert S.table_versions(spark, path) == [v1, tripped[0]]
+    _, live_m = S._read_manifest(spark, path)
+    for files in live_m["buckets"].values():
+        for rel in files:
+            assert os.path.exists(f"{path}/{rel}"), f"live file deleted: {rel}"
+    # and the committed table reads back exactly the pre-optimize content
+    assert _snapshot(spark, path) == before
+
+
 def test_empty_initial_table_merge_roundtrip(spark, tmp_path):
     """CREATE empty → MERGE a first batch: the manifest's stored schema
     makes the zero-file table readable, and the merge populates it."""
