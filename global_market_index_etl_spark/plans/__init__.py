@@ -46,15 +46,16 @@ DRIVER_WINDOW = 50
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
-    # round 9: text_metrics grew the fingerprint column (doc_fingerprint
-    # folded in — round-8 verdict item 5); k6_skipping_read now caches its
-    # stats-tracked table per (process, sf) so the row measures the pruned
-    # READ (round-8 verdict item 6) — behavior changed, fresh driver row.
-    # The new rows (q_sort_limit_suite, curation_pipeline_v3,
-    # mm_phash_near_pairs, ann_pq_rerank, samp_token_mix) need no pin:
+    # round 10: curation_pipeline_v3 changed MATERIALLY — the oracle's
+    # HUGEINT fix (CAST(sum(nano) AS BIGINT), the r9 hash-failure root
+    # cause) AND the mix step swapped to token-weighted quotas (verdict
+    # item 5); text_ppl_buckets inherits the same oracle CAST fix. Both
+    # were checked (and failed) in r9, so staleness alone would rotate
+    # them out — pin them. The new rows (text_gopher_rules,
+    # stream_scd2_maintained, samp_policy_suite) need no pin:
     # never-checked queries sort at staleness 0 by themselves.
-    "text_metrics",
-    "k6_skipping_read",
+    "curation_pipeline_v3",
+    "text_ppl_buckets",
 ]
 
 _ROOT = _os.path.dirname(

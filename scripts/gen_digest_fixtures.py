@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Pin full-table sha256 digests for the rows-only driver rows that
+previously validated by execution + pytest twins alone (round-9 verdict
+item 4): ``ann_pq_rerank`` and ``mm_real_decode_stats`` at sf0.01.
+
+Both queries are deterministic BY CONSTRUCTION and their arithmetic is
+independently parity-tested (PQ: pure-numpy encode/ADC reference +
+rerank>=corpus ≡ brute force, tests/test_extensions.py; codecs: byte-level
+PNG/GIF/JPEG/WAV/AVI round-trips, tests/test_gif_codec.py). What execution
+checks CANNOT catch is silent drift — a changed seed-pool bound, a codec
+tweak, a reordered fold — so this script freezes the exact full-table
+output once and tests/test_oracle_parity.py re-derives the digest every
+run: any value change fails loudly and must re-pin HERE, with intent.
+
+Run from the repo root:  python scripts/gen_digest_fixtures.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF_DIR = "/root/testdata/sf0.01"
+QUERIES = ["ann_pq_rerank", "mm_real_decode_stats"]
+
+
+def render_cell(v) -> str:
+    """Canonical, type-faithful cell rendering (repr keeps float bits)."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def table_digest(df) -> tuple[int, str]:
+    cols = sorted(df.columns)
+    rows = sorted(
+        "\t".join(render_cell(r[c]) for c in cols) for r in df.collect()
+    )
+    return len(rows), hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> None:
+    from global_market_index_etl_spark.plans import REGISTRY
+    from global_market_index_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="gmie-digest-fixtures")
+    for name in QUERIES:
+        df = REGISTRY[name].spark(spark, SF_DIR)
+        n, digest = table_digest(df)
+        out = os.path.join(
+            ROOT, "tests", "fixtures", f"{name}_digest_sf0.01.json"
+        )
+        with open(out, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "query": name,
+                    "sf_dir": SF_DIR,
+                    "columns": sorted(df.columns),
+                    "n_rows": n,
+                    "sha256": digest,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"{name}: {n} rows, sha256={digest[:16]}… → {out}")
+
+
+if __name__ == "__main__":
+    main()

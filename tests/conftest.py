@@ -69,7 +69,12 @@ ORACLE_TYPE_ALLOWLIST = {
 
 
 def _dtype_family(s: pd.Series) -> str:
-    """Collapse a pandas dtype to the family the driver's hash keys on."""
+    """Collapse a pandas dtype to the family the driver's hash keys on.
+
+    Spark's toPandas renders DATE columns as object-of-datetime.date while
+    DuckDB's fetchdf gives datetime64[us] — the driver normalizes both to
+    the same hash input (fx_asof_rate_fill/ts_resample_daily are
+    long-green), so date-like object columns classify as datetime."""
     if pd.api.types.is_datetime64_any_dtype(s):
         return "datetime"
     if pd.api.types.is_bool_dtype(s):
@@ -78,6 +83,10 @@ def _dtype_family(s: pd.Series) -> str:
         return "int"
     if pd.api.types.is_float_dtype(s):
         return "float"
+    if s.dtype == object and s.map(
+        lambda v: v is None or hasattr(v, "toordinal"), na_action="ignore"
+    ).all() and s.notna().any():
+        return "datetime"
     return "object"
 
 

@@ -57,6 +57,46 @@ def test_oracle_type_lint_catches_seeded_hugeint():
     assert "HUGEINT" not in ORACLE_TYPE_ALLOWLIST
 
 
+@pytest.mark.parametrize("name", ["ann_pq_rerank", "mm_real_decode_stats"])
+def test_rows_only_queries_match_pinned_digest(spark, name):
+    """Value-pin the rows-only rows at fixture strength (round-9 verdict
+    item 4): the FULL sf0.01 table must reproduce, bit-for-bit, the sha256
+    frozen by scripts/gen_digest_fixtures.py. Both queries are
+    deterministic by construction (PQ: bounded hash-ordered codebook
+    training + fixed-order ADC folds; codecs: byte-exact encoders), with
+    the arithmetic independently parity-tested against pure-numpy
+    references — the digest catches silent drift those per-component
+    twins cannot see."""
+    import hashlib
+    import json
+    from pathlib import Path
+
+    fixture = json.loads(
+        (
+            Path(__file__).parent
+            / "fixtures"
+            / f"{name}_digest_sf0.01.json"
+        ).read_text()
+    )
+    df = REGISTRY[name].spark(spark, fixture["sf_dir"])
+    assert sorted(df.columns) == fixture["columns"]
+    cols = fixture["columns"]
+
+    def render(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    rows = sorted(
+        "\t".join(render(r[c]) for c in cols) for r in df.collect()
+    )
+    assert len(rows) == fixture["n_rows"]
+    digest = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    assert digest == fixture["sha256"]
+
+
 def test_all_queries_return_dataframes(spark):
     """Rows-only queries (no oracle) still execute and have stable schemas."""
     for name, qd in REGISTRY.items():
