@@ -19,6 +19,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from .text import words
+
 
 def hash_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets): md5(id) hex-prefix mod N.
@@ -433,4 +435,219 @@ def corpus_mix_temperature_inplan(
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= F.col("__quota"))
         .drop("__rk", "__quota")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+# Select raw-corpus documents whose hashed-n-gram distribution looks like a
+# TARGET corpus: fit bag-of-hashed-ngrams multinomials on target (p) and raw
+# (q), weight each document by its log importance ratio
+# sum_b count_doc[b] * (ln p[b] - ln q[b]), and take the top-k under
+# hash-derived Gumbel noise (= sampling without replacement proportional to
+# the importance weights, but a pure function of the document id — the same
+# no-RNG discipline as every sampler above).
+#
+# Cross-engine exactness follows the operators/lm.py recipe: each bucket's
+# log-ratio is rounded ONCE to an integer (nano-nats), so the per-document
+# sum is an exact BIGINT sum of BIGINTs — order-independent under any
+# partitioning, and identical in DuckDB. The only float ops are the per-
+# bucket/per-row ln-divide-round chains, evaluated in a fixed mirrored order.
+#
+# Scale: ONE corpus featurize pass (explode + partial-agg groupBy on
+# (id, bucket)), materialized via lazy localCheckpoint because three
+# consumers derive from it (models, totals, weights) and Catalyst's
+# exchange reuse is not guaranteed across them — without the checkpoint a
+# 100 TB corpus would be re-scanned per consumer (the curation_pipeline_v3
+# persisted-model precedent, plans/textdata.py). The model is <= n_buckets
+# rows (broadcast); totals reduce the MODEL table, never the corpus; the
+# weight is one keyed groupBy over the checkpointed features; selection is
+# sort+limit = distributed TakeOrdered. No driver action; the result is k
+# rows.
+
+# bigram joiner — a control char no whitespace tokenizer emits, so unigram
+# and bigram feature strings cannot collide ("a b" stays distinct from the
+# unigram "a\x01b" only if documents can't contain \x01 tokens; if one does,
+# both engines hash the same collision, so exactness is unaffected)
+_DSIR_JOIN = "\x01"
+
+
+def dsir_ngram_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    flag: Column | None = None,
+) -> DataFrame:
+    """Hashed unigram+bigram counts: one row per (id, bucket) with the
+    number of n-gram occurrences of the document that hash into the
+    bucket (plus a ``__tgt`` boolean when ``flag`` is given — constant per
+    document, carried through the aggregation so a single pass serves both
+    the raw and the target model). Tokenization is the corpus-wide
+    lowercase whitespace split; the bucket is the portable md5-prefix hash
+    (:func:`hash_bucket`), so DuckDB reproduces the identical
+    featurization. Empty/whitespace documents produce no rows (no
+    features — unscorable, never selected)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    t = words(F.lower(F.col(text_col)))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(_DSIR_JOIN), b),
+    )
+    cols = [F.col(id_col), F.explode(F.concat(t, bigrams)).alias("__feat")]
+    keys = [id_col, hash_bucket(F.col("__feat"), n_buckets).alias("bucket")]
+    if flag is not None:
+        # null predicate (e.g. a null lang) counts as NOT-target, never a
+        # silently dropped row
+        cols.insert(1, F.coalesce(flag, F.lit(False)).alias("__tgt"))
+        keys.insert(1, F.col("__tgt"))
+    return (
+        df.select(*cols)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_bucket_logratio(
+    models: DataFrame,
+    *,
+    n_buckets: int = 4096,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-bucket integer-scaled importance log-ratio ``(bucket,
+    lambda_nano)`` from a model table ``(bucket, __rc, __tc)`` of raw and
+    target occurrence counts: ``lambda_nano = round((ln p_tgt[b] -
+    ln q_raw[b]) * scale)`` under add-one smoothing ``p[b] = (c[b] + 1) /
+    (N + n_buckets)``. The totals are reduced from the model table itself
+    (<= n_buckets rows) — never from the corpus — and broadcast in-plan,
+    so the whole model stays one lazy plan over its input."""
+    tot = models.agg(
+        F.sum("__rc").alias("__rn"), F.sum("__tc").alias("__tn")
+    )
+    b = float(n_buckets)
+    lam = F.round(
+        (
+            F.log(
+                (F.col("__tc") + F.lit(1.0))
+                / (F.col("__tn").cast("double") + F.lit(b))
+            )
+            - F.log(
+                (F.col("__rc") + F.lit(1.0))
+                / (F.col("__rn").cast("double") + F.lit(b))
+            )
+        )
+        * F.lit(float(scale))
+    ).cast("long")
+    return models.crossJoin(F.broadcast(tot)).select(
+        "bucket", lam.alias("lambda_nano")
+    )
+
+
+def dsir_gumbel_nano(
+    id_col: Column | str, scale: int = 1_000_000_000
+) -> Column:
+    """Deterministic Gumbel(0,1) perturbation in integer nano-nats, a pure
+    function of the stable id: ``u = (md5-52-bit-prefix + 0.5) / 2^52``
+    (strictly inside (0,1)), ``g = -ln(-ln u)``, rounded once to BIGINT.
+    Adding it to an integer log-weight and taking top-k is the Gumbel
+    top-k trick — sampling without replacement proportional to the
+    importance weights — with the draw reproducible on any engine."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    u = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 13), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    return F.round(-F.log(-F.log(u)) * F.lit(float(scale))).cast("long")
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame | Column,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000_000,
+    noise: bool = True,
+) -> DataFrame:
+    """Top-``k`` raw documents by DSIR importance weight:
+    ``(id, n_feat, w_nano, key_nano)`` where ``w_nano`` is the exact
+    integer sum ``sum_b cnt[b] * lambda_nano[b]`` and ``key_nano`` adds
+    the per-document Gumbel perturbation when ``noise`` (else equals
+    ``w_nano`` — greedy top-k). Ties (and the selection cut) break on
+    ``(md5(id), id)``, so the selected set is a pure function of the two
+    corpora. Documents with no features are never selected.
+
+    ``target`` is either a boolean Column over ``raw`` (in-corpus target
+    slice — ONE featurize pass serves both models) or a separate
+    DataFrame (external target corpus, e.g. an eval/domain set —
+    featurized independently; its documents need not be in ``raw``).
+
+    The feature table is materialized once (lazy ``localCheckpoint``)
+    because the model and the per-document weights both reduce it;
+    re-deriving it per consumer would re-scan the corpus (see the module
+    note). Magnitudes: |lambda_nano| <= ~25 * scale (add-one smoothing
+    bounds the ratio by the corpus sizes), so a billion-token document
+    still sits ~2^63 / 10^10 away from int64 overflow."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if isinstance(target, Column):
+        feat = dsir_ngram_features(
+            raw,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            flag=target,
+        ).localCheckpoint(eager=False)
+        models = feat.groupBy("bucket").agg(
+            F.sum("cnt").alias("__rc"),
+            F.sum(
+                F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("__tc"),
+        )
+        doc_feats = feat
+    else:
+        rf = dsir_ngram_features(
+            raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+        ).localCheckpoint(eager=False)
+        tf = dsir_ngram_features(
+            target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+        )
+        r = rf.groupBy("bucket").agg(F.sum("cnt").alias("__rc"))
+        tg = tf.groupBy("bucket").agg(F.sum("cnt").alias("__tc"))
+        models = r.join(tg, "bucket", "full_outer").select(
+            "bucket",
+            F.coalesce("__rc", F.lit(0)).alias("__rc"),
+            F.coalesce("__tc", F.lit(0)).alias("__tc"),
+        )
+        doc_feats = rf
+    lam = dsir_bucket_logratio(models, n_buckets=n_buckets, scale=scale)
+    w = (
+        doc_feats.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_feat"),
+            F.sum(F.col("cnt") * F.col("lambda_nano")).alias("w_nano"),
+        )
+    )
+    key = (
+        F.col("w_nano") + dsir_gumbel_nano(id_col, scale)
+        if noise
+        else F.col("w_nano")
+    )
+    return (
+        w.withColumn("key_nano", key.cast("long"))
+        .orderBy(
+            F.col("key_nano").desc(),
+            F.md5(F.col(id_col).cast("string")),
+            F.col(id_col),
+        )
+        .limit(k)
     )

@@ -1073,3 +1073,159 @@ def test_gopher_rules_planted_violations(spark):
     assert not got[9].rule_stop_words
     for i in range(1, 10):
         assert not got[i].gopher_keep, i
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/sampling.dsir_select)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_python_twin(rows, target_ids, k, n_buckets=512, noise=True):
+    """Pure-python DSIR: same featurization, smoothing, nano-rounding,
+    Gumbel perturbation, and tie-break as the Spark operator."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    def feats(text):
+        t = (
+            re.split(r"\s+", text.strip().lower())
+            if text and text.strip()
+            else []
+        )
+        f = list(t) + [a + "\x01" + b for a, b in zip(t, t[1:])]
+        return Counter(
+            int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % n_buckets
+            for x in f
+        )
+
+    raw, tgt, per = Counter(), Counter(), {}
+    for doc_id, text in rows:
+        c = feats(text)
+        per[doc_id] = c
+        raw.update(c)
+        if doc_id in target_ids:
+            tgt.update(c)
+    rn, tn, b = sum(raw.values()), sum(tgt.values()), float(n_buckets)
+    lam = {
+        bk: round(
+            (
+                math.log((tgt.get(bk, 0) + 1.0) / (tn + b))
+                - math.log((raw[bk] + 1.0) / (rn + b))
+            )
+            * 1e9
+        )
+        for bk in raw
+    }
+
+    def gumbel(i):
+        u = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) + 0.5
+        ) / float(1 << 52)
+        return round(-math.log(-math.log(u)) * 1e9)
+
+    out = {}
+    for i, c in per.items():
+        if not c:
+            continue
+        w = sum(n * lam[bk] for bk, n in c.items())
+        key = w + gumbel(i) if noise else w
+        out[i] = (sum(c.values()), w, key)
+    top = sorted(
+        out,
+        key=lambda i: (
+            -out[i][2],
+            hashlib.md5(str(i).encode()).hexdigest(),
+            i,
+        ),
+    )[:k]
+    return {i: out[i] for i in top}
+
+
+def test_dsir_select_matches_python_twin(spark, docs):
+    """End-to-end exactness: the Spark selection (ids AND every integer
+    column) equals the pure-python reference on the fixture corpus."""
+    from global_market_index_etl_spark.operators.sampling import dsir_select
+
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    en = {r.doc_id for r in docs.filter(F.col("lang") == "en").collect()}
+    expected = _dsir_python_twin(rows, en, 15, n_buckets=512)
+
+    got = {
+        r.doc_id: (r.n_feat, r.w_nano, r.key_nano)
+        for r in dsir_select(
+            docs, F.col("lang") == "en", 15, n_buckets=512
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_dsir_target_dataframe_form_matches_predicate_form(spark, docs):
+    """The external-target-corpus form (two DataFrames) and the in-corpus
+    predicate form compute the identical selection when the target
+    DataFrame IS the predicate's slice."""
+    from global_market_index_etl_spark.operators.sampling import dsir_select
+
+    via_pred = dsir_select(
+        docs, F.col("lang") == "en", 12, n_buckets=512
+    ).collect()
+    via_df = dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), 12, n_buckets=512
+    ).collect()
+    assert sorted(map(tuple, via_pred)) == sorted(map(tuple, via_df))
+
+
+def test_dsir_selection_skews_toward_target(spark, docs):
+    """The operator's point: the selected set over-represents the target
+    distribution. On the fixture corpus the English share must strictly
+    increase vs the raw corpus share (it roughly doubles)."""
+    from global_market_index_etl_spark.operators.sampling import dsir_select
+
+    n = docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    sel = dsir_select(docs, F.col("lang") == "en", max(n // 4, 5))
+    sel_en = (
+        sel.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    assert sel_en / sel.count() > n_en / n
+
+
+def test_dsir_greedy_mode_orders_by_weight(spark, docs):
+    """noise=False: key_nano == w_nano and the selection is the top-k by
+    weight — the cut is reproducible without the Gumbel perturbation."""
+    from global_market_index_etl_spark.operators.sampling import dsir_select
+
+    sel = dsir_select(
+        docs, F.col("lang") == "en", 10, n_buckets=512, noise=False
+    ).collect()
+    assert all(r.key_nano == r.w_nano for r in sel)
+    all_w = dsir_select(
+        docs, F.col("lang") == "en", 10**6, n_buckets=512, noise=False
+    ).collect()
+    top10 = sorted(all_w, key=lambda r: -r.w_nano)[:10]
+    assert sorted(r.w_nano for r in sel) == sorted(r.w_nano for r in top10)
+
+
+def test_dsir_validation_and_unscorable_docs(spark):
+    """k/n_buckets bounds raise; empty-text docs never appear in the
+    output (no features — explicitly unscorable)."""
+    from global_market_index_etl_spark.operators.sampling import (
+        dsir_ngram_features,
+        dsir_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "   "), (3, "")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_select(df, F.lit(True), 0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_ngram_features(df, n_buckets=1)
+    sel = dsir_select(df, F.lit(True), 10, n_buckets=64).collect()
+    assert [r.doc_id for r in sel] == [1]
+    # 3 unigrams + 2 bigrams
+    assert sel[0].n_feat == 5
