@@ -92,6 +92,9 @@ HEADLINE = [
     # the stream executes on the first rep and is cached per (process, sf),
     # so the median isolates the maintained-table read, like k6
     "stream_scd2_maintained",
+    # round 10: DSIR importance resampling — one checkpointed featurize
+    # pass + broadcast bucket models + distributed top-k
+    "samp_dsir_select",
 ]
 
 
