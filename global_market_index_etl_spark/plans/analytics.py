@@ -576,7 +576,7 @@ def tpch_q13_custdist(spark, sf):
     "(percentile_approx p50/p95/p99). Both are mergeable partial "
     "aggregates — constant memory per partition at any scale, one "
     "shuffle of sketch buffers, no exact-distinct row explosion. Tests "
-    "bound approx error against exact answers.",
+    "bound approx error against exact answers. Value-pinned: the full sf0.01 table must reproduce a sha256 fixture bit-for-bit (test_rows_only_queries_match_pinned_digest; reproducibility across disjoint parallelism verified before pinning).",
 )
 def sketch_event_profile(spark, sf):
     events = load_table(spark, sf, "events")

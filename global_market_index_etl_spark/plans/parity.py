@@ -837,7 +837,7 @@ def fx_asof_rate_fill(spark, sf):
     "per-ticker retry isolation; HTTP stubbed with a seeded deterministic "
     "OHLCV walk (no network in this sandbox), while partition planning / "
     "options / schema / iterator protocol are real and asserted standalone "
-    "in tests/test_market_source.py.",
+    "in tests/test_market_source.py. Value-pinned: the full sf0.01 table must reproduce a sha256 fixture bit-for-bit (test_rows_only_queries_match_pinned_digest; reproducibility across disjoint parallelism verified before pinning).",
 )
 def e1_pipeline_market_bars(spark, sf):
     import datetime as dt

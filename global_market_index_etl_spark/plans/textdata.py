@@ -379,7 +379,7 @@ def dedup_minhash_lsh(spark, sf):
     "derived from the corpus size (operators/dedup.auto_simhash_blocks): "
     "8-bit keys / radius ≤7 up to ~2·10^4 docs, widening to 16-bit keys / "
     "radius ≤3 beyond (the Manku-et-al. operating point) so the bucket "
-    "join never degenerates toward all-pairs. Cheapest near-dup tier.",
+    "join never degenerates toward all-pairs. Cheapest near-dup tier. Value-pinned: the full sf0.01 table must reproduce a sha256 fixture bit-for-bit (test_rows_only_queries_match_pinned_digest; reproducibility across disjoint parallelism verified before pinning).",
 )
 def dedup_simhash(spark, sf):
     return simhash_near_pairs(load_table(spark, sf, "documents"), max_hamming=7)
@@ -428,7 +428,7 @@ def ann_cosine_topk(spark, sf):
     None,  # hyperplane sampling is engine-side — recall checked in tests
     doc="ANN top-k via multi-table random-hyperplane LSH (16 tables × 6 "
     "bits): probes score only colliding buckets with the exact kernel. "
-    "Tests measure recall against ann_cosine_topk.",
+    "Tests measure recall against ann_cosine_topk. Value-pinned: the full sf0.01 table must reproduce a sha256 fixture bit-for-bit (test_rows_only_queries_match_pinned_digest; reproducibility across disjoint parallelism verified before pinning).",
 )
 def ann_lsh_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
@@ -508,7 +508,7 @@ def mm_binary_stats(spark, sf):
     "incl. 4:2:0, WAV, uncompressed AVI) exist behind decode_stub=False "
     "and are exercised in tests; this fixture feeds text bytes, so the "
     "driver run uses the stub decode. Batch shape, schema, row expansion, "
-    "and determinism are asserted in tests.",
+    "and determinism are asserted in tests. Value-pinned: the full sf0.01 table must reproduce a sha256 fixture bit-for-bit (test_rows_only_queries_match_pinned_digest; reproducibility across disjoint parallelism verified before pinning).",
 )
 def mm_decode_features(spark, sf):
     from ..operators.multimodal import (
@@ -547,7 +547,7 @@ def mm_decode_features(spark, sf):
     "Arrow-batched matmul), probes scan only their nprobe nearest lists, "
     "exact cosine re-rank inside. nprobe=n_lists degenerates to exact "
     "brute force (recall 1.0, asserted in tests) — the tunable "
-    "recall/cost dial of the similarity tier.",
+    "recall/cost dial of the similarity tier. Value-pinned: the full sf0.01 table must reproduce a sha256 fixture bit-for-bit (test_rows_only_queries_match_pinned_digest; reproducibility across disjoint parallelism verified before pinning).",
 )
 def ann_ivf_topk(spark, sf):
     from ..operators.similarity import ivf_cosine_topk
@@ -1063,7 +1063,7 @@ def curation_pipeline(spark, sf):
     "cluster id: Σ|cluster|², never |corpus|²), duplicate groups via "
     "cost-based connected components, survivor = the group member "
     "closest to its cluster centroid. Returns (vec_id, cluster_id, "
-    "group_id, keep) for every vector.",
+    "group_id, keep) for every vector. Value-pinned: the full sf0.01 table must reproduce a sha256 fixture bit-for-bit (test_rows_only_queries_match_pinned_digest; reproducibility across disjoint parallelism verified before pinning).",
 )
 def dedup_semantic(spark, sf):
     from ..operators.similarity import semantic_dedup

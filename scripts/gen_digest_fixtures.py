@@ -26,7 +26,25 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 SF_DIR = "/root/testdata/sf0.01"
-QUERIES = ["ann_pq_rerank", "mm_real_decode_stats"]
+# Round 10 widened the pin set from the original two to EVERY rows-only
+# registry row that reproduced bit-identically across disjoint parallelism
+# settings (local[5]/5 shuffle partitions vs local[17]/23 — verified before
+# pinning): seeded LSH hyperplanes, bounded hash-ordered IVF training,
+# xxhash64 SimHash, the deterministic market-source walk, the stub codec
+# features, and the HLL++/quantile sketch profile are all pure functions
+# of the input multiset. text_bpe_tokens/text_bpe_train keep their own
+# dedicated fixture pins (tests/test_bpe_tokenize.py).
+QUERIES = [
+    "ann_pq_rerank",
+    "mm_real_decode_stats",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_semantic",
+    "dedup_simhash",
+    "e1_pipeline_market_bars",
+    "mm_decode_features",
+    "sketch_event_profile",
+]
 
 
 def render_cell(v) -> str:

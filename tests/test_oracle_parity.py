@@ -57,14 +57,33 @@ def test_oracle_type_lint_catches_seeded_hugeint():
     assert "HUGEINT" not in ORACLE_TYPE_ALLOWLIST
 
 
-@pytest.mark.parametrize("name", ["ann_pq_rerank", "mm_real_decode_stats"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ann_pq_rerank",
+        "mm_real_decode_stats",
+        # round 10: every remaining rows-only row whose output reproduced
+        # bit-identically across disjoint parallelism settings before
+        # pinning (scripts/gen_digest_fixtures.py has the verification
+        # note) — the BPE rows keep their dedicated fixture pins
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "dedup_semantic",
+        "dedup_simhash",
+        "e1_pipeline_market_bars",
+        "mm_decode_features",
+        "sketch_event_profile",
+    ],
+)
 def test_rows_only_queries_match_pinned_digest(spark, name):
     """Value-pin the rows-only rows at fixture strength (round-9 verdict
-    item 4): the FULL sf0.01 table must reproduce, bit-for-bit, the sha256
-    frozen by scripts/gen_digest_fixtures.py. Both queries are
-    deterministic by construction (PQ: bounded hash-ordered codebook
-    training + fixed-order ADC folds; codecs: byte-exact encoders), with
-    the arithmetic independently parity-tested against pure-numpy
+    item 4, widened to the full rows-only set in round 10): the FULL
+    sf0.01 table must reproduce, bit-for-bit, the sha256 frozen by
+    scripts/gen_digest_fixtures.py. Each query is deterministic by
+    construction (seeded LSH hyperplanes, bounded hash-ordered IVF/PQ
+    training, fixed-order ADC folds, byte-exact codecs, the seeded
+    market-source walk, commutative sketch merges), with the arithmetic
+    independently parity-tested against exact counterparts or pure-numpy
     references — the digest catches silent drift those per-component
     twins cannot see."""
     import hashlib
