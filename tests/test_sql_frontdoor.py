@@ -371,3 +371,74 @@ def test_sql_frontdoor_count_min_sketch(spark):
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_df.collect())
     )
+
+
+def test_sql_frontdoor_dsir_select(spark):
+    """DSIR importance resampling as plain spark.sql: hashed unigram+bigram
+    features, add-one-smoothed bucket multinomials, nano-nat log-ratio
+    rounding, Gumbel top-k from md5(doc_id) — the full derivation in
+    Spark SQL must equal sampling.dsir_select row-for-row (every integer
+    column, not just the selected ids)."""
+    from global_market_index_etl_spark.operators.sampling import dsir_select
+
+    register_views(spark, SF_SMALL)
+    import pyspark.sql.functions as F
+
+    via_sql = spark.sql(
+        r"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(trim(text)) = 0 THEN array()
+                      ELSE split(trim(lower(text)), '\\s+') END AS t
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, lang, f
+          FROM toks
+          LATERAL VIEW explode(
+            concat(t, zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+                               slice(t, 2, greatest(size(t) - 1, 0)),
+                               (a, b) -> concat(a, chr(1), b)))) AS f
+        ), feat AS (
+          SELECT doc_id, lang,
+                 CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT) % 512
+                   AS bucket,
+                 count(*) AS cnt
+          FROM feats GROUP BY 1, 2, 3
+        ), models AS (
+          SELECT bucket, sum(cnt) AS rc,
+                 sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS tc
+          FROM feat GROUP BY 1
+        ), tot AS (
+          SELECT sum(rc) AS rn, sum(tc) AS tn FROM models
+        ), lam AS (
+          SELECT m.bucket,
+                 CAST(round((ln((m.tc + 1.0)
+                                / (CAST(tot.tn AS DOUBLE) + 512.0))
+                           - ln((m.rc + 1.0)
+                                / (CAST(tot.rn AS DOUBLE) + 512.0)))
+                          * 1000000000) AS BIGINT) AS lambda_nano
+          FROM models m CROSS JOIN tot
+        ), w AS (
+          SELECT f.doc_id,
+                 CAST(sum(f.cnt) AS BIGINT) AS n_feat,
+                 CAST(sum(f.cnt * l.lambda_nano) AS BIGINT) AS w_nano
+          FROM feat f JOIN lam l USING (bucket)
+          GROUP BY 1
+        )
+        SELECT doc_id, n_feat, w_nano,
+               CAST(w_nano + CAST(round(-ln(-ln(
+                   (CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13),
+                              16, 10) AS DOUBLE) + 0.5)
+                   / 4503599627370496.0)) * 1000000000) AS BIGINT)
+                 AS BIGINT) AS key_nano
+        FROM w
+        ORDER BY key_nano DESC, md5(CAST(doc_id AS STRING)), doc_id
+        LIMIT 15
+        """
+    )
+    via_df = dsir_select(
+        spark.table("documents"), F.col("lang") == "en", 15, n_buckets=512
+    )
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
