@@ -171,3 +171,49 @@ def test_selective_filters_reach_the_scan(spark, name):
             f"{name}: expected pushdown fragment {fragment!r} missing — "
             f"PushedFilters: {pushed[:200]}"
         )
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_doc_prepartition_reused_across_feature_aggregations(spark):
+    """Partitioning-reuse guard (round 10): DSIR featurization and the
+    span-dedup profile pre-partition the DOCUMENTS by id, and every
+    downstream id-keyed aggregation must reuse that partitioning. The
+    static plan therefore carries exactly ONE document-keyed hash
+    exchange — the one that moves one row per document — and NO exchange
+    keyed on (doc_id, bucket)/(doc_id, window) feature rows, which is the
+    regression this guards against (a 4.3M-row shuffle at sf1 vs 50k;
+    ~170× the payload at corpus scale)."""
+    from global_market_index_etl_spark.operators.sampling import dsir_select
+    from global_market_index_etl_spark.operators.spans import (
+        duplicate_window_profile,
+    )
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents")
+
+    plan = _formatted_plan(dsir_select(docs, F.col("lang") == "en", 10))
+    # the feature-row aggregation key would appear as
+    # hashpartitioning(doc_id, _groupingexpression...) or
+    # hashpartitioning(doc_id, bucket...)
+    assert not re.search(
+        r"hashpartitioning\(doc_id\S*, (?:__tgt|_groupingexpression|bucket)",
+        plan,
+    ), "DSIR feature rows are being shuffled — doc pre-partition regressed"
+    assert re.search(r"hashpartitioning\(doc_id\S*, \d+\)", plan), (
+        "expected the one-row-per-document repartition exchange"
+    )
+
+    plan = _formatted_plan(duplicate_window_profile(docs))
+    assert not re.search(
+        r"hashpartitioning\(doc_id\S*, (?:_groupingexpression|__w)", plan
+    ), "span windows are being shuffled by (doc, window) — regressed"
+    assert re.search(r"hashpartitioning\(doc_id\S*, \d+\)", plan)
