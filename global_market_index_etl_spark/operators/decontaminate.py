@@ -124,3 +124,129 @@ def decontaminate(
     """
     hits = contamination_hits(corpus, eval_df, id_col, text_col, n, min_hits)
     return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """NEAR-duplicate contamination: ``(doc_id, eval_id, jaccard)`` for
+    every (training doc, eval doc) pair with n-gram Jaccard ≥ threshold.
+
+    Exact n-gram overlap (:func:`contamination_hits`) misses lightly
+    edited benchmark copies — reworded prompts, shuffled answer options,
+    whitespace-mangled passages — which production decontamination
+    (GPT-3 appx. C, Llama 2 §A.6) treats with fuzzy matching. This is the
+    MinHash+LSH tier applied CROSS-corpus: both sides are signed with the
+    identical seeded family (``dedup.minhash_index`` — same seed ⇒ same
+    buckets, the property incremental dedup already rests on), the eval
+    side's band table is broadcast, and the corpus band table probes it
+    with a broadcast hash join — the corpus is never shuffled against the
+    eval set. Candidates are verified EXACTLY per pair via
+    ``array_intersect`` on the hashed-shingle arrays (the
+    ``dedup._verify_jaccard`` arithmetic), so banding only ever drops
+    pairs below its catch probability, never admits a false positive.
+
+    Scale: the corpus-side cost is one signing pass (or zero — pass
+    ``corpus_index=(band_rows, arrays)`` from a persisted
+    ``minhash_index`` to decontaminate against a new benchmark without
+    re-reading the corpus); the join output is benchmark-overlap-sized.
+    The eval side is small by construction (thousands of docs), so its
+    bands and arrays broadcast.
+    """
+    from .dedup import _verify_jaccard, minhash_index  # shared arithmetic
+
+    if corpus_index is not None:
+        c_bands, c_arrays = corpus_index
+    else:
+        c_bands, c_arrays = minhash_index(
+            corpus, id_col, text_col, n, num_hashes, bands, seed
+        )
+    e_bands, e_arrays = minhash_index(
+        eval_df, eval_id_col, text_col, n, num_hashes, bands, seed
+    )
+    e_bands = e_bands.select(
+        F.col(eval_id_col).alias("__eval_id"), "band", "bucket"
+    )
+    candidates = (
+        c_bands.join(F.broadcast(e_bands), ["band", "bucket"])
+        .select(F.col(id_col).alias("id_1"), F.col("__eval_id").alias("id_2"))
+        .distinct()
+    )
+    # cross-table verify: corpus arrays on id_1, broadcast eval arrays on
+    # id_2 — the id namespaces are distinct relations, so equal ids on the
+    # two sides are two different documents, never a self-pair
+    a1 = c_arrays.select(
+        F.col(id_col).alias("id_1"),
+        F.col("__sh").alias("__sh1"),
+        F.size("__sh").alias("n_1"),
+    )
+    a2 = e_arrays.select(
+        F.col(eval_id_col).alias("id_2"),
+        F.col("__sh").alias("__sh2"),
+        F.size("__sh").alias("n_2"),
+    )
+    n_common = F.size(F.array_intersect("__sh1", "__sh2"))
+    return (
+        candidates.join(a1, "id_1")
+        .join(F.broadcast(a2), "id_2")
+        .withColumn("__nc", n_common)
+        .withColumn(
+            "jaccard",
+            F.col("__nc")
+            * F.lit(1.0)
+            / (F.col("n_1") + F.col("n_2") - F.col("__nc")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_1").alias(id_col),
+            F.col("id_2").alias("eval_id"),
+            "jaccard",
+        )
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """The fuzzily-clean corpus: anti-join away every training document
+    whose n-gram Jaccard against ANY eval document reaches ``threshold``.
+    The flagged set is benchmark-overlap-sized, so AQE plans the anti
+    join as a broadcast and the corpus passes through at scan speed."""
+    flagged = fuzzy_contamination_pairs(
+        corpus,
+        eval_df,
+        id_col=id_col,
+        text_col=text_col,
+        eval_id_col=eval_id_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
+        corpus_index=corpus_index,
+    )
+    return corpus.join(
+        flagged.select(id_col).distinct(), id_col, "left_anti"
+    )

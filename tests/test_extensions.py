@@ -2668,3 +2668,105 @@ def test_build_index_rejects_unknown_quantize(spark, tmp_path):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
     with pytest.raises(ValueError, match="quantize"):
         ivf_build_index(emb, str(tmp_path / "i"), quantize="int4")
+
+
+def test_fuzzy_contamination_catches_edited_benchmark_copy(spark):
+    """The fuzzy tier's whole point: a lightly edited eval copy that EXACT
+    decontamination at a strict min_hits threshold under-flags is caught
+    by Jaccard >= 0.8; a genuinely unrelated doc stays clean. Every
+    reported pair carries the exact verified Jaccard."""
+    from global_market_index_etl_spark.operators.decontaminate import (
+        fuzzy_contamination_pairs,
+        fuzzy_decontaminate,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew hex elixirs at midnight near the old stone bridge"
+    )
+    # one word substituted -> ~3 of ~20 3-grams differ, Jaccard ~ 0.85
+    edited = base.replace("midnight", "noon")
+    eval_df = spark.createDataFrame(
+        [(77, base)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, edited),
+            (2, "completely different subject matter about spark plans "
+                "and shuffle exchanges and adaptive execution at scale"),
+            (3, base),  # verbatim copy
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_id, r.eval_id): r.jaccard
+        for r in fuzzy_contamination_pairs(
+            corpus, eval_df, threshold=0.8
+        ).collect()
+    }
+    assert set(pairs) == {(1, 77), (3, 77)}
+    assert pairs[(3, 77)] == 1.0
+    assert 0.8 <= pairs[(1, 77)] < 1.0
+    clean = fuzzy_decontaminate(corpus, eval_df, threshold=0.8)
+    assert [r.doc_id for r in clean.collect()] == [2]
+
+
+def test_fuzzy_contamination_matches_exact_cross_jaccard(spark, docs):
+    """On the fixture corpus (where banding at threshold 0.8 catches the
+    exact pair set — the established minhash property), the fuzzy pairs
+    against an eval slice equal the brute-force exact cross-Jaccard,
+    value for value."""
+    import itertools
+    import re as _re
+
+    from global_market_index_etl_spark.operators.decontaminate import (
+        fuzzy_contamination_pairs,
+    )
+
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    got = {
+        (r.doc_id, r.eval_id): round(r.jaccard, 12)
+        for r in fuzzy_contamination_pairs(
+            docs, eval_df, threshold=0.8
+        ).collect()
+    }
+
+    def grams(text):
+        t = _re.split(r"\s+", text.strip().lower()) if text.strip() else []
+        return {
+            " ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 0))
+        }
+
+    c_rows = [(r.doc_id, grams(r.text)) for r in docs.collect()]
+    e_rows = [(r.doc_id, grams(r.text)) for r in eval_df.collect()]
+    expected = {}
+    for (cid, cg), (eid, eg) in itertools.product(c_rows, e_rows):
+        if not cg or not eg:
+            continue
+        j = len(cg & eg) / len(cg | eg)
+        if j >= 0.8:
+            expected[(cid, eid)] = round(j, 12)
+    assert got == expected
+    assert expected, "fixture slice must contain at least one true pair"
+
+
+def test_fuzzy_contamination_reuses_persisted_corpus_index(spark, docs):
+    """corpus_index short-circuits the corpus signing: pairs computed from
+    a prebuilt minhash_index equal the from-text pairs exactly — the
+    decontaminate-new-benchmark-without-rereading-the-corpus path."""
+    from global_market_index_etl_spark.operators.dedup import minhash_index
+    from global_market_index_etl_spark.operators.decontaminate import (
+        fuzzy_contamination_pairs,
+    )
+
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    from_text = fuzzy_contamination_pairs(docs, eval_df).collect()
+    idx = minhash_index(docs)
+    from_index = fuzzy_contamination_pairs(
+        docs, eval_df, corpus_index=idx
+    ).collect()
+    assert sorted(map(tuple, from_text)) == sorted(map(tuple, from_index))
