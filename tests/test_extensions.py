@@ -2682,9 +2682,13 @@ def test_fuzzy_contamination_catches_edited_benchmark_copy(spark):
 
     base = (
         "the quick brown fox jumps over the lazy dog while seven wizards "
-        "brew hex elixirs at midnight near the old stone bridge"
+        "brew hex elixirs at midnight near the old stone bridge as "
+        "silver moths drift across the quiet harbor and distant bells "
+        "ring twelve times from the ancient clocktower above town"
     )
-    # one word substituted -> ~3 of ~20 3-grams differ, Jaccard ~ 0.85
+    # one interior word substituted flips 3 of the 40 distinct 3-grams:
+    # true Jaccard = 37/43 ~ 0.860 >= the 0.8 threshold (one edit in a
+    # text needs >= 27 distinct shingles to survive (S-3)/(S+3) >= 0.8)
     edited = base.replace("midnight", "noon")
     eval_df = spark.createDataFrame(
         [(77, base)], "doc_id long, text string"
