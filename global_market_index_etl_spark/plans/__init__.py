@@ -46,16 +46,11 @@ DRIVER_WINDOW = 50
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
-    # round 10: curation_pipeline_v3 changed MATERIALLY — the oracle's
-    # HUGEINT fix (CAST(sum(nano) AS BIGINT), the r9 hash-failure root
-    # cause) AND the mix step swapped to token-weighted quotas (verdict
-    # item 5); text_ppl_buckets inherits the same oracle CAST fix. Both
-    # were checked (and failed) in r9, so staleness alone would rotate
-    # them out — pin them. The new rows (text_gopher_rules,
-    # stream_scd2_maintained, samp_policy_suite) need no pin:
-    # never-checked queries sort at staleness 0 by themselves.
-    "curation_pipeline_v3",
-    "text_ppl_buckets",
+    # round 11: no pins needed. The r10 pins (curation_pipeline_v3,
+    # text_ppl_buckets) went hash-green in r10, so staleness handles them
+    # from here. The new rows (decon_fuzzy_overlap, stream_interval_join)
+    # and the renamed fused suites need no pin: never-checked queries sort
+    # at staleness 0 by themselves.
 ]
 
 _ROOT = _os.path.dirname(

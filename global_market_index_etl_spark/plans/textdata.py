@@ -612,6 +612,77 @@ def decon_eval_overlap(spark, sf):
 
 
 @query(
+    "decon_fuzzy_overlap",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ), eval AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), cw AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM corpus WHERE length(trim(text)) > 0
+    ), cpos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM cw
+    ), csh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM cpos a
+      JOIN cpos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN cpos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), ew AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM eval WHERE length(trim(text)) > 0
+    ), epos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM ew
+    ), esh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM epos a
+      JOIN epos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN epos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+    esz AS (SELECT doc_id, count(*) AS n FROM esh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
+             CAST(count(*) AS BIGINT) AS nc
+      FROM csh c JOIN esh e ON c.shingle = e.shingle GROUP BY 1, 2
+    )
+    SELECT inter.doc_id AS doc_id, inter.eval_id AS eval_id,
+           nc * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT) - nc)
+             AS jaccard
+    FROM inter
+    JOIN csz s1 ON inter.doc_id = s1.doc_id
+    JOIN esz s2 ON inter.eval_id = s2.doc_id
+    WHERE nc * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT) - nc) >= 0.8
+    """,
+    doc="FUZZY benchmark decontamination (operators/decontaminate.py "
+    "fuzzy_contamination_pairs) — the near-duplicate tier exact n-gram "
+    "overlap misses: lightly edited benchmark copies, the case GPT-3 "
+    "appx. C / Llama 2 §A.6 handle with fuzzy matching. Both corpora are "
+    "signed with the IDENTICAL seeded MinHash family (same seed ⇒ same "
+    "buckets), the eval side's band table and shingle arrays broadcast, "
+    "the corpus probes them with broadcast hash joins — the corpus is "
+    "never shuffled against the eval set, and its signing pass is "
+    "reusable via corpus_index from a persisted minhash_index. Every "
+    "LSH candidate is verified EXACTLY (array_intersect Jaccard, the "
+    "dedup verify arithmetic), so banding only drops sub-threshold "
+    "pairs, never admits false positives. The ORACLE is the exact "
+    "cross-corpus Jaccard in SQL (the dedup_ngram_jaccard fragment, "
+    "corpus×eval instead of self-join): sound because banding at b=8, "
+    "r=4 recovers every ≥0.8 pair on the fixture corpora — pair-set "
+    "equality vs brute force is pinned in "
+    "test_fuzzy_contamination_matches_exact_cross_jaccard.",
+)
+def decon_fuzzy_overlap(spark, sf):
+    from ..operators.decontaminate import fuzzy_contamination_pairs
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0)
+    return fuzzy_contamination_pairs(corpus, eval_df, threshold=0.8)
+
+
+@query(
     "samp_train_split",
     """
     SELECT doc_id,
