@@ -952,9 +952,20 @@ def tpch_q22_idle_capital(spark, sf):
 
 
 @query(
-    "r2_pivot_event_matrix",
+    "ts_reshape_suite",
     """
-    SELECT user_id,
+    WITH numbered AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_asc,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_desc
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT 'pivot' AS leg, user_id, CAST(NULL AS DATE) AS day,
+           CAST(NULL AS DOUBLE) AS open, CAST(NULL AS DOUBLE) AS high,
+           CAST(NULL AS DOUBLE) AS low, CAST(NULL AS DOUBLE) AS close,
+           CAST(NULL AS BIGINT) AS n_obs,
            CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click_n,
            CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view_n,
            CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
@@ -966,16 +977,71 @@ def tpch_q22_idle_capital(spark, sf):
                 FILTER (event_type = 'purchase') AS BIGINT) / 100.0
              AS purchase_value
     FROM events GROUP BY user_id
+    UNION ALL
+    SELECT 'ohlc' AS leg, user_id, day,
+           CAST(min(CASE WHEN rn_asc = 1 THEN value END) AS DOUBLE) AS open,
+           max(value) AS high, min(value) AS low,
+           CAST(min(CASE WHEN rn_desc = 1 THEN value END) AS DOUBLE) AS close,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(NULL AS BIGINT) AS click_n, CAST(NULL AS BIGINT) AS view_n,
+           CAST(NULL AS BIGINT) AS purchase_n,
+           CAST(NULL AS BIGINT) AS signup_n,
+           CAST(NULL AS BIGINT) AS error_n,
+           CAST(NULL AS DOUBLE) AS purchase_value
+    FROM numbered GROUP BY user_id, day
     """,
-    doc="Long→wide pivot (the reshape direction the reference lacks, "
-    "SURVEY §2.3): per-user event-type count matrix + pivoted exact-cents "
-    "purchase value. Pivot values are PINNED (no df.pivot() inference "
-    "job — an extra distinct scan at scale); Catalyst compiles the "
-    "pinned pivot to the same conditional partial aggregates the "
-    "oracle's FILTER clauses express, one shuffle total. A null pivoted "
-    "sum (user with no purchases) stays null on both engines.",
+    doc="Reshape/resample suite — the former r2_pivot_event_matrix + "
+    "ts_resample_daily rows fused as tagged legs (round-10 verdict item "
+    "3, registry headroom; both plans execute unchanged inside the "
+    "union, samp_policy_suite discipline). 'pivot' leg: long→wide pivot "
+    "(the reshape direction the reference lacks, SURVEY §2.3) — per-user "
+    "event-type count matrix + pivoted exact-cents purchase value; pivot "
+    "values PINNED (no df.pivot() inference job — an extra distinct scan "
+    "at scale), Catalyst compiles to the same conditional partial "
+    "aggregates the oracle's FILTER clauses express, one shuffle; a null "
+    "pivoted sum stays null on both engines. 'ohlc' leg: time-series "
+    "resample to daily OHLC bars — the canonical downstream query for "
+    "the reference's 60-minute bar store (README.md:7 'financial "
+    "analysis, backtesting'); first/last made deterministic with "
+    "explicit (ts, event_id) row numbering, the two windows and the "
+    "final aggregate share one hash shuffle on (user_id, day).",
 )
-def r2_pivot_event_matrix(spark, sf):
+def ts_reshape_suite(spark, sf):
+    pivot = _r2_pivot_event_matrix(spark, sf).select(
+        F.lit("pivot").alias("leg"),
+        "user_id",
+        F.lit(None).cast("date").alias("day"),
+        *[
+            F.lit(None).cast("double").alias(c)
+            for c in ("open", "high", "low", "close")
+        ],
+        F.lit(None).cast("long").alias("n_obs"),
+        "click_n",
+        "view_n",
+        "purchase_n",
+        "signup_n",
+        "error_n",
+        "purchase_value",
+    )
+    ohlc = _ts_resample_daily(spark, sf).select(
+        F.lit("ohlc").alias("leg"),
+        "user_id",
+        "day",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_obs",
+        *[
+            F.lit(None).cast("long").alias(c)
+            for c in ("click_n", "view_n", "purchase_n", "signup_n", "error_n")
+        ],
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    return pivot.unionByName(ohlc)
+
+
+def _r2_pivot_event_matrix(spark, sf):
     events = load_table(spark, sf, "events")
     kinds = ["click", "view", "purchase", "signup", "error"]
     aggs = [
@@ -993,35 +1059,7 @@ def r2_pivot_event_matrix(spark, sf):
     )
 
 
-@query(
-    "ts_resample_daily",
-    """
-    WITH numbered AS (
-      SELECT user_id, CAST(ts AS DATE) AS day, value, ts, event_id,
-             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-                                ORDER BY ts, event_id) AS rn_asc,
-             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-                                ORDER BY ts DESC, event_id DESC) AS rn_desc
-      FROM events WHERE value IS NOT NULL
-    )
-    SELECT user_id, day,
-           CAST(min(CASE WHEN rn_asc = 1 THEN value END) AS DOUBLE) AS open,
-           max(value) AS high, min(value) AS low,
-           CAST(min(CASE WHEN rn_desc = 1 THEN value END) AS DOUBLE) AS close,
-           CAST(count(*) AS BIGINT) AS n_obs
-    FROM numbered GROUP BY user_id, day
-    """,
-    doc="Time-series resample to daily OHLC bars — the canonical "
-    "downstream query for the reference's 60-minute bar store "
-    "(README.md:7 'financial analysis, backtesting'), expressed over the "
-    "events stream. first/last are made deterministic with explicit "
-    "(ts, event_id) row numbering instead of engine-specific "
-    "first()/arg_min tie behavior; high/low/count are plain aggregates. "
-    "The two windows and the final aggregate share one hash shuffle on "
-    "(user_id, day) — Catalyst plans a single Exchange because the "
-    "window and group keys match.",
-)
-def ts_resample_daily(spark, sf):
+def _ts_resample_daily(spark, sf):
     events = load_table(spark, sf, "events").filter(
         F.col("value").isNotNull()
     )
@@ -1992,7 +2030,7 @@ def a5_exact_percentiles(spark, sf):
 
 
 @query(
-    "evt_funnel_conversion",
+    "evt_behavior_suite",
     """
     WITH w AS (
       SELECT user_id, event_type, ts,
@@ -2006,24 +2044,79 @@ def a5_exact_percentiles(spark, sf):
              min(CASE WHEN event_type = 'purchase' AND ts >= fs THEN ts END)
                AS first_purchase
       FROM w GROUP BY user_id
+    ), firsts AS (
+      SELECT user_id, event_type, ts,
+             min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id,
+             date_trunc('week', first_ts) AS cohort_week,
+             CAST(floor((epoch_us(ts) - epoch_us(date_trunc('week', first_ts)))
+                  / (7.0 * 86400.0 * 1000000.0)) AS BIGINT) AS week_offset
+      FROM firsts
     )
-    SELECT user_id, first_signup, first_purchase,
+    SELECT 'funnel' AS leg, user_id, first_signup, first_purchase,
            first_purchase IS NOT NULL AS converted,
            epoch_us(first_purchase) - epoch_us(first_signup)
-             AS micros_to_convert
+             AS micros_to_convert,
+           CAST(NULL AS TIMESTAMP) AS cohort_week,
+           CAST(NULL AS BIGINT) AS week_offset,
+           CAST(NULL AS BIGINT) AS active_users
     FROM agg WHERE first_signup IS NOT NULL
+    UNION ALL
+    SELECT 'retention' AS leg, CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS TIMESTAMP) AS first_signup,
+           CAST(NULL AS TIMESTAMP) AS first_purchase,
+           FALSE AS converted,
+           CAST(NULL AS BIGINT) AS micros_to_convert,
+           cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM marked
+    GROUP BY cohort_week, week_offset
     """,
-    doc="Sequential funnel analysis — first signup, first purchase AT OR "
-    "AFTER it, conversion flag, exact micros-to-convert. The ordering "
-    "constraint ('purchase after signup') runs as a per-key window min "
-    "+ conditional aggregate: the analytic window and the groupBy share "
-    "the user_id hash partitioning, so Catalyst plans ONE Exchange for "
-    "the whole funnel — no self-join, no re-shuffle. Null propagation "
-    "(never-signed-up users dropped, never-converted keep NULL "
-    "timestamps) matches the oracle exactly; micros arithmetic keeps "
-    "the latency column integer-exact.",
+    doc="Event-behavior suite — the former evt_funnel_conversion + "
+    "evt_retention_cohorts rows fused as tagged legs (round-10 verdict "
+    "item 3, registry headroom; both plans execute unchanged inside the "
+    "union, samp_policy_suite discipline). 'funnel' leg: sequential "
+    "funnel analysis — first signup, first purchase AT OR AFTER it, "
+    "conversion flag, exact micros-to-convert; the ordering constraint "
+    "runs as a per-key window min + conditional aggregate sharing ONE "
+    "user_id Exchange — no self-join. 'retention' leg: cohort matrix — "
+    "users grouped by first-activity week (per-user window min), counted "
+    "distinct per (cohort, weeks-since-cohort); offset arithmetic on "
+    "integer epoch-micros, date_trunc('week') ISO-Monday on both "
+    "engines; distinct-user counting shuffles pre-deduped map-side.",
 )
-def evt_funnel_conversion(spark, sf):
+def evt_behavior_suite(spark, sf):
+    funnel = _evt_funnel_conversion(spark, sf).select(
+        F.lit("funnel").alias("leg"),
+        "user_id",
+        "first_signup",
+        "first_purchase",
+        "converted",
+        "micros_to_convert",
+        F.lit(None).cast("timestamp_ntz").alias("cohort_week"),
+        F.lit(None).cast("long").alias("week_offset"),
+        F.lit(None).cast("long").alias("active_users"),
+    )
+    retention = _evt_retention_cohorts(spark, sf).select(
+        F.lit("retention").alias("leg"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("timestamp_ntz").alias("first_signup"),
+        F.lit(None).cast("timestamp_ntz").alias("first_purchase"),
+        # neutral FALSE, not NULL: a nullable BOOLEAN renders divergently
+        # across engines in the value hash (None vs NaN); every other
+        # filler column has a NaN-safe numeric/datetime family
+        F.lit(False).alias("converted"),
+        F.lit(None).cast("long").alias("micros_to_convert"),
+        "cohort_week",
+        "week_offset",
+        "active_users",
+    )
+    return funnel.unionByName(retention)
+
+
+def _evt_funnel_conversion(spark, sf):
     events = load_table(spark, sf, "events")
     is_signup = F.col("event_type") == "signup"
     is_purchase = F.col("event_type") == "purchase"
@@ -2052,36 +2145,7 @@ def evt_funnel_conversion(spark, sf):
     )
 
 
-@query(
-    "evt_retention_cohorts",
-    """
-    WITH firsts AS (
-      SELECT user_id, event_type, ts,
-             min(ts) OVER (PARTITION BY user_id) AS first_ts
-      FROM events
-    ), marked AS (
-      SELECT user_id,
-             date_trunc('week', first_ts) AS cohort_week,
-             CAST(floor((epoch_us(ts) - epoch_us(date_trunc('week', first_ts)))
-                  / (7.0 * 86400.0 * 1000000.0)) AS BIGINT) AS week_offset
-      FROM firsts
-    )
-    SELECT cohort_week, week_offset,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
-    FROM marked
-    GROUP BY cohort_week, week_offset
-    """,
-    doc="Retention cohort matrix — users grouped by first-activity week, "
-    "counted distinct per (cohort, weeks-since-cohort). The cohort "
-    "assignment is a per-user window min sharing the same user_id hash "
-    "partitioning as nothing else needs; the offset arithmetic runs on "
-    "integer epoch-micros (exact on both engines — floor of the same "
-    "IEEE quotient), and date_trunc('week') is ISO-Monday on both. At "
-    "scale: one shuffle on user_id for the window, one partial-agg "
-    "shuffle on the (cohort, offset) pair — distinct-user counting "
-    "shuffles (cohort, offset, user) pre-deduped map-side.",
-)
-def evt_retention_cohorts(spark, sf):
+def _evt_retention_cohorts(spark, sf):
     events = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id")
     first_ts = F.min("ts").over(w)

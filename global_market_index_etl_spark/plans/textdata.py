@@ -541,20 +541,35 @@ def mm_decode_features(spark, sf):
 
 @query(
     "ann_ivf_topk",
-    None,  # centroid sampling is engine-side — recall checked in tests
-    doc="ANN top-k via IVF coarse quantization (32 lists, nprobe=4): "
-    "corpus vectors bucket into their nearest-centroid list (one "
-    "Arrow-batched matmul), probes scan only their nprobe nearest lists, "
-    "exact cosine re-rank inside. nprobe=n_lists degenerates to exact "
-    "brute force (recall 1.0, asserted in tests) — the tunable "
-    "recall/cost dial of the similarity tier. Value-pinned: the full sf0.01 table must reproduce a sha256 fixture bit-for-bit (test_rows_only_queries_match_pinned_digest; reproducibility across disjoint parallelism verified before pinning).",
+    None,  # centroid sampling is engine-side — recall/exactness in tests
+    doc="ANN top-k via IVF coarse quantization, BOTH dials as tagged legs "
+    "(the former standalone ann_ivf_exhaustive row fused in, round-10 "
+    "verdict item 3 — registry headroom; both plans execute unchanged "
+    "inside the union, samp_policy_suite discipline). 'prod' leg: 32 "
+    "lists, nprobe=4 — corpus vectors bucket into their nearest-centroid "
+    "list (one Arrow-batched matmul), probes scan only their nprobe "
+    "nearest lists, exact cosine re-rank inside; the tunable recall/cost "
+    "dial of the similarity tier. 'exhaustive' leg: nprobe == n_lists "
+    "degenerates to EXACT brute force (recall 1.0) — proving the index "
+    "path itself loses nothing; tuple-equality vs cosine_topk (whose "
+    "brute-force SQL oracle stays driver-checked via ann_cosine_topk) is "
+    "asserted in tests. Value-pinned: the full sf0.01 table must "
+    "reproduce a sha256 fixture bit-for-bit "
+    "(test_rows_only_queries_match_pinned_digest; reproducibility across "
+    "disjoint parallelism verified before pinning).",
 )
 def ann_ivf_topk(spark, sf):
     from ..operators.similarity import ivf_cosine_topk
 
     emb = load_table(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(emb, probes, k=5, n_lists=32, nprobe=4)
+    prod = ivf_cosine_topk(emb, probes, k=5, n_lists=32, nprobe=4)
+    exhaustive = ivf_cosine_topk(emb, probes, k=5, n_lists=8, nprobe=8)
+    return prod.select(F.lit("prod").alias("leg"), *prod.columns).unionByName(
+        exhaustive.select(
+            F.lit("exhaustive").alias("leg"), *exhaustive.columns
+        )
+    )
 
 
 @query(
@@ -1341,65 +1356,75 @@ def dedup_containment_clusters(spark, sf):
 
 
 @query(
-    "dedup_span_windows",
-    r"""
-    WITH toks AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                          ' ') AS t
-      FROM documents
-    ), wins AS (
-      SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS w
-      FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - 6)) AS g(i)
-      WHERE len(t) >= 8
-    ), dup AS (
-      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) > 1
-    )
-    SELECT wins.doc_id,
+    "dedup_span_suite",
+    """
+    WITH{span}
+    SELECT 'removal' AS leg, doc_id, cleaned_text, n_tokens,
+           n_removed_tokens,
+           CAST(NULL AS BIGINT) AS n_windows,
+           CAST(NULL AS BIGINT) AS n_dup_windows
+    FROM rebuilt
+    UNION ALL
+    SELECT 'profile' AS leg, wins.doc_id,
+           CAST(NULL AS VARCHAR) AS cleaned_text,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS n_removed_tokens,
            CAST(count(*) AS BIGINT) AS n_windows,
            CAST(count(dup.w) AS BIGINT) AS n_dup_windows
     FROM wins LEFT JOIN dup ON wins.w = dup.w
     GROUP BY wins.doc_id
-    """,
-    doc="Exact duplicate-SPAN detection (operators/spans.py) — the "
-    "distributed re-expression of suffix-array substring dedup: 8-token "
-    "windows fingerprint boilerplate paragraphs shared verbatim across "
-    "otherwise-distinct documents, the per-doc summary counts how much "
-    "of each document is cross-doc duplicated text. Spark plan: "
-    "codegen tokenize → transform/explode windows → ONE shuffle on "
-    "(doc,window) with map-side combine → count-over-window for the "
-    "document frequency (no self-join) → per-doc aggregate. The oracle "
-    "computes the same profile via an explicit dup-set join.",
-)
-def dedup_span_windows(spark, sf):
-    from ..operators.spans import duplicate_window_profile
-    from ..operators.util import parallelize_small
-
-    docs = parallelize_small(load_table(spark, sf, "documents"))
-    return duplicate_window_profile(docs, doc_id="doc_id", text_col="text", k=8)
-
-
-@query(
-    "dedup_span_removal",
-    """
-    WITH{span}
-    SELECT doc_id, cleaned_text, n_tokens, n_removed_tokens FROM rebuilt
     """.format(span=_SQL_SPAN_REMOVAL_CTES.format(src="documents")),
-    doc="Exact duplicate-span REMOVAL (operators/spans.py) — the cleaning "
-    "step of suffix-array-style substring dedup, distributed: tokens "
-    "covered by any cross-document duplicate 8-token window are dropped "
-    "and each document is reconstructed in order. Entirely JVM-side "
+    doc="Duplicate-SPAN suite — the former dedup_span_windows + "
+    "dedup_span_removal rows fused as tagged legs (round-10 verdict item "
+    "3, registry headroom; both plans execute unchanged inside the "
+    "union, same discipline as samp_policy_suite). The distributed "
+    "re-expression of suffix-array substring dedup. 'profile' leg "
+    "(operators/spans.duplicate_window_profile): 8-token windows "
+    "fingerprint boilerplate paragraphs shared verbatim across "
+    "otherwise-distinct documents; codegen tokenize → transform/explode "
+    "windows → ONE shuffle on (doc,window) with map-side combine → "
+    "count-over-window document frequency (no self-join) → per-doc "
+    "aggregate. 'removal' leg (operators/spans.remove_duplicate_spans): "
+    "tokens covered by any cross-document duplicate window are dropped "
+    "and each document is reconstructed in order, entirely JVM-side "
     "(posexplode windows → dup-set aggregate → k-fanout covered indexes "
     "→ anti-join survivors → sort_array/array_join rebuild); every "
     "shuffle is keyed by window string or (doc, position) — linear in "
-    "corpus size. The oracle rebuilds the same text via string_agg.",
+    "corpus size. Both legs reuse a doc_id pre-partition across their "
+    "aggregations (plan-guarded). The oracle rebuilds both legs from one "
+    "shared CTE chain (dup-set join profile; string_agg text rebuild).",
 )
-def dedup_span_removal(spark, sf):
-    from ..operators.spans import remove_duplicate_spans
+def dedup_span_suite(spark, sf):
+    from ..operators.spans import (
+        duplicate_window_profile,
+        remove_duplicate_spans,
+    )
     from ..operators.util import parallelize_small
 
     docs = parallelize_small(load_table(spark, sf, "documents"))
-    return remove_duplicate_spans(docs, doc_id="doc_id", text_col="text", k=8)
+    removal = remove_duplicate_spans(
+        docs, doc_id="doc_id", text_col="text", k=8
+    ).select(
+        F.lit("removal").alias("leg"),
+        "doc_id",
+        "cleaned_text",
+        "n_tokens",
+        "n_removed_tokens",
+        F.lit(None).cast("long").alias("n_windows"),
+        F.lit(None).cast("long").alias("n_dup_windows"),
+    )
+    profile = duplicate_window_profile(
+        docs, doc_id="doc_id", text_col="text", k=8
+    ).select(
+        F.lit("profile").alias("leg"),
+        "doc_id",
+        F.lit(None).cast("string").alias("cleaned_text"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("n_removed_tokens"),
+        "n_windows",
+        "n_dup_windows",
+    )
+    return removal.unionByName(profile)
 
 
 
@@ -1636,49 +1661,6 @@ def text_gopher_rules(spark, sf):
 
 
 @query(
-    "ann_ivf_exhaustive",
-    """
-    WITH q AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10
-    ), pairs AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-             unnest(q.embedding) AS qv, unnest(e.embedding) AS ev
-      FROM q, embeddings e
-      WHERE e.vec_id <> q.vec_id
-    ), dots AS (
-      SELECT query_id, neighbor_id,
-             SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dot,
-             SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq,
-             SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ne
-      FROM pairs GROUP BY 1, 2
-    ), sims AS (
-      SELECT query_id, neighbor_id,
-             round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cos_sim
-      FROM dots
-    ), ranked AS (
-      SELECT query_id, neighbor_id, cos_sim,
-             CAST(row_number() OVER (PARTITION BY query_id
-                  ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
-      FROM sims)
-    SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
-    """,
-    doc="IVF with nprobe == n_lists — exhaustive probing degenerates to "
-    "EXACT brute force (recall 1.0), so the whole IVF machinery "
-    "(centroid training, one-list-per-vector assignment, probed-list "
-    "union, exact re-rank, tie-broken ranking) is driver-checkable "
-    "against the same brute-force SQL oracle as ann_cosine_topk. The "
-    "production dial (ann_ivf_topk, nprobe=4) keeps its recall tests; "
-    "this row proves the index path itself loses nothing.",
-)
-def ann_ivf_exhaustive(spark, sf):
-    from ..operators.similarity import ivf_cosine_topk
-
-    emb = load_table(spark, sf, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(emb, probes, k=5, n_lists=8, nprobe=8)
-
-
-@query(
     "ann_sq8_rerank",
     """
     WITH qc AS (
@@ -1733,7 +1715,7 @@ def ann_ivf_exhaustive(spark, sf):
     "memory bandwidth, the binding resource at 100 TB of embeddings), "
     "keeps rerank=20 candidates per query, and only those rows touch the "
     "float vectors again. nprobe == n_lists here, so the oracle needs no "
-    "centroid model — but unlike ann_ivf_exhaustive this row's oracle "
+    "centroid model — but unlike ann_ivf_topk's exhaustive leg this row's oracle "
     "reproduces the QUANTIZATION ARITHMETIC itself (cast/abs/max/round "
     "codes, integer dots, rounded quantized ranking, the R-cut, then the "
     "exact re-rank): recall losses from the int8 cut would hash-mismatch, "

@@ -73,7 +73,7 @@ def _dtype_family(s: pd.Series) -> str:
 
     Spark's toPandas renders DATE columns as object-of-datetime.date while
     DuckDB's fetchdf gives datetime64[us] — the driver normalizes both to
-    the same hash input (fx_asof_rate_fill/ts_resample_daily are
+    the same hash input (fx_asof_rate_fill/ts_reshape_suite are
     long-green), so date-like object columns classify as datetime."""
     if pd.api.types.is_datetime64_any_dtype(s):
         return "datetime"
