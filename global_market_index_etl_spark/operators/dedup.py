@@ -599,11 +599,25 @@ def simhash64(
 
     Implemented as 64 conditional sums in one aggregation — all JVM-side,
     single shuffle on the doc id. Fingerprint reassembled with bit ops.
+
+    The per-word 64-bit hash is built from the md5 hex digest (two 32-bit
+    halves from the first 16 hex chars, recombined with shift/or) instead
+    of Spark-internal ``xxhash64``: md5 produces the same hex on any
+    engine, so the signatures — and therefore the near-dup pair set — are
+    reproducible in portable SQL and driver-checkable against a DuckDB
+    oracle (round-10 verdict item 5; the same move that made hash_bucket
+    and the DSIR featurization oracle-able). Cost is one md5 per word
+    occurrence, still whole-stage codegen.
     """
     tokens = _parallelize_small(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("w")
     )
-    h = F.xxhash64("w")
+    hex_ = F.md5(F.col("w"))
+    hi = F.conv(F.substring(hex_, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hex_, 9, 8), 16, 10).cast("long")
+    # 32-bit halves recombined with pure bit ops — no multiply, so no
+    # ANSI overflow path; bit 63 lands in the sign bit deterministically
+    h = F.shiftleft(hi, 32).bitwiseOR(lo)
     votes = tokens.groupBy(id_col).agg(
         *[
             F.sum(

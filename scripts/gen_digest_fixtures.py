@@ -40,7 +40,7 @@ QUERIES = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "dedup_semantic",
-    "dedup_simhash",
+    # dedup_simhash graduated to a full DuckDB oracle in round 11
     "e1_pipeline_market_bars",
     "mm_decode_features",
     "sketch_event_profile",

@@ -69,7 +69,8 @@ def test_oracle_type_lint_catches_seeded_hugeint():
         "ann_ivf_topk",
         "ann_lsh_topk",
         "dedup_semantic",
-        "dedup_simhash",
+        # dedup_simhash graduated to a FULL DuckDB oracle in round 11
+        # (md5-derived word hashes made the signatures portable)
         "e1_pipeline_market_bars",
         "mm_decode_features",
         "sketch_event_profile",
