@@ -1075,6 +1075,7 @@ def connected_components_auto(
     id_col: str = "doc_id",
     driver_max_edges: int = 500_000,
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components with a cost-based execution pick — same output
     contract as :func:`connected_components` / ``_star``.
@@ -1090,15 +1091,22 @@ def connected_components_auto(
     O(log n)-round distributed path. Both paths produce the identical
     component-minimum labeling, so oracle checks cannot tell them apart —
     only the wall clock can.
+
+    ``checkpoint_dir``: fault-tolerant directory for the pair-set
+    materialization (util.truncate_lineage) — None keeps the fast
+    ``localCheckpoint`` (executor-loss fatal at cluster scale); a real
+    HDFS/S3 path makes the cut lineage survive executor loss.
     """
-    dedup_pairs = (
+    from .util import truncate_lineage
+
+    dedup_pairs = truncate_lineage(
         pairs.select(
             F.least("id_1", "id_2").alias("u"),
             F.greatest("id_1", "id_2").alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir=checkpoint_dir,
     )
     if dedup_pairs.count() > driver_max_edges:
         return connected_components_star(

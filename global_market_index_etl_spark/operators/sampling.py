@@ -585,6 +585,7 @@ def dsir_select(
     n_buckets: int = 4096,
     scale: int = 1_000_000_000,
     noise: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Top-``k`` raw documents by DSIR importance weight:
     ``(id, n_feat, w_nano, key_nano)`` where ``w_nano`` is the exact
@@ -599,22 +600,32 @@ def dsir_select(
     DataFrame (external target corpus, e.g. an eval/domain set —
     featurized independently; its documents need not be in ``raw``).
 
-    The feature table is materialized once (lazy ``localCheckpoint``)
-    because the model and the per-document weights both reduce it;
-    re-deriving it per consumer would re-scan the corpus (see the module
-    note). Magnitudes: |lambda_nano| <= ~25 * scale (add-one smoothing
-    bounds the ratio by the corpus sizes), so a billion-token document
-    still sits ~2^63 / 10^10 away from int64 overflow."""
+    The feature table is materialized once because the model and the
+    per-document weights both reduce it; re-deriving it per consumer
+    would re-scan the corpus (see the module note). By default that cut
+    is a lazy ``localCheckpoint`` (fast, executor-local blocks);
+    ``checkpoint_dir`` switches it to a RELIABLE checkpoint on a
+    fault-tolerant path so an executor loss at cluster scale recovers
+    instead of failing the job (util.truncate_lineage). Magnitudes:
+    |lambda_nano| <= ~25 * scale (add-one smoothing bounds the ratio by
+    the corpus sizes), so a billion-token document still sits
+    ~2^63 / 10^10 away from int64 overflow."""
+    from .util import truncate_lineage
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if isinstance(target, Column):
-        feat = dsir_ngram_features(
-            raw,
-            id_col=id_col,
-            text_col=text_col,
-            n_buckets=n_buckets,
-            flag=target,
-        ).localCheckpoint(eager=False)
+        feat = truncate_lineage(
+            dsir_ngram_features(
+                raw,
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=n_buckets,
+                flag=target,
+            ),
+            checkpoint_dir=checkpoint_dir,
+            eager=False,
+        )
         models = feat.groupBy("bucket").agg(
             F.sum("cnt").alias("__rc"),
             F.sum(
@@ -623,9 +634,13 @@ def dsir_select(
         )
         doc_feats = feat
     else:
-        rf = dsir_ngram_features(
-            raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets
-        ).localCheckpoint(eager=False)
+        rf = truncate_lineage(
+            dsir_ngram_features(
+                raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+            ),
+            checkpoint_dir=checkpoint_dir,
+            eager=False,
+        )
         tf = dsir_ngram_features(
             target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
         )

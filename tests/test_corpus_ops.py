@@ -1176,6 +1176,59 @@ def test_dsir_target_dataframe_form_matches_predicate_form(spark, docs):
     assert sorted(map(tuple, via_pred)) == sorted(map(tuple, via_df))
 
 
+def test_dsir_reliable_checkpoint_dir_matches_local_path(spark, docs, tmp_path):
+    """checkpoint_dir switches the feature-table materialization from
+    localCheckpoint (executor-loss fatal at cluster scale) to a RELIABLE
+    checkpoint under the given fault-tolerant directory (round-10 verdict
+    item 7): the selection is bit-identical either way, and the reliable
+    run actually writes RDD checkpoint data under the directory."""
+    import os
+
+    from global_market_index_etl_spark.operators.sampling import dsir_select
+
+    ckpt = str(tmp_path / "dsir_ckpt")
+    default = dsir_select(
+        docs, F.col("lang") == "en", 12, n_buckets=512
+    ).collect()
+    reliable = dsir_select(
+        docs,
+        F.col("lang") == "en",
+        12,
+        n_buckets=512,
+        checkpoint_dir=ckpt,
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, reliable))
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+
+def test_cc_auto_reliable_checkpoint_dir_matches_local_path(
+    spark, docs, tmp_path
+):
+    """Same dial on the clustering pair-set materialization: identical
+    components, checkpoint data on the fault-tolerant path."""
+    import os
+
+    from global_market_index_etl_spark.operators.dedup import (
+        connected_components_auto,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.8)
+    ckpt = str(tmp_path / "cc_ckpt")
+    default = connected_components_auto(pairs, docs, "doc_id").collect()
+    reliable = connected_components_auto(
+        pairs, docs, "doc_id", checkpoint_dir=ckpt
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, reliable))
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+
 def test_dsir_selection_skews_toward_target(spark, docs):
     """The operator's point: the selected set over-represents the target
     distribution. On the fixture corpus the English share must strictly
