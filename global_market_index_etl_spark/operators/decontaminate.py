@@ -139,6 +139,7 @@ def fuzzy_contamination_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     corpus_index: tuple[DataFrame, DataFrame] | None = None,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """NEAR-duplicate contamination: ``(doc_id, eval_id, jaccard)`` for
     every (training doc, eval doc) pair with n-gram Jaccard ≥ threshold.
@@ -162,7 +163,9 @@ def fuzzy_contamination_pairs(
     ``minhash_index`` to decontaminate against a new benchmark without
     re-reading the corpus); the join output is benchmark-overlap-sized.
     The eval side is small by construction (thousands of docs), so its
-    bands and arrays broadcast.
+    bands and arrays broadcast; ``broadcast_eval=False`` falls back to
+    shuffling joins for the rare eval set too large to broadcast — same
+    escape hatch, and identical output, as :func:`contamination_hits`.
     """
     from .dedup import _verify_jaccard, minhash_index  # shared arithmetic
 
@@ -178,8 +181,10 @@ def fuzzy_contamination_pairs(
     e_bands = e_bands.select(
         F.col(eval_id_col).alias("__eval_id"), "band", "bucket"
     )
+    if broadcast_eval:
+        e_bands = F.broadcast(e_bands)
     candidates = (
-        c_bands.join(F.broadcast(e_bands), ["band", "bucket"])
+        c_bands.join(e_bands, ["band", "bucket"])
         .select(F.col(id_col).alias("id_1"), F.col("__eval_id").alias("id_2"))
         .distinct()
     )
@@ -196,10 +201,12 @@ def fuzzy_contamination_pairs(
         F.col("__sh").alias("__sh2"),
         F.size("__sh").alias("n_2"),
     )
+    if broadcast_eval:
+        a2 = F.broadcast(a2)
     n_common = F.size(F.array_intersect("__sh1", "__sh2"))
     return (
         candidates.join(a1, "id_1")
-        .join(F.broadcast(a2), "id_2")
+        .join(a2, "id_2")
         .withColumn("__nc", n_common)
         .withColumn(
             "jaccard",
@@ -229,6 +236,7 @@ def fuzzy_decontaminate(
     threshold: float = 0.8,
     seed: int = 42,
     corpus_index: tuple[DataFrame, DataFrame] | None = None,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """The fuzzily-clean corpus: anti-join away every training document
     whose n-gram Jaccard against ANY eval document reaches ``threshold``.
@@ -246,6 +254,7 @@ def fuzzy_decontaminate(
         threshold=threshold,
         seed=seed,
         corpus_index=corpus_index,
+        broadcast_eval=broadcast_eval,
     )
     return corpus.join(
         flagged.select(id_col).distinct(), id_col, "left_anti"

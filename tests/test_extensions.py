@@ -2774,3 +2774,50 @@ def test_fuzzy_contamination_reuses_persisted_corpus_index(spark, docs):
         docs, eval_df, corpus_index=idx
     ).collect()
     assert sorted(map(tuple, from_text)) == sorted(map(tuple, from_index))
+
+
+def test_fuzzy_contamination_shuffle_fallback_matches_broadcast(spark, docs):
+    """broadcast_eval=False (the escape hatch for an eval set too large to
+    broadcast) must produce the identical pair set through shuffling
+    joins — same contract as contamination_hits' fallback."""
+    from global_market_index_etl_spark.operators.decontaminate import (
+        fuzzy_contamination_pairs,
+    )
+
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    bcast = fuzzy_contamination_pairs(docs, eval_df).collect()
+    shuffled = fuzzy_contamination_pairs(
+        docs, eval_df, broadcast_eval=False
+    ).collect()
+    assert sorted(map(tuple, bcast)) == sorted(map(tuple, shuffled))
+    assert bcast, "fixture slice must contain at least one true pair"
+
+
+def test_ann_ivf_suite_exhaustive_leg_equals_brute_force(spark):
+    """Registry-level lock on the fused ann_ivf_topk row (round 11): the
+    'exhaustive' leg (nprobe == n_lists) must equal the brute-force
+    cosine_topk tuples exactly — the property that justified retiring the
+    standalone oracled ann_ivf_exhaustive row."""
+    from global_market_index_etl_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from global_market_index_etl_spark.plans import REGISTRY
+    from global_market_index_etl_spark.sources import load_table
+
+    from .conftest import SF_SMALL
+
+    suite = REGISTRY["ann_ivf_topk"].spark(spark, SF_SMALL)
+    leg = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+        for r in suite.filter(F.col("leg") == "exhaustive").collect()
+    }
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    assert leg == brute
+    assert brute, "fixture must produce neighbors"

@@ -121,6 +121,79 @@ def test_stream_matches_batch_across_micro_batches(spark, tmp_path):
     assert got == EXPECTED
 
 
+def test_stream_watermark_bounds_join_state(spark, tmp_path):
+    """The state-eviction contract is real and observable: the residual
+    bounds both event-time columns against each other, so once the
+    watermark passes, buffered join state is REMOVED (numRowsRemoved > 0
+    in the state-operator metrics) under a tight watermark — state is
+    bounded by rate × (watermark + window), not stream length. Under a
+    generous watermark nothing is evicted and the late-arriving point
+    still matches (the guaranteed-delivery side of the contract, and the
+    reason the driver row sets its watermark past the fixture span when
+    files are split by id rather than time). Spark only *guarantees*
+    delivery within the watermark — too-late rows MAY still match if
+    their partner's state has not yet been cleaned — so this asserts the
+    eviction metric, not a drop."""
+    late_point = [(99, "2024-01-01 10:10:00")]  # inside interval 10
+    # batch 1 advances the watermark far ahead; batch 2 delivers the
+    # late point whose event time is ~30 days behind it
+    ahead = [(50, "2024-02-01 00:00:00")]
+
+    def run(watermark):
+        import shutil
+
+        root = tmp_path / f"wm_{watermark.replace(' ', '_')}"
+        shutil.rmtree(root, ignore_errors=True)
+        psrc, isrc, ckpt = str(root / "p"), str(root / "i"), str(root / "c")
+        for chunk in (ahead, late_point):
+            _typed(spark, chunk, P_SCHEMA, "p_ts").coalesce(1).write.mode(
+                "append"
+            ).parquet(psrc)
+        _typed(spark, INTERVALS, I_SCHEMA, "i_ts").coalesce(1).write.mode(
+            "append"
+        ).parquet(isrc)
+        pairs: set[tuple[int, int]] = set()
+
+        def handle(batch, _bid):
+            pairs.update(
+                (r.pid, r.iid) for r in batch.select("pid", "iid").collect()
+            )
+
+        joined = stream_interval_join_bucketed(
+            spark.readStream.schema("pid long, p_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(psrc),
+            spark.readStream.schema("iid long, i_ts timestamp").parquet(isrc),
+            point_ts_col="p_ts",
+            interval_ts_col="i_ts",
+            window_seconds=WINDOW,
+            watermark=watermark,
+        )
+        q = (
+            joined.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .foreachBatch(handle)
+            .start()
+        )
+        q.awaitTermination(180)
+        removed = sum(
+            s["numRowsRemoved"]
+            for p in q.recentProgress
+            for s in (p.get("stateOperators") or [])
+        )
+        return pairs, removed
+
+    pairs_generous, removed_generous = run("90 days")
+    assert pairs_generous == {(99, 10)}  # within watermark: must match
+    assert removed_generous == 0  # nothing past a 90-day horizon
+    _, removed_tight = run("1 minute")
+    assert removed_tight > 0, (
+        "tight watermark never evicted join state — the state bound is "
+        "not operating"
+    )
+
+
 def test_stream_rejects_overlapping_or_equal_columns(spark):
     import pytest
 
