@@ -254,6 +254,56 @@ def test_decontamination_matches_python_reference(
     assert got == expect
 
 
+@given(
+    corpus=st.lists(DOC_ST, min_size=0, max_size=6),
+    eval_docs=st.lists(DOC_ST, min_size=0, max_size=3),
+    threshold=st.sampled_from([0.5, 0.8]),
+)
+@PROP_SETTINGS
+def test_fuzzy_contamination_sound_for_any_corpus(
+    spark, corpus, eval_docs, threshold
+):
+    """Soundness for ANY corpus/eval shape: every fuzzy pair the operator
+    reports must appear in the brute-force 3-gram cross-Jaccard at the
+    same value and >= threshold — the exact per-candidate verify means
+    banding can only DROP pairs (completeness is probabilistic), never
+    admit a false positive or mis-state a jaccard."""
+    from global_market_index_etl_spark.operators.decontaminate import (
+        fuzzy_contamination_pairs,
+    )
+
+    def grams(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    brute = {}
+    for i, d in enumerate(corpus):
+        for j, e in enumerate(eval_docs):
+            g1, g2 = grams(d), grams(e)
+            if not g1 or not g2:
+                continue
+            jac = len(g1 & g2) / len(g1 | g2)
+            if jac >= threshold:
+                brute[(i, 1000 + j)] = round(jac, 12)
+
+    cdf = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    edf = spark.createDataFrame(
+        [(1000 + j, " ".join(e)) for j, e in enumerate(eval_docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.eval_id): round(r.jaccard, 12)
+        for r in fuzzy_contamination_pairs(
+            cdf, edf, threshold=threshold
+        ).collect()
+    }
+    assert set(got) <= set(brute)
+    for pair, jac in got.items():
+        assert jac == brute[pair]
+
+
 WORDS_ST = st.lists(
     st.sampled_from(["spark", "join", "scan", "agg", "sort", "table"]),
     min_size=0,
