@@ -442,3 +442,50 @@ def test_sql_frontdoor_dsir_select(spark):
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_df.collect())
     )
+
+
+def test_sql_frontdoor_simhash_signatures(spark):
+    """SimHash signatures re-expressed as one spark.sql statement — possible
+    since round 11 because the word hash is md5-derived (portable hex)
+    rather than Spark-internal xxhash64. The 64 per-bit majority votes and
+    the signed bit-63 reassembly are generated the same way as the DuckDB
+    oracle's, so operator ≡ SQL front door ≡ oracle share one arithmetic."""
+    from global_market_index_etl_spark.operators.dedup import simhash64
+
+    register_views(spark, SF_SMALL)
+    votes = []
+    for i in range(64):
+        half = "lo" if i < 32 else "hi"
+        shift = i if i < 32 else i - 32
+        votes.append(
+            f"sum(CASE WHEN (shiftright({half}, {shift}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS b{i}"
+        )
+    sig_terms = [
+        "(CASE WHEN b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+    ] + [
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(63)
+    ]
+    via_sql = spark.sql(
+        rf"""
+        WITH wt AS (
+          SELECT doc_id, explode(split(trim(lower(text)), '\\s+')) AS w
+          FROM documents WHERE length(trim(text)) > 0
+        ), wh AS (
+          SELECT doc_id,
+                 CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) AS hi,
+                 CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT) AS lo
+          FROM wt
+        ), votes AS (
+          SELECT doc_id, {", ".join(votes)} FROM wh GROUP BY doc_id
+        )
+        SELECT doc_id, {" + ".join(sig_terms)} AS simhash FROM votes
+        """
+    )
+    via_op = simhash64(spark.table("documents"))
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_op.collect())
+    )
