@@ -46,11 +46,16 @@ DRIVER_WINDOW = 50
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
-    # round 11: no pins needed. The r10 pins (curation_pipeline_v3,
-    # text_ppl_buckets) went hash-green in r10, so staleness handles them
-    # from here. The new rows (decon_fuzzy_overlap, stream_interval_join)
-    # and the renamed fused suites need no pin: never-checked queries sort
-    # at staleness 0 by themselves.
+    # round 11: dedup_simhash changed MATERIALLY (word hash xxhash64 →
+    # md5-derived; different signatures AND a brand-new full oracle) and
+    # ann_ivf_topk now executes BOTH dials as tagged legs (the fused
+    # former ann_ivf_exhaustive) — both were checked in r10 under their
+    # old semantics, so staleness alone would rotate them out. The r10
+    # pins went hash-green and drain by staleness; the new rows
+    # (decon_fuzzy_overlap, stream_interval_join) and the renamed fused
+    # suites need no pin: never-checked queries sort at staleness 0.
+    "dedup_simhash",
+    "ann_ivf_topk",
 ]
 
 _ROOT = _os.path.dirname(
