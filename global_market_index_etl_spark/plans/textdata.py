@@ -1440,41 +1440,19 @@ def dedup_containment_clusters(spark, sf):
     "(posexplode windows → dup-set aggregate → k-fanout covered indexes "
     "→ anti-join survivors → sort_array/array_join rebuild); every "
     "shuffle is keyed by window string or (doc, position) — linear in "
-    "corpus size. Both legs reuse a doc_id pre-partition across their "
-    "aggregations (plan-guarded). The oracle rebuilds both legs from one "
-    "shared CTE chain (dup-set join profile; string_agg text rebuild).",
+    "corpus size. The fused operator (spans.duplicate_span_suite) "
+    "computes the shared window-explode → (window, doc) shuffle → "
+    "doc-frequency subtree ONCE and persists it instead of once per leg "
+    "(2.6 → 1.4 s at sf0.1; leg-equivalence to the standalone operators "
+    "asserted in tests). The oracle rebuilds both legs from one shared "
+    "CTE chain (dup-set join profile; string_agg text rebuild).",
 )
 def dedup_span_suite(spark, sf):
-    from ..operators.spans import (
-        duplicate_window_profile,
-        remove_duplicate_spans,
-    )
+    from ..operators.spans import duplicate_span_suite
     from ..operators.util import parallelize_small
 
     docs = parallelize_small(load_table(spark, sf, "documents"))
-    removal = remove_duplicate_spans(
-        docs, doc_id="doc_id", text_col="text", k=8
-    ).select(
-        F.lit("removal").alias("leg"),
-        "doc_id",
-        "cleaned_text",
-        "n_tokens",
-        "n_removed_tokens",
-        F.lit(None).cast("long").alias("n_windows"),
-        F.lit(None).cast("long").alias("n_dup_windows"),
-    )
-    profile = duplicate_window_profile(
-        docs, doc_id="doc_id", text_col="text", k=8
-    ).select(
-        F.lit("profile").alias("leg"),
-        "doc_id",
-        F.lit(None).cast("string").alias("cleaned_text"),
-        F.lit(None).cast("long").alias("n_tokens"),
-        F.lit(None).cast("long").alias("n_removed_tokens"),
-        "n_windows",
-        "n_dup_windows",
-    )
-    return removal.unionByName(profile)
+    return duplicate_span_suite(docs, doc_id="doc_id", text_col="text", k=8)
 
 
 

@@ -261,6 +261,43 @@ def test_span_removal_short_and_clean_docs_pass_through(spark):
     assert got[2] == ("a b c d e f", 6, 0)
 
 
+def test_span_suite_legs_equal_standalone_operators(spark):
+    """duplicate_span_suite (the fused shared-subtree plan behind the
+    dedup_span_suite driver row) must reproduce BOTH standalone operators
+    value-for-value on the fixture corpus — the persist-once rewrite may
+    change the physical plan, never the results."""
+    from global_market_index_etl_spark.operators.spans import (
+        duplicate_span_suite,
+        duplicate_window_profile,
+        remove_duplicate_spans,
+    )
+    from global_market_index_etl_spark.sources import load_table
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    suite = duplicate_span_suite(docs, k=8)
+    got_prof = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in suite.filter(F.col("leg") == "profile").collect()
+    }
+    got_rem = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_removed_tokens)
+        for r in suite.filter(F.col("leg") == "removal").collect()
+    }
+    exp_prof = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in duplicate_window_profile(docs, k=8).collect()
+    }
+    exp_rem = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_removed_tokens)
+        for r in remove_duplicate_spans(docs, k=8).collect()
+    }
+    assert got_prof == exp_prof
+    assert got_rem == exp_rem
+    assert got_prof and got_rem
+
+
 # --------------------------------------------------------------------- #
 # incremental SCD2 apply
 # --------------------------------------------------------------------- #
