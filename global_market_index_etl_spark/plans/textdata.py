@@ -371,6 +371,66 @@ def dedup_minhash_lsh(spark, sf):
     )
 
 
+@query(
+    "dedup_incremental_minhash",
+    r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM pos a
+      JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
+                             - n_common) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id_1 = s1.doc_id
+    JOIN sizes s2 ON id_2 = s2.doc_id
+    WHERE n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
+                            - n_common) >= 0.8
+      AND (id_1 % 5 = 0 OR id_2 % 5 = 0)
+    """,
+    doc="INCREMENTAL MinHash dedup, driver-visible (round 11): the corpus "
+    "slice doc_id % 5 != 0 plays the already-indexed corpus "
+    "(operators/dedup.minhash_index — the persistable (band, bucket) + "
+    "shingle-array tables), the % 5 == 0 slice plays today's ingest "
+    "batch, and incremental_minhash_pairs dedups the batch WITHOUT "
+    "re-reading, re-shingling, or re-signing one byte of the indexed "
+    "corpus — batch cost ∝ batch, the ingestion-time shape a growing "
+    "100 TB corpus needs (new×indexed via the index's band buckets, "
+    "salted against hot buckets, plus the new×new self-join; exact "
+    "array_intersect verify on every candidate). The ORACLE is the exact "
+    "full-corpus Jaccard pair SQL restricted to pairs that involve a "
+    "batch doc — precisely the incremental contract, sound for the same "
+    "reason as dedup_minhash_lsh: the seeded family banding recovers "
+    "every ≥0.8 pair on the fixture corpora (index(b1) ∪ "
+    "incremental(b2|b1) ≡ full(b1∪b2) is additionally pinned in "
+    "test_incremental_minhash_matches_full_corpus).",
+)
+def dedup_incremental_minhash(spark, sf):
+    from ..operators.dedup import incremental_minhash_pairs, minhash_index
+
+    docs = load_table(spark, sf, "documents")
+    indexed = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    bands, arrays = minhash_index(indexed)
+    pairs, _, _ = incremental_minhash_pairs(batch, bands, arrays)
+    return pairs
+
+
 def _sql_simhash_pairs(src: str, max_hamming: int) -> str:
     """Brute-force SimHash pair oracle: rebuild the exact 64-bit signatures
     (md5-derived word hashes, per-bit majority votes, signed bit-63
