@@ -103,6 +103,9 @@ HEADLINE = [
     # micro-batches) — the stream runs on the first rep and is cached per
     # (process, sf), so the median isolates the sink read, like scd2
     "stream_interval_join",
+    # round 11: ingest-batch dedup against a persisted minhash index —
+    # batch cost ∝ batch, the 100-TB ingestion-time shape
+    "dedup_incremental_minhash",
 ]
 
 
