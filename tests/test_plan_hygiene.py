@@ -217,3 +217,22 @@ def test_doc_prepartition_reused_across_feature_aggregations(spark):
         r"hashpartitioning\(doc_id\S*, (?:_groupingexpression|__w)", plan
     ), "span windows are being shuffled by (doc, window) — regressed"
     assert re.search(r"hashpartitioning\(doc_id\S*, \d+\)", plan)
+
+
+def test_span_suite_legs_share_the_persisted_reduction(spark):
+    """The fused span suite's whole point (round 11): BOTH legs must read
+    the persisted one-row-per-(window, doc) reduction instead of each
+    re-running the window explode + shuffle — the executed plan shows two
+    InMemoryTableScans over it (profile leg + removal leg's covered-set
+    branch). A regression to per-leg recompute drops them to zero."""
+    from global_market_index_etl_spark.operators.spans import (
+        duplicate_span_suite,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = duplicate_span_suite(docs, k=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "span suite legs no longer share the persisted (window, doc) "
+        "reduction:\n" + plan[:1500]
+    )
