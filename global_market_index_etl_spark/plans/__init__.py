@@ -56,6 +56,9 @@ PRIORITY_FIRST = [
     # suites need no pin: never-checked queries sort at staleness 0.
     "dedup_simhash",
     "ann_ivf_topk",
+    # round 11 late perf rewrite (survivor-set materialization): same
+    # values (oracle-green), new physical plan — give it a fresh check
+    "curation_pipeline",
 ]
 
 _ROOT = _os.path.dirname(
