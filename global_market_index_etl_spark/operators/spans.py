@@ -226,6 +226,7 @@ def duplicate_span_suite(
     doc_id: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Profile AND removal in one fused plan — the tagged-leg union of
     :func:`duplicate_window_profile` ('profile') and
@@ -239,10 +240,14 @@ def duplicate_span_suite(
     sf0.1, 8.9 s → ~5 s at sf1 under full materialization). The persisted
     table is the POST-shuffle reduction — corpus-window-set sized, far
     smaller than the raw window occurrences, so the cache cost stays
-    bounded at scale."""
+    bounded at scale. The persist is SHARED per (process, plan): repeat
+    invocations over the same input reuse one persisted table instead of
+    stacking a fresh copy per call (round-11 advice). ``checkpoint_dir``
+    switches it to a reliable checkpoint for executor-loss-safe cluster
+    runs (util.truncate_lineage semantics)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    from .util import materialize
+    from .util import materialize_shared
 
     toks = (
         docs.repartition(F.col(doc_id))
@@ -258,12 +263,13 @@ def duplicate_span_suite(
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
-    per_doc = materialize(
+    per_doc = materialize_shared(
         winpos.groupBy("__w", doc_id)
         .agg(F.collect_list("__i").alias("__pos"))
         .withColumn(
             "__nd", F.count(F.lit(1)).over(Window.partitionBy("__w"))
-        )
+        ),
+        checkpoint_dir=checkpoint_dir,
     )
 
     profile = (

@@ -46,19 +46,18 @@ DRIVER_WINDOW = 50
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
-    # round 11: dedup_simhash changed MATERIALLY (word hash xxhash64 →
-    # md5-derived; different signatures AND a brand-new full oracle) and
-    # ann_ivf_topk now executes BOTH dials as tagged legs (the fused
-    # former ann_ivf_exhaustive) — both were checked in r10 under their
-    # old semantics, so staleness alone would rotate them out. The r10
-    # pins went hash-green and drain by staleness; the new rows
-    # (decon_fuzzy_overlap, stream_interval_join) and the renamed fused
-    # suites need no pin: never-checked queries sort at staleness 0.
-    "dedup_simhash",
-    "ann_ivf_topk",
-    # round 11 late perf rewrite (survivor-set materialization): same
-    # values (oracle-green), new physical plan — give it a fresh check
-    "curation_pipeline",
+    # round 12: stream_interval_join's bucketization changed MATERIALLY
+    # (the interval explode's upper bound dropped the half-open `- 1` so
+    # sub-second interval opens stop losing last-fractional-second
+    # matches — round-11 advice); it was checked r11 under the old plan,
+    # so staleness alone would rotate it out. The r11 pins went
+    # hash-green and drain by staleness. The new rows
+    # (dedup_incremental_embedding, stream_minhash_maintained) need no
+    # pin: never-checked queries sort at staleness 0. The
+    # materialize_shared switch (span suite, curation pipelines) reuses
+    # one persisted copy of the SAME subtree across invocations — no
+    # plan or value change, no pin.
+    "stream_interval_join",
 ]
 
 _ROOT = _os.path.dirname(

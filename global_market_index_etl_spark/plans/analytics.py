@@ -417,6 +417,25 @@ def stream_windowed_counts(spark, sf):
     )
 
 
+def _await_drain(q, *, what: str, timeout_s: int = 600) -> None:
+    """Block on an ``availableNow`` drain and FAIL LOUDLY on timeout.
+
+    ``awaitTermination(timeout)`` returns False when the query is still
+    running at the deadline — falling through would cache a PARTIALLY
+    written sink/table per (process, sf) and every later bench rep and
+    driver correctness check would silently read incomplete output
+    (round-11 advice, medium). On timeout the query is stopped and the
+    call raises, so nothing gets cached."""
+    if not q.awaitTermination(timeout_s):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"{what} did not finish within {timeout_s}s; "
+                "refusing to cache a partially-written result"
+            )
+
+
 _STREAM_SCD2_TABLES: dict[str, str] = {}
 
 
@@ -467,7 +486,7 @@ def _stream_scd2_table(spark, sf: str) -> str:
         attr_cols=["attr"],
         n_buckets=8,
     )
-    q.awaitTermination(600)
+    _await_drain(q, what="stream_scd2 availableNow drain")
     _STREAM_SCD2_TABLES[sf] = table
     return table
 
@@ -589,7 +608,7 @@ def _stream_interval_join_sink(spark, sf: str) -> str:
         )
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q, what="stream_interval_join availableNow drain")
     _STREAM_IJOIN_SINKS[sf] = sink
     return sink
 

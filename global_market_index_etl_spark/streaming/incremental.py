@@ -220,6 +220,7 @@ def streaming_minhash_dedup(
     bands: int = 8,
     threshold: float = 0.8,
     seed: int = 42,
+    max_files_per_trigger: int = 1000,
 ) -> StreamingQuery:
     """Content-level streaming dedup: each micro-batch of documents is
     near-dup-checked against the PERSISTED MinHash index, then folded into
@@ -292,7 +293,7 @@ def streaming_minhash_dedup(
 
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1000)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     return (

@@ -66,6 +66,14 @@ def stream_interval_join_bucketed(
     p = points.withWatermark(point_ts_col, watermark).withColumn(
         "__pb", F.expr(f"CAST(`{point_ts_col}` AS BIGINT) div {bw}")
     )
+    # Upper bucket uses `+ window` WITHOUT the half-open `- 1` of the
+    # integer batch rewrite (rangejoin.py works on exact LONGs): CAST
+    # (timestamp AS BIGINT) truncates fractional seconds, so an interval
+    # opening at a sub-second offset covers real time up to
+    # floor(i_ts) + window + frac — with `- 1` a point in that last
+    # fractional second lands one bucket past the exploded range and is
+    # silently dropped (round-11 advice). Over-covering by at most one
+    # bucket is free: the exact residual below removes false positives.
     i = intervals.withWatermark(interval_ts_col, watermark).withColumn(
         "__ib",
         F.explode(
@@ -73,7 +81,7 @@ def stream_interval_join_bucketed(
                 F.expr(f"CAST(`{interval_ts_col}` AS BIGINT) div {bw}"),
                 F.expr(
                     f"(CAST(`{interval_ts_col}` AS BIGINT)"
-                    f" + {int(window_seconds)} - 1) div {bw}"
+                    f" + {int(window_seconds)}) div {bw}"
                 ),
             )
         ),

@@ -1,0 +1,140 @@
+"""materialize_shared + the reliable-checkpoint dial (round-11 advice/verdict).
+
+Round-11 advice flagged that duplicate_span_suite (and the curation
+pipelines) call materialize() per invocation — repeated bench reps /
+driver checks stack a fresh never-unpersisted copy of the same subtree
+per call. materialize_shared memoizes per (session, logical plan), so
+arbitrarily many invocations hold exactly ONE persisted table. Verdict
+item 4 asks for the checkpoint_dir dial on every materialize site.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from global_market_index_etl_spark.operators.util import (
+    materialize,
+    materialize_shared,
+    truncate_lineage,
+)
+
+from .conftest import SF_SMALL
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_materialize_shared_returns_one_table_for_identical_plans(spark):
+    base = _docs(spark).select("doc_id", F.length("text").alias("n"))
+    first = materialize_shared(base)
+    n_after_first = _n_persistent_rdds(spark)
+    # a structurally identical but FRESHLY BUILT plan must hit the cache
+    again = materialize_shared(
+        _docs(spark).select("doc_id", F.length("text").alias("n"))
+    )
+    assert again is first, "identical plan did not reuse the cached table"
+    assert _n_persistent_rdds(spark) == n_after_first, (
+        "repeat materialize_shared persisted a second copy"
+    )
+    assert first.count() == base.count()
+
+
+def test_materialize_shared_distinguishes_different_plans(spark):
+    a = materialize_shared(_docs(spark).select("doc_id"))
+    b = materialize_shared(_docs(spark).select("doc_id", "lang"))
+    assert a is not b
+    assert set(b.columns) == {"doc_id", "lang"}
+
+
+def test_span_suite_repeat_invocations_do_not_stack_persists(spark):
+    """The advice's exact scenario: calling duplicate_span_suite N times
+    (bench reps, repeated driver checks) must not accumulate N persisted
+    copies of the (window, doc) reduction."""
+    from global_market_index_etl_spark.operators.spans import (
+        duplicate_span_suite,
+    )
+
+    docs = _docs(spark)
+    first = duplicate_span_suite(docs, k=8)
+    first.count()
+    n = _n_persistent_rdds(spark)
+    second = duplicate_span_suite(docs, k=8)
+    second.count()
+    assert _n_persistent_rdds(spark) == n, (
+        "second duplicate_span_suite invocation stacked another persisted "
+        "copy of the shared reduction"
+    )
+
+
+def test_span_suite_checkpoint_dir_dial(spark, tmp_path):
+    """The newly-wired reliable-checkpoint dial on the span suite: values
+    identical to the default persist path, checkpoint data actually lands
+    under the directory (executor-loss-safe at cluster scale)."""
+    from global_market_index_etl_spark.operators.spans import (
+        duplicate_span_suite,
+    )
+
+    docs = _docs(spark).limit(200)
+    ckpt = str(tmp_path / "span_ckpt")
+    default = sorted(
+        map(tuple, duplicate_span_suite(docs, k=8).collect())
+    )
+    reliable = sorted(
+        map(
+            tuple,
+            duplicate_span_suite(docs, k=8, checkpoint_dir=ckpt).collect(),
+        )
+    )
+    assert default == reliable
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+
+def test_materialize_checkpoint_dir_dial(spark, tmp_path):
+    ckpt = str(tmp_path / "mat_ckpt")
+    df = materialize(_docs(spark).select("doc_id"), checkpoint_dir=ckpt)
+    assert df.count() > 0
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written
+
+
+def test_reliable_checkpoint_is_always_eager(spark, tmp_path):
+    """eager=False must NOT leave a reliable checkpoint pending: a lazy
+    one could materialize after another caller re-points the process-
+    global checkpoint directory and land in the wrong place (round-11
+    advice). The data must be on disk when the call returns, before any
+    action on the result."""
+    ckpt = str(tmp_path / "eager_ckpt")
+    truncate_lineage(
+        _docs(spark).select("doc_id"), checkpoint_dir=ckpt, eager=False
+    )
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, (
+        "reliable checkpoint was deferred — the lazy-repoint race is open"
+    )
+
+
+def test_sequential_callers_may_use_distinct_checkpoint_dirs(spark, tmp_path):
+    """Re-pointing between fully-materialized checkpoints is safe (each
+    checkpoint records its own absolute path) and must keep working —
+    different operators legitimately pass their own directories."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    df_a = truncate_lineage(_docs(spark).select("doc_id"), checkpoint_dir=a)
+    df_b = truncate_lineage(_docs(spark).select("lang"), checkpoint_dir=b)
+    # both remain readable after the global dir moved on
+    assert df_a.count() > 0 and df_b.count() > 0
+    for d in (a, b):
+        assert any(fs for _, _, fs in os.walk(d)), f"no checkpoint under {d}"

@@ -194,6 +194,56 @@ def test_stream_watermark_bounds_join_state(spark, tmp_path):
     )
 
 
+def test_stream_fractional_second_interval_open_not_dropped(spark, tmp_path):
+    """Sub-second interval opens must not lose last-fractional-second
+    matches (round-11 advice): CAST(ts AS BIGINT) truncates fractions, so
+    with the old `+ window - 1` upper bound an interval opening at
+    10:00:00.250 (whole-second part ≡ 0 mod bucket) never exploded to the
+    bucket holding a valid point at 10:30:00.100 — the pair silently
+    vanished. The upper bound now over-covers by one bucket and the exact
+    residual keeps the semantics: p_ts ∈ [i_ts, i_ts + window)."""
+    # epoch-double construction: fractional timestamps independent of the
+    # session timezone's parse rules; 1704103200 ≡ 0 (mod 1800)
+    i_open = 1704103200.250
+    p_in = i_open + WINDOW - 0.150  # 10:30:00.100 — inside, last frac sec
+    p_out = i_open + WINDOW + 0.050  # past the half-open end — out
+    psrc, isrc, ckpt = (
+        str(tmp_path / "p"), str(tmp_path / "i"), str(tmp_path / "c")
+    )
+    spark.createDataFrame(
+        [(1, p_in), (2, p_out)], "pid long, e double"
+    ).select("pid", F.col("e").cast("timestamp").alias("p_ts")).coalesce(
+        1
+    ).write.parquet(psrc)
+    spark.createDataFrame([(10, i_open)], "iid long, e double").select(
+        "iid", F.col("e").cast("timestamp").alias("i_ts")
+    ).coalesce(1).write.parquet(isrc)
+
+    pairs: set[tuple[int, int]] = set()
+
+    def handle(batch, _bid):
+        pairs.update(
+            (r.pid, r.iid) for r in batch.select("pid", "iid").collect()
+        )
+
+    joined = stream_interval_join_bucketed(
+        spark.readStream.schema("pid long, p_ts timestamp").parquet(psrc),
+        spark.readStream.schema("iid long, i_ts timestamp").parquet(isrc),
+        point_ts_col="p_ts",
+        interval_ts_col="i_ts",
+        window_seconds=WINDOW,
+    )
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch(handle)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert pairs == {(1, 10)}
+
+
 def test_stream_rejects_overlapping_or_equal_columns(spark):
     import pytest
 
