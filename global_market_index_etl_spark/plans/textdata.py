@@ -1711,6 +1711,68 @@ def dedup_containment_clusters(spark, sf):
 
 
 @query(
+    "dedup_exact_substring",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ), occ AS (
+      SELECT doc_id, i, md5(array_to_string(arr[i:i+49], ' ')) AS w
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - 49)) AS i
+            FROM toks WHERE len(arr) >= 50)
+    ), marked AS (
+      SELECT doc_id, i, count(*) OVER (PARTITION BY w) AS cnt,
+             row_number() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn
+      FROM occ
+    ), covered AS (
+      SELECT DISTINCT doc_id, j FROM (
+        SELECT doc_id, unnest(generate_series(i, i + 49)) AS j
+        FROM marked WHERE cnt >= 2 AND rn > 1)
+    ), tokens AS (
+      SELECT doc_id, generate_subscripts(arr, 1) AS j, unnest(arr) AS tok
+      FROM toks
+    ), kept AS (
+      SELECT t.doc_id, t.j, t.tok
+      FROM tokens t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.j = c.j
+      WHERE c.doc_id IS NULL
+    ), sizes AS (SELECT doc_id, len(arr) AS n FROM toks)
+    SELECT s.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '')
+             AS cleaned_text,
+           CAST(any_value(s.n) AS BIGINT) AS n_tokens,
+           CAST(any_value(s.n) - count(k.tok) AS BIGINT)
+             AS n_removed_tokens
+    FROM sizes s LEFT JOIN kept k ON s.doc_id = k.doc_id
+    GROUP BY s.doc_id
+    """,
+    doc="ExactSubstr-fidelity dedup (Lee et al., ACL'22; round-11 verdict "
+    "item 6): remove every repeated substring of ≥50 tokens, keeping the "
+    "corpus-wide first occurrence — the suffix-array gold standard, "
+    "re-expressed distributed via the exact L-gram reduction (a substring "
+    "of ≥L tokens repeats iff its stride-1 L-windows repeat, and the "
+    "union of repeated-window positions IS the union of repeated "
+    "substrings ≥L — no stride alignment gap). Unlike the k=8 "
+    "boilerplate scrubber (dedup_span_suite), occurrences are counted "
+    "GLOBALLY (within-document paste-twice repeats count) and the first "
+    "occurrence (min (doc, position)) survives intact. Plan: one "
+    "stride-1 window explode (rows = corpus tokens), ONE shuffle keyed "
+    "by window md5 (count + min-survivor as window functions — no "
+    "self-join), covered-position explode, (doc, position) anti-join + "
+    "ordered reassembly under the doc_id pre-partition. The oracle "
+    "rebuilds the identical md5 windows and survivor ranking in SQL — "
+    "exact, value for value.",
+)
+def dedup_exact_substring(spark, sf):
+    from ..operators.spans import exact_substring_dedup
+
+    return exact_substring_dedup(
+        load_table(spark, sf, "documents"), min_len=50
+    )
+
+
+@query(
     "dedup_span_suite",
     """
     WITH{span}

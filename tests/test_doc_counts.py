@@ -54,3 +54,35 @@ def test_readme_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (TOTAL, ORACLED), (
         "README.md counts drifted — run scripts/gen_counts.py"
     )
+
+
+def test_readme_test_count_matches_collection():
+    """Round-11 verdict: the pytest count was quoted three ways in one
+    round (618/624/628) because prose stamps weren't guarded. The README
+    figure is stamped by scripts/gen_counts.py from `pytest
+    --collect-only`; this guard re-collects and fails the suite when the
+    stamp drifts. (BASELINE.md's round narratives quote historical counts
+    for their own rounds — only README's current-state figure is pinned.)"""
+    import subprocess
+    import sys
+
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"\((\d+) tests —", text)
+    assert m, "README.md test-count phrase missing"
+    stamped = int(m.group(1))
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "pytest", "tests/", "--collect-only",
+            "-q", "-p", "no:cacheprovider",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    c = re.search(r"(\d+) tests collected", out)
+    assert c, f"could not parse collection output:\n{out[-300:]}"
+    assert stamped == int(c.group(1)), (
+        f"README.md says {stamped} tests but collection finds {c.group(1)} "
+        "— run scripts/gen_counts.py"
+    )
