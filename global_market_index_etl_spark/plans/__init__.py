@@ -58,6 +58,11 @@ PRIORITY_FIRST = [
     # one persisted copy of the SAME subtree across invocations — no
     # plan or value change, no pin.
     "stream_interval_join",
+    # round 12: ann_lsh_topk changed MATERIALLY — hyperplanes moved to the
+    # md5-derived Rademacher family and the row gained a brand-new full
+    # SQL oracle (the digest pin is retired); last checked r10 under the
+    # old rows-only semantics.
+    "ann_lsh_topk",
 ]
 
 _ROOT = _os.path.dirname(

@@ -752,15 +752,70 @@ def ann_cosine_topk(spark, sf):
 
 @query(
     "ann_lsh_topk",
-    None,  # hyperplane sampling is engine-side — recall checked in tests
-    doc="ANN top-k via multi-table random-hyperplane LSH (16 tables × 6 "
-    "bits): probes score only colliding buckets with the exact kernel. "
-    "Tests measure recall against ann_cosine_topk. Value-pinned: the full sf0.01 table must reproduce a sha256 fixture bit-for-bit (test_rows_only_queries_match_pinned_digest; reproducibility across disjoint parallelism verified before pinning).",
+    """
+    WITH grid AS (
+      SELECT t.r AS t, b.r AS b, d.r AS d,
+             CAST(CASE WHEN CAST(('0x' || substr(md5('42:' || t.r || ':'
+                      || b.r || ':' || d.r), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS DOUBLE) AS w
+      FROM range(16) t(r), range(6) b(r), range(64) d(r)
+    ), vals AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    ), bits AS (
+      SELECT vec_id, g.t, g.b,
+             CASE WHEN SUM(vals.v * g.w) > 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM vals JOIN grid g ON vals.d = g.d
+      GROUP BY 1, 2, 3
+    ), sigs AS (
+      SELECT vec_id, t, CAST(SUM(bit << b) AS BIGINT) AS sig
+      FROM bits GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sigs p JOIN sigs c ON p.t = c.t AND p.sig = c.sig
+           AND p.vec_id <> c.vec_id
+      WHERE p.vec_id < 10
+    ), pr AS (
+      SELECT query_id, neighbor_id, unnest(q.embedding) AS qv,
+             unnest(e.embedding) AS ev
+      FROM cand
+      JOIN embeddings q ON q.vec_id = query_id
+      JOIN embeddings e ON e.vec_id = neighbor_id
+    ), dots AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dot,
+             SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq,
+             SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ne
+      FROM pr GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY round(dot / (sqrt(nq) * sqrt(ne)), 6) DESC,
+                           neighbor_id) AS INTEGER) AS rn
+      FROM dots)
+    SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
+    """,
+    doc="ANN top-k via multi-table sign-LSH (16 tables × 6 bits): probes "
+    "score only colliding buckets with the exact kernel. FULL oracle "
+    "since round 12 (verdict item 7 — the dedup_simhash move applied to "
+    "LSH): the hyperplanes are md5-derived Rademacher ±1 rows "
+    "(similarity._rademacher_planes), a pure function of (seed, table, "
+    "bit, dim) any engine reproduces, so the oracle rebuilds the exact "
+    "signatures in SQL, regenerates the identical candidate buckets, and "
+    "re-ranks with the same rounded cosine + id tie-break. Sound against "
+    "float sum-order divergence: the smallest |projection| on the "
+    "fixture corpora is 6.9e-7 vs ~1e-13 ulp noise (margins verified at "
+    "all three SFs before pinning); Rademacher projections are a "
+    "standard sign-LSH family, recall measured against ann_cosine_topk "
+    "in tests. The former sha256 digest pin is retired.",
 )
 def ann_lsh_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return lsh_cosine_topk(emb, probes, k=5, bits=6, tables=16)
+    return lsh_cosine_topk(emb, probes, k=5, bits=6, tables=16, family="md5")
 
 
 @query(

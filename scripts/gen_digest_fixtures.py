@@ -38,9 +38,9 @@ QUERIES = [
     "ann_pq_rerank",
     "mm_real_decode_stats",
     "ann_ivf_topk",
-    "ann_lsh_topk",
     "dedup_semantic",
-    # dedup_simhash graduated to a full DuckDB oracle in round 11
+    # dedup_simhash graduated to a full DuckDB oracle in round 11;
+    # ann_lsh_topk followed in round 12 (md5-derived Rademacher planes)
     "e1_pipeline_market_bars",
     "mm_decode_features",
     "sketch_event_profile",

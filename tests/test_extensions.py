@@ -154,6 +154,16 @@ def test_ann_lsh_recall(spark, emb):
     # random embeddings ⇒ top-5 sims ≈0.35-0.5; multi-table LSH theory gives
     # ~0.6 candidate prob there — require a sane floor, not perfection
     assert len(exact & approx) / len(exact) >= 0.3
+    # the PORTABLE md5-Rademacher family (the oracled ann_lsh_topk row,
+    # round 12) must hold the same recall floor — Rademacher sign-LSH has
+    # the same collision behavior as the pseudo-Gaussian default
+    portable = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_cosine_topk(
+            emb, probes, k=5, bits=6, tables=16, family="md5"
+        ).collect()
+    }
+    assert len(exact & portable) / len(exact) >= 0.3
 
 
 def test_language_id_deterministic_and_total(spark, docs):

@@ -67,10 +67,11 @@ def test_oracle_type_lint_catches_seeded_hugeint():
         # pinning (scripts/gen_digest_fixtures.py has the verification
         # note) — the BPE rows keep their dedicated fixture pins
         "ann_ivf_topk",
-        "ann_lsh_topk",
         "dedup_semantic",
         # dedup_simhash graduated to a FULL DuckDB oracle in round 11
-        # (md5-derived word hashes made the signatures portable)
+        # (md5-derived word hashes made the signatures portable);
+        # ann_lsh_topk followed in round 12 (md5-derived Rademacher
+        # hyperplanes — its digest pin is retired)
         "e1_pipeline_market_bars",
         "mm_decode_features",
         "sketch_event_profile",
