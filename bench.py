@@ -117,6 +117,9 @@ HEADLINE = [
     # round 12: real availableNow streaming MinHash index maintenance (3
     # micro-batches) — stream runs on first rep, cached per (process, sf)
     "stream_minhash_maintained",
+    # round 12: streaming embedding-index maintenance (bootstrap +
+    # incremental + planted-ingest micro-batches), same caching pattern
+    "stream_embedding_maintained",
 ]
 
 

@@ -516,6 +516,18 @@ def dedup_incremental_embedding(spark, sf):
     if sf not in _EMB_SIG_INDEXES:
         _EMB_SIG_INDEXES[sf] = materialize(embedding_lsh_index(corpus))
     index = _EMB_SIG_INDEXES[sf]
+    pairs, _ = incremental_embedding_neardup_pairs(
+        _emb_blend_batch(corpus), index, corpus, threshold=0.95
+    )
+    return pairs
+
+
+def _emb_blend_batch(corpus):
+    """Twelve planted ingest vectors built IN-PLAN: vec i blended with vec
+    i+12 at exact-binary alpha (2+i)/32 — cosines sweep straight through
+    the 0.95 near-dup boundary, and the exact-binary fractions make the
+    float arithmetic reproduce bit-for-bit on any engine (the SQL oracles
+    rebuild the identical blends)."""
     a = corpus.filter(F.col("vec_id") < 12).select(
         F.col("vec_id").alias("i"), F.col("embedding").alias("va")
     )
@@ -523,7 +535,7 @@ def dedup_incremental_embedding(spark, sf):
         (F.col("vec_id") >= 12) & (F.col("vec_id") < 24)
     ).select((F.col("vec_id") - 12).alias("i"), F.col("embedding").alias("vb"))
     alpha = (F.lit(2.0) + F.col("i")) / F.lit(32.0)
-    batch = a.join(b, "i").select(
+    return a.join(b, "i").select(
         (F.lit(100000) + F.col("i")).alias("vec_id"),
         F.zip_with(
             "va",
@@ -531,10 +543,6 @@ def dedup_incremental_embedding(spark, sf):
             lambda x, y: ((F.lit(1.0) - alpha) * x + alpha * y).cast("float"),
         ).alias("embedding"),
     )
-    pairs, _ = incremental_embedding_neardup_pairs(
-        batch, index, corpus, threshold=0.95
-    )
-    return pairs
 
 
 _STREAM_MINHASH_PAIRS: dict[str, str] = {}
@@ -638,6 +646,110 @@ def _stream_minhash_pairs_dir(spark, sf: str) -> str:
 def stream_minhash_maintained(spark, sf):
     pairs_dir = _stream_minhash_pairs_dir(spark, sf)
     return spark.read.parquet(pairs_dir).select("id_1", "id_2", "jaccard")
+
+
+_STREAM_EMB_PAIRS: dict[str, str] = {}
+
+
+def _stream_embedding_pairs_dir(spark, sf: str) -> str:
+    """Run the streaming embedding-index maintenance once per (process, sf).
+
+    Three tick files through ONE ``Trigger.AvailableNow`` run with
+    ``maxFilesPerTrigger=1``: the corpus arrives as two id-split batches
+    (bootstrap the persisted signature+vector index, then one incremental
+    tick), and the twelve planted blend vectors arrive LAST — today's
+    ingest containing near-duplicates of stored content. Each batch signs
+    only itself and probes the committed index; the cumulative pairs
+    directory after the drain is the full pair set over corpus ∪ blends
+    (each pair lands with its later vector). Cached per (process, sf)."""
+    if sf in _STREAM_EMB_PAIRS:
+        return _STREAM_EMB_PAIRS[sf]
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import streaming_embedding_neardup
+    from .analytics import _await_drain
+
+    root = tempfile.mkdtemp(prefix="gmie_stream_emb_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src, pairs_dir = f"{root}/src", f"{root}/pairs"
+    corpus = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    for tick in range(2):
+        corpus.filter(F.col("vec_id") % 2 == tick).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    _emb_blend_batch(corpus).coalesce(1).write.mode("append").parquet(src)
+    q = streaming_embedding_neardup(
+        spark,
+        source_dir=src,
+        schema="vec_id long, embedding array<float>",
+        checkpoint_dir=f"{root}/ckpt",
+        index_dir=f"{root}/index",
+        pairs_dir=pairs_dir,
+        threshold=0.95,
+        max_files_per_trigger=1,
+    )
+    _await_drain(q, what="stream_embedding availableNow drain")
+    _STREAM_EMB_PAIRS[sf] = pairs_dir
+    return pairs_dir
+
+
+@query(
+    "stream_embedding_maintained",
+    """
+    WITH blend AS (
+      SELECT 100000 + a.vec_id AS vec_id,
+             list(CAST((1.0 - (2.0 + a.vec_id) / 32.0) * av
+                       + ((2.0 + a.vec_id) / 32.0) * bv AS FLOAT)
+                  ORDER BY ai) AS embedding
+      FROM (SELECT vec_id, unnest(embedding) AS av,
+                   generate_subscripts(embedding, 1) AS ai
+            FROM embeddings WHERE vec_id < 12) a
+      JOIN (SELECT vec_id - 12 AS mid, unnest(embedding) AS bv,
+                   generate_subscripts(embedding, 1) AS bi
+            FROM embeddings WHERE vec_id >= 12 AND vec_id < 24) b
+        ON a.vec_id = b.mid AND ai = bi
+      GROUP BY a.vec_id
+    ), allv AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM blend
+    ), pr AS (
+      SELECT x.vec_id AS id_1, y.vec_id AS id_2,
+             unnest(x.embedding) AS xv, unnest(y.embedding) AS yv
+      FROM allv x JOIN allv y ON x.vec_id < y.vec_id
+    ), dots AS (
+      SELECT id_1, id_2,
+             SUM(CAST(xv AS DOUBLE) * CAST(yv AS DOUBLE)) AS dot,
+             SUM(CAST(xv AS DOUBLE) * CAST(xv AS DOUBLE)) AS nx,
+             SUM(CAST(yv AS DOUBLE) * CAST(yv AS DOUBLE)) AS ny
+      FROM pr GROUP BY 1, 2
+    )
+    SELECT id_1, id_2, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos_sim
+    FROM dots WHERE round(dot / (sqrt(nx) * sqrt(ny)), 6) >= 0.95
+    """,
+    doc="STREAMING embedding-index maintenance, driver-visible (round 12 — "
+    "the last streaming curation maintainer without a driver row): ONE "
+    "availableNow run (maxFilesPerTrigger=1) of "
+    "streaming/incremental.streaming_embedding_neardup drains three "
+    "micro-batches — two id-split corpus ticks (bootstrap the persisted "
+    "signature+vector index, then an incremental tick) and finally the "
+    "twelve in-plan blend vectors playing today's ingest. Each batch is "
+    "signed ONCE (Arrow-batched matmul), probes the committed "
+    "batch=<id> index deltas (replay-idempotent; batch cost ∝ batch, "
+    "never store), exact-cosine-verifies candidates, and folds its "
+    "signatures + vectors in. Every ≥0.95 pair lands exactly once with "
+    "its later vector, so the drained pairs dir ≡ the full pair set over "
+    "corpus ∪ blends; the ORACLE is the brute-force all-pairs cosine SQL "
+    "over the identically-rebuilt union (sound: sign-LSH at b=8, T=32 "
+    "misses a ≥0.95 pair with P≈2·10⁻⁸). stream ≡ batch is additionally "
+    "pinned in test_streaming_embedding_neardup_matches_batch. NOTE: "
+    "like the other streaming rows, the stream executes eagerly at "
+    "plan-construction time; the pairs dir is cached per (process, sf).",
+)
+def stream_embedding_maintained(spark, sf):
+    pairs_dir = _stream_embedding_pairs_dir(spark, sf)
+    return spark.read.parquet(pairs_dir).select("id_1", "id_2", "cos_sim")
 
 
 def _sql_simhash_pairs(src: str, max_hamming: int) -> str:

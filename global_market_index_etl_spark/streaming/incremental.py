@@ -373,6 +373,7 @@ def streaming_embedding_neardup(
     bits: int = 8,
     tables: int = 32,
     seed: int = 42,
+    max_files_per_trigger: int = 1000,
 ) -> StreamingQuery:
     """Embedding near-dup detection as an ingestion stream — the third leg
     of the streaming curation trio (MinHash text dedup, decontamination,
@@ -441,7 +442,7 @@ def streaming_embedding_neardup(
 
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1000)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     return (
