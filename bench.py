@@ -172,6 +172,9 @@ SMOKE_QUERIES = [
     # largest sf1 query, DSIR is brand-new; both must show sublinear growth
     "curation_pipeline_v2",
     "samp_dsir_select",
+    # round 12: ExactSubstr — the window-fingerprint shuffle is the cost
+    # driver; growth must stay ~linear in corpus tokens
+    "dedup_exact_substring",
 ]
 
 
