@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
+import os as _os
 import threading
+from collections import OrderedDict
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
@@ -118,45 +120,70 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     return df
 
 
-# materialize_shared cache: semanticHash → [(plan_df, ckpt, materialized)].
-# Guarded by sameSemantics on hit, so a 32-bit hash collision can never
-# return the wrong table. Entries live for the session — each distinct
-# shared subtree is persisted exactly ONCE per process instead of once
-# per invocation (round-11 advice: repeated bench reps / driver checks
-# were stacking a fresh never-unpersisted copy per call).
-_SHARED_CACHE: dict[int, list[tuple[DataFrame, str | None, DataFrame]]] = {}
+# materialize_shared cache: LRU of (session, semanticHash, ckpt) →
+# (plan_df, materialized). Guarded by sameSemantics on hit, so a 32-bit
+# hash collision can never return the wrong table. Each distinct shared
+# subtree is persisted exactly ONCE per process instead of once per
+# invocation (round-11 advice: repeated bench reps / driver checks were
+# stacking a fresh never-unpersisted copy per call) — and the cache is
+# BOUNDED: holding strong references forever would pin every dataset's
+# blocks in storage memory (Spark's ContextCleaner only frees persists
+# whose DataFrames become unreachable), and a multi-dataset bench run
+# (sf0.1 → sf1 → 30× smoke in one 8g JVM) measurably degraded under
+# that pressure. Beyond the cap, the least-recently-used entry is
+# unpersisted and dropped; a later identical call just re-materializes.
+_SHARED_CACHE_MAX = int(_os.environ.get("SPARK_GRAFT_SHARED_CACHE_MAX", "12"))
+_SHARED_CACHE: "OrderedDict[tuple, tuple[DataFrame, DataFrame]]" = (
+    OrderedDict()
+)
 _SHARED_CACHE_LOCK = threading.Lock()
 
 
 def materialize_shared(
     df: DataFrame, checkpoint_dir: str | None = None
 ) -> DataFrame:
-    """:func:`materialize`, memoized per (session, logical plan).
+    """:func:`materialize`, memoized per (session, logical plan) with a
+    bounded LRU.
 
     Repeat invocations that build the SAME subtree (bench reps, repeated
     driver checks, suite legs constructed per call) get back the one
-    already-persisted table instead of persisting a new copy each time —
-    bounded memory/disk across arbitrarily many invocations. Keyed by
-    ``semanticHash`` and verified with ``sameSemantics`` (exact plan
-    equivalence, not just hash equality) plus ``checkpoint_dir``; sessions
-    key apart because a hit additionally requires the same live session.
+    already-persisted table instead of persisting a new copy each time.
+    Keyed by ``semanticHash`` and verified with ``sameSemantics`` (exact
+    plan equivalence, not just hash equality) plus ``checkpoint_dir``;
+    sessions key apart because a hit additionally requires the same live
+    session. At most ``SPARK_GRAFT_SHARED_CACHE_MAX`` (default 12)
+    entries stay live — evicted entries are unpersisted so switching
+    datasets (sf0.1 → sf1) releases the old dataset's blocks instead of
+    squeezing execution memory.
 
     ONLY for deterministic subtrees over immutable inputs (the fixture
     parquet tables): a plan whose SOURCE content mutates between calls
     (a maintained table path, a streaming delta dir) must use plain
     :func:`materialize` — the cache would serve the old snapshot.
     """
-    key = df.semanticHash()
+    h = df.semanticHash()
     with _SHARED_CACHE_LOCK:
-        for plan_df, ckpt, mat in _SHARED_CACHE.get(key, []):
+        for key, (plan_df, mat) in _SHARED_CACHE.items():
+            sess, kh, ckpt = key[:3]
             if (
-                ckpt == checkpoint_dir
-                and plan_df.sparkSession is df.sparkSession
+                kh == h
+                and ckpt == checkpoint_dir
+                and sess is df.sparkSession
                 and df.sameSemantics(plan_df)
             ):
+                _SHARED_CACHE.move_to_end(key)
                 return mat
         mat = materialize(df, checkpoint_dir=checkpoint_dir)
-        _SHARED_CACHE.setdefault(key, []).append((df, checkpoint_dir, mat))
+        _SHARED_CACHE[(df.sparkSession, h, checkpoint_dir, id(df))] = (
+            df,
+            mat,
+        )
+        while len(_SHARED_CACHE) > _SHARED_CACHE_MAX:
+            _, (_, old_mat) = _SHARED_CACHE.popitem(last=False)
+            try:
+                old_mat.unpersist(blocking=False)
+            except Exception:
+                pass  # checkpointed (non-persisted) or dead-session entry
         return mat
 
 

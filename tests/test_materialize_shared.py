@@ -138,3 +138,26 @@ def test_sequential_callers_may_use_distinct_checkpoint_dirs(spark, tmp_path):
     assert df_a.count() > 0 and df_b.count() > 0
     for d in (a, b):
         assert any(fs for _, _, fs in os.walk(d)), f"no checkpoint under {d}"
+
+
+def test_shared_cache_lru_eviction_unpersists(spark, monkeypatch):
+    """The cache is BOUNDED: beyond the cap, least-recently-used entries
+    are unpersisted and dropped, so switching datasets releases the old
+    dataset's blocks instead of pinning them for the process lifetime
+    (the sf0.1 → sf1 bench-degradation lesson, round 12)."""
+    from global_market_index_etl_spark.operators import util
+
+    monkeypatch.setattr(util, "_SHARED_CACHE_MAX", 3)
+    base = _docs(spark)
+    before = _n_persistent_rdds(spark)
+    dfs = [
+        materialize_shared(base.select("doc_id", F.lit(i).alias("tag")))
+        for i in range(6)
+    ]
+    # at most 3 of the 6 remain persisted; the rest were unpersisted
+    assert _n_persistent_rdds(spark) <= before + 3
+    # evicted plans still compute correctly (just no longer cached), and
+    # a repeat call re-materializes rather than erroring
+    assert dfs[0].count() == base.count()
+    again = materialize_shared(base.select("doc_id", F.lit(0).alias("tag")))
+    assert again.count() == base.count()

@@ -236,3 +236,24 @@ def test_span_suite_legs_share_the_persisted_reduction(spark):
         "span suite legs no longer share the persisted (window, doc) "
         "reduction:\n" + plan[:1500]
     )
+
+
+def test_exact_substring_single_fingerprint_shuffle(spark):
+    """ExactSubstr's scale contract (round 12): exactly ONE exchange keyed
+    on the window fingerprint — the count + min-survivor verdicts ride
+    window functions over that single shuffle, never a dup-set self-join
+    — and no nested-loop/cartesian anywhere."""
+    from global_market_index_etl_spark.operators.spans import (
+        exact_substring_dedup,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = exact_substring_dedup(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_w_shuffles = len(re.findall(r"hashpartitioning\(__w\b", plan))
+    assert n_w_shuffles == 1, (
+        f"expected exactly one window-fingerprint shuffle, found "
+        f"{n_w_shuffles}:\n" + plan[:1500]
+    )
