@@ -267,45 +267,69 @@ def j3_anti_fk_check(spark, sf):
 
 
 @query(
-    "d1_distinct_pairs",
+    "d_dedup_suite",
     """
-    SELECT DISTINCT event_type,
-           CAST(CAST(ts AS DATE) AS VARCHAR) AS rate_date
-    FROM events
+    WITH d1 AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS rate_date
+      FROM events
+    ), d2 AS (
+      SELECT user_id, event_id, ts, event_type FROM (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    )
+    SELECT 'pairs' AS leg, event_type, rate_date,
+           CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS TIMESTAMP) AS ts
+    FROM d1
+    UNION ALL
+    SELECT 'latest' AS leg, event_type, CAST(NULL AS VARCHAR) AS rate_date,
+           user_id, event_id, ts
+    FROM d2
     """,
-    doc="D1 — distinct (key, date) pairs below an expensive operator "
-    "(currency_converter.py:149-154). Partial-aggregate distinct: map-side "
-    "combine shrinks the shuffle to the pair cardinality.",
+    doc="D1 + D2 fused as tagged legs (round-12 registry headroom, the "
+    "round-11 fusion discipline). 'pairs': distinct (key, date) pairs "
+    "below an expensive operator (currency_converter.py:149-154) — "
+    "partial-aggregate distinct, map-side combine shrinks the shuffle to "
+    "the pair cardinality. 'latest': deterministic keyed dedup "
+    "(main.py:117) via row_number with a total-order tie-break, replacing "
+    "pandas' arbitrary-survivor drop_duplicates. Null fillers are typed "
+    "string/long/timestamp columns (never nullable booleans — the r9 "
+    "hash-divergence lesson).",
 )
-def d1_distinct_pairs(spark, sf):
-    return (
-        load_table(spark, sf, "events")
+def d_dedup_suite(spark, sf):
+    events = load_table(spark, sf, "events")
+    pairs = (
+        events
         # date rendered as ISO string: engine-neutral key representation
         .select("event_type", F.to_date("ts").cast("string").alias("rate_date"))
         .distinct()
+        .select(
+            F.lit("pairs").alias("leg"),
+            "event_type",
+            "rate_date",
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("timestamp_ntz").alias("ts"),
+        )
     )
-
-
-@query(
-    "d2_dedup_latest",
-    """
-    SELECT user_id, event_id, ts, event_type FROM (
-      SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
-    WHERE rn = 1
-    """,
-    doc="D2 — deterministic keyed dedup (main.py:117) via row_number with a "
-    "total-order tie-break, replacing pandas' arbitrary-survivor "
-    "drop_duplicates.",
-)
-def d2_dedup_latest(spark, sf):
-    return dedup_keyed(
-        load_table(spark, sf, "events"),
-        ["user_id"],
-        [F.desc("ts"), F.desc("event_id")],
-    ).select("user_id", "event_id", "ts", "event_type")
+    latest = (
+        dedup_keyed(
+            events, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+        )
+        .select(
+            F.lit("latest").alias("leg"),
+            "event_type",
+            F.lit(None).cast("string").alias("rate_date"),
+            "user_id",
+            "event_id",
+            "ts",
+        )
+    )
+    return pairs.unionByName(latest)
 
 
 @query(
