@@ -401,3 +401,35 @@ def test_streaming_phash_dedup_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(args["pairs_dir"]).collect()
     }
     assert again == got
+
+
+def test_await_drain_raises_on_timeout_and_stops_query():
+    """Round-11 advice (medium): an availableNow drain that exceeds its
+    deadline must RAISE — falling through would cache a partially-written
+    sink per (process, sf) and every later bench rep / driver check would
+    silently read incomplete output. The query is stopped before raising
+    so no zombie stream keeps writing."""
+    import pytest
+
+    from global_market_index_etl_spark.plans.analytics import _await_drain
+
+    class _Hung:
+        def __init__(self):
+            self.stopped = False
+
+        def awaitTermination(self, timeout):
+            return False  # still running at the deadline
+
+        def stop(self):
+            self.stopped = True
+
+    q = _Hung()
+    with pytest.raises(TimeoutError, match="did not finish"):
+        _await_drain(q, what="unit-test drain", timeout_s=1)
+    assert q.stopped
+
+    class _Done:
+        def awaitTermination(self, timeout):
+            return True
+
+    _await_drain(_Done(), what="finished drain", timeout_s=1)  # no raise
