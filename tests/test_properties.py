@@ -706,3 +706,73 @@ def test_token_mix_invariants_for_any_weights(spark, groups):
         assert got_g == expect, g
     binding = min(weights, key=weights.get)
     assert {d for d, g, _ in rows if g == binding} <= kept
+
+
+# ---- ExactSubstr vs pure-python twin (round 12) --------------------------
+
+WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+DOC_TEXTS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _exactsubstr_twin(docs, L, keep_first=True):
+    """Reference implementation: repeated L-gram occurrence marking with a
+    (doc, position)-minimal survivor — the semantics exact_substring_dedup
+    claims, computed the obvious sequential way."""
+    import re as _re
+    from collections import defaultdict
+
+    toks = {}
+    for d, t in docs:
+        norm = _re.sub(r"\s+", " ", t.lower()).strip()
+        if norm:
+            toks[d] = norm.split(" ")
+    by_w = defaultdict(list)
+    for d, ts in toks.items():
+        for i in range(1, len(ts) - L + 2):
+            by_w[" ".join(ts[i - 1 : i - 1 + L])].append((d, i))
+    covered = defaultdict(set)
+    for w, occs in by_w.items():
+        if len(occs) < 2:
+            continue
+        surv = min(occs)
+        for d, i in occs:
+            if keep_first and (d, i) == surv:
+                continue
+            covered[d].update(range(i, i + L))
+    out = {}
+    for d, ts in toks.items():
+        kept = [t for j, t in enumerate(ts, 1) if j not in covered[d]]
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+@given(texts=DOC_TEXTS, keep_first=st.booleans())
+@settings(
+    max_examples=10,  # each example pays several Spark jobs
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_substring_matches_python_twin(spark, texts, keep_first):
+    """For ANY tiny corpus over a 5-word vocabulary (so repeats arise
+    naturally, aligned or not, within or across docs), the distributed
+    stride-1 L-gram plan must equal the sequential reference — cleaned
+    text, token counts, and removal counts, under both survivor modes."""
+    from global_market_index_etl_spark.operators.spans import (
+        exact_substring_dedup,
+    )
+
+    L = 3
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_removed_tokens)
+        for r in exact_substring_dedup(
+            df, min_len=L, keep_first=keep_first
+        ).collect()
+    }
+    want = _exactsubstr_twin(docs, L, keep_first=keep_first)
+    assert got == want
