@@ -965,9 +965,10 @@ def export_training_shards(
     n_shards: int,
     fmt: str = "parquet",
     order_col: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> None:
     """Deterministic sharded export for training consumption: every row
-    lands in shard ``pmod(xxhash64(id), n_shards)``, sorted within the
+    lands in shard ``pmod(hash(id), n_shards)``, sorted within the
     shard by (order_col, id) — so two exports of the same corpus are
     file-for-file identical, and a training job can map shards to data
     loaders with stable membership across rebuilds (the same property the
@@ -978,11 +979,25 @@ def export_training_shards(
     ``sortWithinPartitions`` pins it. One shuffle, no global sort. The
     shard column is written so readers can verify placement; ``fmt`` may
     be ``parquet`` or ``json`` (JSONL shards for text-pipeline tooling).
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest — one JVM hash) or
+    ``"md5"`` (portable — shard = first 8 md5 hex chars of the id string,
+    reproducible by ANY engine, which is what lets the export round-trip
+    carry a full SQL oracle and lets non-Spark consumers verify placement
+    without a Spark runtime).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.col(id_col))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     sharded = df.withColumn(
-        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+        "shard", F.pmod(h, F.lit(n_shards)).cast("int")
     )
     order = [F.col(order_col)] if order_col else []
     (
