@@ -489,3 +489,65 @@ def test_sql_frontdoor_simhash_signatures(spark):
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_op.collect())
     )
+
+
+def test_sql_frontdoor_exact_substring(spark):
+    """ExactSubstr (round 12) through the SQL front door: the stride-1
+    L-gram cover + keep-first survivor expressed as pure spark.sql over
+    the registered views must equal the operator row for row — the
+    DataFrame declaration adds nothing a SQL user cannot write."""
+    from global_market_index_etl_spark.operators.spans import (
+        exact_substring_dedup,
+    )
+
+    register_views(spark, SF_SMALL)
+    L = 8
+    via_sql = spark.sql(f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')
+                   AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ), occ AS (
+          SELECT doc_id, pos + 1 AS i, w
+          FROM toks
+          LATERAL VIEW posexplode(
+            transform(sequence(1, size(t) - {L - 1}),
+                      i -> md5(concat_ws(' ', slice(t, i, {L}))))) AS pos, w
+          WHERE size(t) >= {L}
+        ), marked AS (
+          SELECT doc_id, i,
+                 count(*) OVER (PARTITION BY w) AS cnt,
+                 min(struct(doc_id, i)) OVER (PARTITION BY w) AS surv
+          FROM occ
+        ), covered AS (
+          SELECT DISTINCT doc_id, j
+          FROM (SELECT doc_id, i FROM marked
+                WHERE cnt >= 2
+                  AND NOT (surv.doc_id = doc_id AND surv.i = i))
+          LATERAL VIEW explode(sequence(i, i + {L - 1})) AS j
+        ), toksp AS (
+          SELECT doc_id, pos + 1 AS j, tok
+          FROM toks LATERAL VIEW posexplode(t) AS pos, tok
+        ), kept AS (
+          SELECT t.doc_id, t.j, t.tok
+          FROM toksp t LEFT ANTI JOIN covered c
+            ON t.doc_id = c.doc_id AND t.j = c.j
+        )
+        SELECT b.doc_id,
+               concat_ws(' ', transform(
+                 sort_array(collect_list(struct(k.j, k.tok))),
+                 x -> x.tok)) AS cleaned_text,
+               CAST(any_value(b.n) AS BIGINT) AS n_tokens,
+               CAST(any_value(b.n) - count(k.tok) AS BIGINT)
+                 AS n_removed_tokens
+        FROM (SELECT doc_id, size(t) AS n FROM toks) b
+        LEFT JOIN kept k ON b.doc_id = k.doc_id
+        GROUP BY b.doc_id
+    """)
+    via_op = exact_substring_dedup(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet"), min_len=L
+    )
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_op.collect())
+    )
