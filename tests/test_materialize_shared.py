@@ -161,3 +161,32 @@ def test_shared_cache_lru_eviction_unpersists(spark, monkeypatch):
     assert dfs[0].count() == base.count()
     again = materialize_shared(base.select("doc_id", F.lit(0).alias("tag")))
     assert again.count() == base.count()
+
+
+def test_shared_cache_concurrent_callers_one_persist(spark):
+    """Two threads racing the SAME subtree must converge on one persisted
+    table (the module lock makes lookup + materialize atomic) — the
+    concurrent-branch-stage scenario materialize()'s eager count exists
+    for, now across callers."""
+    import threading
+
+    results = []
+    before = _n_persistent_rdds(spark)
+
+    def worker():
+        results.append(
+            materialize_shared(
+                _docs(spark).select("doc_id", F.lit("race").alias("tag"))
+            )
+        )
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    assert all(r is results[0] for r in results), (
+        "racing callers got different materialized tables"
+    )
+    assert _n_persistent_rdds(spark) <= before + 1
