@@ -2022,33 +2022,6 @@ def w_session_window_native(spark, sf):
 
 
 @query(
-    "a5_exact_percentiles",
-    """
-    SELECT event_type,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.9) AS p90,
-           quantile_cont(value, 0.99) AS p99
-    FROM events GROUP BY event_type
-    """,
-    doc="EXACT grouped percentiles (linear interpolation) — the ground "
-    "truth the approximate sketch tier (sketch_event_profile) trades "
-    "against. Spark's percentile() and DuckDB's quantile_cont() share "
-    "the v_lo + frac·(v_hi − v_lo) definition, so the interpolated "
-    "doubles match bit-for-bit (verified including the 0.99 tail). "
-    "Scale: exact percentile is a per-group sort — right for bounded "
-    "group sizes like this 5-group profile; unbounded groups switch to "
-    "the approx_percentile sketch path, which is why both tiers exist.",
-)
-def a5_exact_percentiles(spark, sf):
-    events = load_table(spark, sf, "events")
-    return events.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5D)").alias("p50"),
-        F.expr("percentile(value, 0.9D)").alias("p90"),
-        F.expr("percentile(value, 0.99D)").alias("p99"),
-    )
-
-
-@query(
     "evt_behavior_suite",
     """
     WITH w AS (

@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..functions.exact import exact_money_sum, sql_exact_money_sum
-from ..operators.quality import key_ranges, null_counts
+from ..operators.quality import null_counts
 from ..operators.reshape import unpivot
 from ..operators.upsert import changed_rows, dedup_keyed, fk_violations, upsert
 from ..sources import load_table
@@ -747,6 +747,77 @@ def p_scalar_suite(spark, sf):
 
 
 @query(
+    "a_expectations_flagged",
+    """
+    SELECT event_id,
+           props IS NOT NULL AS props_not_null,
+           coalesce(value >= 0.0 AND value <= 250.0, FALSE)
+             AS value_in_range,
+           coalesce(event_type IN ('click', 'view', 'error', 'purchase'),
+                    FALSE) AS event_type_in_set,
+           coalesce(regexp_matches(event_type, '^[a-z_]+$'), FALSE)
+             AS event_type_matches,
+           (count(*) OVER (PARTITION BY user_id)) = 1 AS user_id_unique,
+           CAST(CAST(NOT (props IS NOT NULL) AS INTEGER)
+              + CAST(NOT coalesce(value >= 0.0 AND value <= 250.0, FALSE)
+                     AS INTEGER)
+              + CAST(NOT coalesce(event_type IN ('click', 'view', 'error',
+                                                 'purchase'), FALSE)
+                     AS INTEGER)
+              + CAST(NOT coalesce(regexp_matches(event_type, '^[a-z_]+$'),
+                                  FALSE) AS INTEGER)
+              + CAST(NOT ((count(*) OVER (PARTITION BY user_id)) = 1)
+                     AS INTEGER) AS INTEGER) AS n_violations
+    FROM events
+    """,
+    doc="Declarative expectations engine, driver-visible (round 12 — the "
+    "one quality component without a registry row): quality.validate "
+    "evaluates five rule kinds over events in ONE codegen pass — "
+    "not-null, range (null-fails), set membership, anchored regex, and "
+    "uniqueness (the only rule needing group context: one keyed window "
+    "on the checked column, the shuffle a 100 TB run would pay only on "
+    "key columns) — returning the input flagged with per-rule booleans "
+    "and a violation total for clean/dirty routing. Every boolean is "
+    "NON-NULL by construction (coalesce-to-FALSE inside the rules — the "
+    "r9 nullable-boolean hash lesson); the oracle re-evaluates the "
+    "identical predicates in SQL. The in-range band [0, 250] and the "
+    "set omitting 'signup' are chosen so every rule has real violations "
+    "on the fixture (value tops out at 490; signup rows exist).",
+)
+def a_expectations_flagged(spark, sf):
+    from ..operators.quality import (
+        expect_in_range,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_unique,
+        validate,
+    )
+
+    flagged, _report = validate(
+        load_table(spark, sf, "events"),
+        [
+            expect_not_null("props"),
+            expect_in_range("value", 0.0, 250.0),
+            expect_in_set(
+                "event_type", ["click", "view", "error", "purchase"]
+            ),
+            expect_matches("event_type", "^[a-z_]+$"),
+            expect_unique("user_id"),
+        ],
+    )
+    return flagged.select(
+        "event_id",
+        "props_not_null",
+        "value_in_range",
+        "event_type_in_set",
+        "event_type_matches",
+        "user_id_unique",
+        F.col("n_violations").cast("int").alias("n_violations"),
+    )
+
+
+@query(
     "a_profile",
     """
     SELECT 'lineitem' AS table_name, 'n_rows' AS stat,
@@ -828,17 +899,40 @@ def a_profile(spark, sf):
 
 
 @query(
-    "a3_key_ranges",
+    "a_keystats_suite",
     """
     SELECT event_type, min(ts) AS min_ts, max(ts) AS max_ts,
-           CAST(count(*) AS BIGINT) AS n_rows
+           CAST(count(*) AS BIGINT) AS n_rows,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
     FROM events GROUP BY event_type
     """,
-    doc="A3 — per-key time-range probe (notebook data-range check): min/max "
-    "are exact under any execution order.",
+    doc="A3 + A5 fused into ONE per-key aggregate (round-12 registry "
+    "headroom): the time-range probe (min/max exact under any execution "
+    "order — the notebook data-range check) and EXACT grouped percentiles "
+    "(linear interpolation; Spark's percentile() and DuckDB's "
+    "quantile_cont() share the v_lo + frac·(v_hi − v_lo) definition, so "
+    "the interpolated doubles match bit-for-bit including the 0.99 tail) "
+    "over the same event_type grouping — one shuffle where two rows paid "
+    "two. Scale note: exact percentile is a per-group sort, right for "
+    "bounded group sizes like this 5-group profile; unbounded groups "
+    "switch to the approx_percentile sketch path (sketch_event_profile), "
+    "which is why both tiers exist.",
 )
-def a3_key_ranges(spark, sf):
-    return key_ranges(load_table(spark, sf, "events"), "event_type", "ts")
+def a_keystats_suite(spark, sf):
+    return (
+        load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("percentile(value, 0.5D)").alias("p50"),
+            F.expr("percentile(value, 0.9D)").alias("p90"),
+            F.expr("percentile(value, 0.99D)").alias("p99"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
