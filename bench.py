@@ -73,7 +73,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "curation_pipeline",
     "text_metrics",
-    "ann_cosine_topk",
+    # round 12: brute + LSH fused as tagged legs (one row, both plans)
+    "ann_probe_suite",
     "fx_asof_rate_fill",
     "skew_salted_pipeline",
     "stream_windowed_counts",
@@ -114,12 +115,10 @@ HEADLINE = [
     # round 12: ingest-batch embedding near-dup against the persisted
     # signature index (blended in-plan batch, full oracle)
     "dedup_incremental_embedding",
-    # round 12: real availableNow streaming MinHash index maintenance (3
-    # micro-batches) — stream runs on first rep, cached per (process, sf)
-    "stream_minhash_maintained",
-    # round 12: streaming embedding-index maintenance (bootstrap +
-    # incremental + planted-ingest micro-batches), same caching pattern
-    "stream_embedding_maintained",
+    # round 12: streaming MinHash + embedding index maintenance fused as
+    # tagged legs (real availableNow drains on first rep, each cached per
+    # (process, sf) — the medians isolate the maintained pairs-dir reads)
+    "stream_index_suite",
 ]
 
 

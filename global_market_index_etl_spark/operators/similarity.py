@@ -132,7 +132,7 @@ def _rademacher_planes(
     Entry (t, b, d) is +1 iff the first 8 hex chars of
     ``md5("{seed}:{t}:{b}:{d}")`` parse to an even integer — a pure
     function any engine reproduces (DuckDB: the identical md5/substr
-    expression), which is what lets ``ann_lsh_topk`` carry a FULL SQL
+    expression), which is what lets ``ann_probe_suite``'s lsh leg carry a FULL SQL
     oracle (round-11 verdict item 7, the dedup_simhash move applied to
     sign-LSH). Rademacher projections are a standard sign-LSH family
     (same collision-probability behavior as Gaussian at these dims).

@@ -52,17 +52,15 @@ PRIORITY_FIRST = [
     # matches — round-11 advice); it was checked r11 under the old plan,
     # so staleness alone would rotate it out. The r11 pins went
     # hash-green and drain by staleness. The new rows
-    # (dedup_incremental_embedding, stream_minhash_maintained) need no
+    # (dedup_incremental_embedding, stream_index_suite) need no
     # pin: never-checked queries sort at staleness 0. The
     # materialize_shared switch (span suite, curation pipelines) reuses
     # one persisted copy of the SAME subtree across invocations — no
     # plan or value change, no pin.
     "stream_interval_join",
-    # round 12: ann_lsh_topk changed MATERIALLY — hyperplanes moved to the
-    # md5-derived Rademacher family and the row gained a brand-new full
-    # SQL oracle (the digest pin is retired); last checked r10 under the
-    # old rows-only semantics.
-    "ann_lsh_topk",
+    # (ann_lsh_topk's round-12 material-change pin was retired when the
+    # row fused into ann_probe_suite — a never-checked name sorts at
+    # staleness 0 and lands in-window by itself.)
 ]
 
 _ROOT = _os.path.dirname(

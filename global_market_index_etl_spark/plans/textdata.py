@@ -593,9 +593,11 @@ def _stream_minhash_pairs_dir(spark, sf: str) -> str:
     return pairs_dir
 
 
-@query(
-    "stream_minhash_maintained",
-    r"""
+# Oracle fragment for the minhash leg of stream_index_suite: the exact
+# all-pairs Jaccard SQL (same soundness as dedup_minhash_lsh — the seeded
+# banding recovers every >=0.8 pair and the verify stage recomputes exact
+# Jaccard, so the maintained pairs dir must equal exact ground truth).
+_SQL_STREAM_MINHASH = r"""
     WITH words AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
       FROM documents WHERE length(trim(text)) > 0
@@ -623,29 +625,7 @@ def _stream_minhash_pairs_dir(spark, sf: str) -> str:
     JOIN sizes s2 ON id_2 = s2.doc_id
     WHERE n_common * 1.0 / (CAST(s1.n AS BIGINT) + CAST(s2.n AS BIGINT)
                             - n_common) >= 0.8
-    """,
-    doc="STREAMING MinHash index maintenance, driver-visible (round-11 "
-    "verdict item 2): a three-way doc_id split of the documents table "
-    "drains through ONE availableNow run (maxFilesPerTrigger=1) of "
-    "streaming/incremental.streaming_minhash_dedup — micro-batch 0 "
-    "bootstraps the persisted (band, bucket) + shingle index, batches 1-2 "
-    "each sign ONLY themselves, probe the committed index, exact-verify, "
-    "and fold their signatures in (batch=<id> deltas, replay-idempotent "
-    "under foreachBatch retries; batch cost ∝ batch, never corpus — the "
-    "ingestion-loop shape for a growing 100 TB corpus). Every ≥0.8 pair "
-    "is emitted exactly once by the micro-batch where its later doc "
-    "arrives, so the drained pairs directory ≡ the full-corpus pair set; "
-    "the ORACLE is the exact-Jaccard all-pairs SQL (same soundness as "
-    "dedup_minhash_lsh: the seeded banding recovers every ≥0.8 pair and "
-    "the verify stage recomputes exact Jaccard). stream ≡ batch is "
-    "additionally pinned in test_streaming_minhash_dedup_matches_batch. "
-    "NOTE: like k2/scd2/interval-join, the stream executes eagerly at "
-    "plan-construction time (a real streaming run is the thing under "
-    "test); the pairs dir is cached per (process, sf).",
-)
-def stream_minhash_maintained(spark, sf):
-    pairs_dir = _stream_minhash_pairs_dir(spark, sf)
-    return spark.read.parquet(pairs_dir).select("id_1", "id_2", "jaccard")
+"""
 
 
 _STREAM_EMB_PAIRS: dict[str, str] = {}
@@ -695,9 +675,10 @@ def _stream_embedding_pairs_dir(spark, sf: str) -> str:
     return pairs_dir
 
 
-@query(
-    "stream_embedding_maintained",
-    """
+# Oracle fragment for the embedding leg of stream_index_suite: brute-force
+# all-pairs cosine over the identically-rebuilt corpus ∪ blend union
+# (sound: sign-LSH at b=8, T=32 misses a >=0.95 pair with P≈2e-8).
+_SQL_STREAM_EMB = """
     WITH blend AS (
       SELECT 100000 + a.vec_id AS vec_id,
              list(CAST((1.0 - (2.0 + a.vec_id) / 32.0) * av
@@ -727,29 +708,61 @@ def _stream_embedding_pairs_dir(spark, sf: str) -> str:
     )
     SELECT id_1, id_2, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos_sim
     FROM dots WHERE round(dot / (sqrt(nx) * sqrt(ny)), 6) >= 0.95
+"""
+
+
+@query(
+    "stream_index_suite",
+    f"""
+    SELECT 'minhash' AS leg, id_1, id_2, jaccard AS score
+    FROM ({_SQL_STREAM_MINHASH})
+    UNION ALL
+    SELECT 'embedding' AS leg, id_1, id_2, cos_sim AS score
+    FROM ({_SQL_STREAM_EMB})
     """,
-    doc="STREAMING embedding-index maintenance, driver-visible (round 12 — "
-    "the last streaming curation maintainer without a driver row): ONE "
-    "availableNow run (maxFilesPerTrigger=1) of "
-    "streaming/incremental.streaming_embedding_neardup drains three "
-    "micro-batches — two id-split corpus ticks (bootstrap the persisted "
-    "signature+vector index, then an incremental tick) and finally the "
-    "twelve in-plan blend vectors playing today's ingest. Each batch is "
-    "signed ONCE (Arrow-batched matmul), probes the committed "
-    "batch=<id> index deltas (replay-idempotent; batch cost ∝ batch, "
-    "never store), exact-cosine-verifies candidates, and folds its "
-    "signatures + vectors in. Every ≥0.95 pair lands exactly once with "
-    "its later vector, so the drained pairs dir ≡ the full pair set over "
-    "corpus ∪ blends; the ORACLE is the brute-force all-pairs cosine SQL "
-    "over the identically-rebuilt union (sound: sign-LSH at b=8, T=32 "
-    "misses a ≥0.95 pair with P≈2·10⁻⁸). stream ≡ batch is additionally "
-    "pinned in test_streaming_embedding_neardup_matches_batch. NOTE: "
-    "like the other streaming rows, the stream executes eagerly at "
-    "plan-construction time; the pairs dir is cached per (process, sf).",
+    doc="STREAMING near-dup index maintenance across BOTH modalities as "
+    "tagged legs (round-12 headroom fusion of the former "
+    "stream_minhash_maintained + stream_embedding_maintained rows — both "
+    "streams execute unchanged, each cached per (process, sf); bench "
+    "reports per-leg medians). 'minhash' leg: a three-way doc_id split "
+    "of the documents table drains through ONE availableNow run "
+    "(maxFilesPerTrigger=1) of streaming/incremental."
+    "streaming_minhash_dedup — micro-batch 0 bootstraps the persisted "
+    "(band, bucket) + shingle index, batches 1-2 each sign ONLY "
+    "themselves, probe the committed index, exact-verify, and fold their "
+    "signatures in (batch=<id> deltas, replay-idempotent under "
+    "foreachBatch retries; batch cost ∝ batch, never corpus — the "
+    "ingestion-loop shape for a growing 100 TB corpus). 'embedding' "
+    "leg: streaming_embedding_neardup drains two id-split corpus ticks "
+    "plus twelve in-plan blend vectors playing today's ingest; each "
+    "batch is signed ONCE (Arrow-batched matmul), probes the committed "
+    "index deltas, exact-cosine-verifies, and folds its signatures + "
+    "vectors in. Every qualifying pair lands exactly once with its "
+    "later item, so each drained pairs dir ≡ the full pair set; the "
+    "ORACLE unions the exact-Jaccard all-pairs SQL (≥0.8) and the "
+    "brute-force all-pairs cosine SQL over the rebuilt corpus ∪ blends "
+    "(≥0.95), both sound per the banding/LSH loss bounds on the "
+    "operator docs. stream ≡ batch is additionally pinned in "
+    "test_streaming_minhash_dedup_matches_batch and "
+    "test_streaming_embedding_neardup_matches_batch. NOTE: like "
+    "k2/scd2/interval-join, the streams execute eagerly at "
+    "plan-construction time (a real streaming run is the thing under "
+    "test); the pairs dirs are cached per (process, sf).",
 )
-def stream_embedding_maintained(spark, sf):
-    pairs_dir = _stream_embedding_pairs_dir(spark, sf)
-    return spark.read.parquet(pairs_dir).select("id_1", "id_2", "cos_sim")
+def stream_index_suite(spark, sf):
+    mh = spark.read.parquet(_stream_minhash_pairs_dir(spark, sf)).select(
+        F.lit("minhash").alias("leg"),
+        "id_1",
+        "id_2",
+        F.col("jaccard").alias("score"),
+    )
+    emb = spark.read.parquet(_stream_embedding_pairs_dir(spark, sf)).select(
+        F.lit("embedding").alias("leg"),
+        "id_1",
+        "id_2",
+        F.col("cos_sim").alias("score"),
+    )
+    return mh.unionByName(emb)
 
 
 def _sql_simhash_pairs(src: str, max_hamming: int) -> str:
@@ -824,9 +837,9 @@ def dedup_simhash(spark, sf):
     )
 
 
-@query(
-    "ann_cosine_topk",
-    """
+# Oracle fragments for the two ann_probe_suite legs — kept as standalone
+# constants so each leg's SQL stays readable and the suite composes them.
+_SQL_ANN_BRUTE = """
     WITH q AS (
       SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10
     ), pairs AS (
@@ -850,21 +863,9 @@ def dedup_simhash(spark, sf):
                   ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
       FROM sims)
     SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
-    """,
-    doc="Brute-force cosine top-k (exact ANN baseline): probes broadcast "
-    "against the corpus, dot products via zip_with/aggregate (JVM, no "
-    "Python), rank on rounded similarity + id tie-break for deterministic "
-    "top-k sets. The LSH variant (ann_lsh_topk) is the scale path.",
-)
-def ann_cosine_topk(spark, sf):
-    emb = load_table(spark, sf, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(emb, probes, k=5)
+"""
 
-
-@query(
-    "ann_lsh_topk",
-    """
+_SQL_ANN_LSH = """
     WITH grid AS (
       SELECT t.r AS t, b.r AS b, d.r AS d,
              CAST(CASE WHEN CAST(('0x' || substr(md5('42:' || t.r || ':'
@@ -909,11 +910,27 @@ def ann_cosine_topk(spark, sf):
                            neighbor_id) AS INTEGER) AS rn
       FROM dots)
     SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
+"""
+
+
+@query(
+    "ann_probe_suite",
+    f"""
+    SELECT 'brute' AS leg, * FROM ({_SQL_ANN_BRUTE})
+    UNION ALL
+    SELECT 'lsh' AS leg, * FROM ({_SQL_ANN_LSH})
     """,
-    doc="ANN top-k via multi-table sign-LSH (16 tables × 6 bits): probes "
-    "score only colliding buckets with the exact kernel. FULL oracle "
-    "since round 12 (verdict item 7 — the dedup_simhash move applied to "
-    "LSH): the hyperplanes are md5-derived Rademacher ±1 rows "
+    doc="ANN probe top-k, BOTH tiers as tagged legs (round-12 headroom "
+    "fusion of the former ann_cosine_topk + ann_lsh_topk rows — both "
+    "plans execute unchanged inside the union, samp_policy_suite "
+    "discipline; bench reports per-leg medians). 'brute' leg: exact "
+    "baseline — probes broadcast against the corpus, dot products via "
+    "zip_with/aggregate (JVM, no Python), rank on rounded similarity + "
+    "id tie-break for deterministic top-k sets. 'lsh' leg: the scale "
+    "path — multi-table sign-LSH (16 tables × 6 bits), probes score "
+    "only colliding buckets with the exact kernel. FULL oracle on both "
+    "legs (lsh since round 12, verdict item 7 — the dedup_simhash move "
+    "applied to LSH): the hyperplanes are md5-derived Rademacher ±1 rows "
     "(similarity._rademacher_planes), a pure function of (seed, table, "
     "bit, dim) any engine reproduces, so the oracle rebuilds the exact "
     "signatures in SQL, regenerates the identical candidate buckets, and "
@@ -921,13 +938,17 @@ def ann_cosine_topk(spark, sf):
     "float sum-order divergence: the smallest |projection| on the "
     "fixture corpora is 6.9e-7 vs ~1e-13 ulp noise (margins verified at "
     "all three SFs before pinning); Rademacher projections are a "
-    "standard sign-LSH family, recall measured against ann_cosine_topk "
-    "in tests. The former sha256 digest pin is retired.",
+    "standard sign-LSH family, recall of the lsh leg vs the brute leg "
+    "measured in tests.",
 )
-def ann_lsh_topk(spark, sf):
+def ann_probe_suite(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return lsh_cosine_topk(emb, probes, k=5, bits=6, tables=16, family="md5")
+    brute = cosine_topk(emb, probes, k=5)
+    lsh = lsh_cosine_topk(emb, probes, k=5, bits=6, tables=16, family="md5")
+    return brute.select(
+        F.lit("brute").alias("leg"), *brute.columns
+    ).unionByName(lsh.select(F.lit("lsh").alias("leg"), *lsh.columns))
 
 
 @query(
@@ -1046,7 +1067,8 @@ def mm_decode_features(spark, sf):
     "dial of the similarity tier. 'exhaustive' leg: nprobe == n_lists "
     "degenerates to EXACT brute force (recall 1.0) — proving the index "
     "path itself loses nothing; tuple-equality vs cosine_topk (whose "
-    "brute-force SQL oracle stays driver-checked via ann_cosine_topk) is "
+    "brute-force SQL oracle stays driver-checked via ann_probe_suite's "
+    "brute leg) is "
     "asserted in tests. Value-pinned: the full sf0.01 table must "
     "reproduce a sha256 fixture bit-for-bit "
     "(test_rows_only_queries_match_pinned_digest; reproducibility across "

@@ -154,7 +154,7 @@ def test_ann_lsh_recall(spark, emb):
     # random embeddings ⇒ top-5 sims ≈0.35-0.5; multi-table LSH theory gives
     # ~0.6 candidate prob there — require a sane floor, not perfection
     assert len(exact & approx) / len(exact) >= 0.3
-    # the PORTABLE md5-Rademacher family (the oracled ann_lsh_topk row,
+    # the PORTABLE md5-Rademacher family (the oracled lsh leg of ann_probe_suite,
     # round 12) must hold the same recall floor — Rademacher sign-LSH has
     # the same collision behavior as the pseudo-Gaussian default
     portable = {

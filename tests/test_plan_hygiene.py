@@ -23,10 +23,12 @@ from global_market_index_etl_spark.sources import load_table
 from .conftest import SF_SMALL
 
 # exact all-pairs kernel: the non-equi probes×corpus join is the documented
-# design (probe side broadcast); the bucketed variants (ann_lsh_topk,
+# design (probe side broadcast); the bucketed variants (the lsh leg,
 # ann_ivf_topk, emb_neardup_cosine, dedup_*) are the scale path and must
 # stay equi-join — they get NO exemption here
-ALLPAIRS_OK = {"ann_cosine_topk"}
+# ann_probe_suite contains the exact brute-force leg by design; its lsh
+# leg stays equi-join (asserted separately in test_extensions recall tests)
+ALLPAIRS_OK = {"ann_probe_suite"}
 
 # full-width reads that are semantically required (SELECT * shapes)
 FULL_WIDTH_OK = {
