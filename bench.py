@@ -119,6 +119,12 @@ HEADLINE = [
     # tagged legs (real availableNow drains on first rep, each cached per
     # (process, sf) — the medians isolate the maintained pairs-dir reads)
     "stream_index_suite",
+    # round 12: streaming count-min maintenance (3 micro-batch sketch
+    # deltas; the median isolates the merge-on-read state read) and
+    # ingest-batch image near-dup against the persisted pHash index
+    # (batch decode + DCT + pigeonhole probe — the incremental claim)
+    "stream_countmin_maintained",
+    "dedup_incremental_phash",
 ]
 
 

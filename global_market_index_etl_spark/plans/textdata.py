@@ -545,6 +545,59 @@ def _emb_blend_batch(corpus):
     )
 
 
+_PHASH_SIG_INDEXES: dict[str, object] = {}
+
+
+@query(
+    "dedup_incremental_phash",
+    None,  # the DCT hash runs in Arrow-batched UDFs over engine-encoded
+    # PNG payloads — no SQL form; index(b1) ∪ incremental(b2|b1) ≡
+    # full(b1∪b2) is pinned in test_incremental_phash_matches_full_corpus
+    # and the row output is digest-pinned at sf0.01
+    doc="INCREMENTAL image near-dup vs the PERSISTED pHash index, "
+    "driver-visible (round 12 — the last incremental index path without "
+    "a driver row; with it every incremental structure — MinHash, "
+    "embedding, pHash — has both batch and maintained driver coverage): "
+    "the even-media_id half of the synthesized PNG corpus (the "
+    "mm_phash_near_pairs fixture, planted perturbed duplicates included) "
+    "plays the already-hashed 100 TB image store (operators/phash."
+    "image_phash — 8 bytes/image, payloads never retained), the odd half "
+    "plays today's ingest. incremental_phash_pairs decodes + DCT-hashes "
+    "ONLY the batch, then runs the two-sided pigeonhole Hamming kernel "
+    "(blocks=8 ≥ radius 7 + 1, lossless) with the batch as the LEFT "
+    "side — batch cost ∝ batch, zero stored images re-decoded; returned "
+    "pairs are exactly the full-corpus pairs involving a new image "
+    "(new×indexed ∪ new×new), which is what makes pairs(b1) ∪ "
+    "incremental(b2|b1) ≡ pairs(b1∪b2) (pinned in "
+    "test_incremental_phash_matches_full_corpus, with the appended "
+    "signatures equal to a fresh hash of the batch). Fully "
+    "deterministic: byte-exact PNG codec + exact DCT-II → repeat driver "
+    "runs hash-stable. Value-pinned: the full sf0.01 table must "
+    "reproduce a sha256 fixture bit-for-bit "
+    "(test_rows_only_queries_match_pinned_digest).",
+)
+def dedup_incremental_phash(spark, sf):
+    from ..operators.phash import image_phash, incremental_phash_pairs
+    from ..operators.util import materialize
+
+    media = _phash_corpus_media(spark, sf)
+    # the signature index is PERSISTED state in the scenario this row
+    # plays (hashed when those images were ingested) — cached materialized
+    # per (process, sf) like the minhash/embedding indexes above, so bench
+    # reps measure the BATCH path (decode + DCT the batch, bucket-probe,
+    # exact Hamming verify), which is the incremental claim
+    if sf not in _PHASH_SIG_INDEXES:
+        _PHASH_SIG_INDEXES[sf] = materialize(
+            image_phash(
+                media.filter(F.col("media_id") % 2 == 0), payload_col="img"
+            )
+        )
+    index = _PHASH_SIG_INDEXES[sf]
+    batch = media.filter(F.col("media_id") % 2 == 1)
+    pairs, _ = incremental_phash_pairs(batch, index, payload_col="img")
+    return pairs
+
+
 _STREAM_MINHASH_PAIRS: dict[str, str] = {}
 
 
@@ -763,6 +816,102 @@ def stream_index_suite(spark, sf):
         F.col("cos_sim").alias("score"),
     )
     return mh.unionByName(emb)
+
+
+_STREAM_CMS_STATE: dict[str, str] = {}
+
+
+def _stream_countmin_state_dir(spark, sf: str) -> str:
+    """Run the streaming count-min maintenance once per (process, sf).
+
+    Three doc_id-split tick files drain through ONE ``availableNow`` run
+    (``maxFilesPerTrigger=1``) of streaming/sketches.streaming_count_min:
+    each micro-batch writes its own sketch cells as a ``batch=<id>``
+    delta (≤ depth × width rows — the sketch's fixed size is the point),
+    and the queryable state is the merge-on-read sum over committed
+    deltas. Cached per (process, sf) like the other streaming rows."""
+    if sf in _STREAM_CMS_STATE:
+        return _STREAM_CMS_STATE[sf]
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.sketches import streaming_count_min
+    from .analytics import _await_drain
+
+    root = tempfile.mkdtemp(prefix="gmie_stream_cms_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src, state = f"{root}/src", f"{root}/state"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    for tick in range(3):
+        docs.filter(F.col("doc_id") % 3 == tick).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_count_min(
+        stream,
+        state_path=state,
+        checkpoint=f"{root}/ckpt",
+        depth=4,
+        width=1024,
+    )
+    _await_drain(q, what="stream_countmin availableNow drain")
+    _STREAM_CMS_STATE[sf] = state
+    return state
+
+
+@query(
+    "stream_countmin_maintained",
+    r"""
+    WITH w AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ), t AS (
+      SELECT unnest(arr) AS term FROM w
+    ), cells AS (
+      SELECT r.r AS sketch_row,
+             CAST(('0x' || substr(md5(r.r || ':' || term), 1, 8))
+                  AS BIGINT) % 1024 AS cell
+      FROM t, range(4) r(r)
+      WHERE term <> ''
+    )
+    SELECT CAST(sketch_row AS INTEGER) AS row,
+           CAST(cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(4 AS INTEGER) AS depth,
+           CAST(1024 AS INTEGER) AS width
+    FROM cells GROUP BY 1, 2
+    """,
+    doc="STREAMING count-min sketch maintenance, driver-visible (round-12 "
+    "— the last streaming maintainer without a driver row; with it every "
+    "persisted incremental structure — SCD2, interval join, MinHash, "
+    "embedding, count-min — is under the driver): a three-way doc_id "
+    "split of the documents table drains through ONE availableNow run "
+    "(maxFilesPerTrigger=1) of streaming/sketches.streaming_count_min. "
+    "Each tick writes its batch's 4×1024 sketch cells as a replay-"
+    "idempotent batch=<id> delta (deterministic construction: a "
+    "restarted tick overwrites itself byte-identically); the returned "
+    "table is the merge-on-read sum over committed deltas — the sketch "
+    "is ADDITIVE, so streamed state ≡ the one-shot corpus sketch "
+    "exactly (also pinned in test_streamed_state_equals_batch_sketch). "
+    "FULL oracle: the cell hash is md5-derived "
+    "(operators/terms._cms_cell), so DuckDB rebuilds the identical "
+    "sketch bit-for-bit — approximation lives in the data structure, "
+    "not in any nondeterminism. Per-tick cost is the batch scan plus a "
+    "depth×width-bounded shuffle; state never grows with vocabulary — "
+    "the 100-TB heavy-hitter shape the exact pass cannot give. NOTE: "
+    "like the other streaming rows, the stream executes eagerly at "
+    "plan-construction time; the state dir is cached per (process, sf).",
+)
+def stream_countmin_maintained(spark, sf):
+    from ..streaming.sketches import read_count_min_state
+
+    state = _stream_countmin_state_dir(spark, sf)
+    return read_count_min_state(spark, state)
 
 
 def _sql_simhash_pairs(src: str, max_hamming: int) -> str:

@@ -44,6 +44,10 @@ QUERIES = [
     "e1_pipeline_market_bars",
     "mm_decode_features",
     "sketch_event_profile",
+    # round 12: incremental pHash vs the persisted signature index —
+    # byte-exact PNG codec + exact DCT-II, reproducibility across
+    # disjoint parallelism verified before pinning
+    "dedup_incremental_phash",
 ]
 
 
@@ -68,8 +72,15 @@ def main() -> None:
     from global_market_index_etl_spark.plans import REGISTRY
     from global_market_index_etl_spark.session import get_spark
 
+    # optional argv filter: re-pin only the named queries (adding a new
+    # pin must not silently re-freeze every existing fixture — a drifted
+    # digest should fail the suite and be re-pinned with intent)
+    names = sys.argv[1:] or QUERIES
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"not in the pin set {unknown}; add to QUERIES first")
     spark = get_spark(app_name="gmie-digest-fixtures")
-    for name in QUERIES:
+    for name in names:
         df = REGISTRY[name].spark(spark, SF_DIR)
         n, digest = table_digest(df)
         out = os.path.join(

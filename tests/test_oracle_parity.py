@@ -75,6 +75,9 @@ def test_oracle_type_lint_catches_seeded_hugeint():
         "e1_pipeline_market_bars",
         "mm_decode_features",
         "sketch_event_profile",
+        # round 12: incremental pHash vs the persisted index (byte-exact
+        # codec + exact DCT-II; parallelism-reproducibility verified)
+        "dedup_incremental_phash",
     ],
 )
 def test_rows_only_queries_match_pinned_digest(spark, name):
