@@ -125,6 +125,9 @@ HEADLINE = [
     # (batch decode + DCT + pigeonhole probe — the incremental claim)
     "stream_countmin_maintained",
     "dedup_incremental_phash",
+    # round 12: portable HLL registers (md5-derived, DuckDB-rebuildable;
+    # <= groups x 1024-row shuffle at any key cardinality)
+    "sketch_portable_hll",
 ]
 
 

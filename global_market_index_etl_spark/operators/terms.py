@@ -307,3 +307,145 @@ def count_min_estimate(
     return joined.groupBy(term_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
     )
+
+
+def _hll_h60(key_col: str):
+    """60-bit md5-derived hash of a key — engine-portable (DuckDB:
+    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)``
+    yields the identical integer; 15 hex chars keep the value positive
+    in a signed 64-bit lane on every engine)."""
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    *,
+    p: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Portable HyperLogLog registers for approx-distinct of ``key_col``:
+    ``(*group_cols, bucket, max_rho, p)`` — at most ``2^p`` rows per
+    group, regardless of key cardinality.
+
+    Why this exists next to ``approx_count_distinct`` (which is also a
+    correct, mergeable HLL++): Spark's sketch lives inside an opaque
+    engine-specific binary buffer, so persisted state can never be
+    checked by another system. These registers are built from the
+    md5-derived :func:`_hll_h60` hash — a pure function of the key any
+    engine reproduces — so a DuckDB oracle rebuilds the IDENTICAL
+    register table bit-for-bit (the driver row ``sketch_portable_hll``
+    does exactly that): approximation lives in the data structure, not
+    in any nondeterminism. Same portability move as
+    :func:`count_min_cells` / SimHash / the LSH hyperplanes.
+
+    Standard HLL shape (Flajolet et al. 2007): bucket = top ``p`` hash
+    bits, rho = leading-zero count of the remaining ``60 - p`` bits + 1
+    (computed EXACTLY via the binary-string length — no float log2 at
+    power-of-two boundaries), register = max rho per bucket. One
+    partial-aggregated shuffle of ≤ groups × 2^p rows; registers are
+    max-mergeable across corpus shards / streaming ticks
+    (:func:`hll_merge`), which is the whole point at 100 TB: count
+    distinct users per key WITHOUT a distinct-shuffle of the key space.
+
+    ``p`` rides along as a literal column so persisted registers are
+    never dimensionless (the count-min discipline):
+    :func:`hll_estimate` reads it back and refuses a mismatched merge.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"need 4 <= p <= 18, got {p}")
+    group_cols = list(group_cols or [])
+    w = 60 - p  # remainder bits
+    h = _hll_h60(key_col)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rem))
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.shiftright(h, w).alias("bucket"),
+            rho.cast("int").alias("__rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").alias("max_rho"))
+        .withColumn("p", F.lit(int(p)))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge register tables from disjoint corpus shards / ticks:
+    elementwise max per (group, bucket). ``registers(a ∪ b) ≡
+    merge(registers(a), registers(b))`` exactly — the additivity that
+    makes HLL maintainable incrementally (asserted in tests)."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    keys = [c for c in merged.columns if c not in ("max_rho",)]
+    return merged.groupBy(*keys).agg(F.max("max_rho").alias("max_rho")).select(
+        *merged.columns
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    p: int | None = None,
+) -> DataFrame:
+    """Distinct-count estimate from :func:`hll_registers` output:
+    ``(*group_cols, approx_distinct)`` with the standard bias-corrected
+    estimator + small-range correction (Flajolet et al. 2007):
+    ``E = alpha_m * m^2 / (V + sum 2^-rho)`` over the ``m = 2^p``
+    registers (empty buckets contribute ``2^0 = 1`` each, V of them);
+    if ``E <= 2.5 m`` and ``V > 0``, linear counting ``m ln(m/V)``
+    takes over. Relative error ≈ ``1.04/sqrt(m)`` (3.25% at p=10).
+
+    ``p`` defaults to the value RECORDED on the registers and a
+    mismatched explicit ``p`` raises — estimating with the wrong ``m``
+    silently mis-scales, the same failure mode the count-min dimension
+    stamp exists to prevent."""
+    import math
+
+    group_cols = list(group_cols or [])
+    registers = registers.localCheckpoint(eager=True)
+    dims = registers.agg(F.min("p"), F.max("p")).first()
+    if dims[0] is None:
+        if p is None:
+            raise ValueError("empty registers carry no p — pass p explicitly")
+    else:
+        if dims[0] != dims[1]:
+            raise ValueError(
+                f"registers mix precisions p={dims[0]}..{dims[1]} — "
+                "tables from differently-sized sketches cannot be merged"
+            )
+        if p is None:
+            p = int(dims[0])
+        elif p != dims[0]:
+            raise ValueError(
+                f"p {p} does not match the registers' recorded p {dims[0]}"
+            )
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # the UNGROUPED aggregate emits one row even over zero registers
+    # (sum → NULL): coalesce to 0 so the empty-corpus estimate is the
+    # linear-counting 0 (V = m ⇒ m·ln(1)), not a NULL row
+    agg = registers.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))), F.lit(0.0)
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    v = F.lit(float(m)) - F.col("__nb")  # empty buckets
+    raw = F.lit(alpha * m * m) / (F.col("__s") + v)
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), linear
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est).cast("bigint").alias("approx_distinct")
+    )

@@ -735,6 +735,52 @@ def sketch_event_profile(spark, sf):
     )
 
 
+@query(
+    "sketch_portable_hll",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h60
+      FROM events
+    ), parts AS (
+      SELECT event_type, h60 >> 50 AS bucket,
+             h60 & ((1::BIGINT << 50) - 1) AS rem
+      FROM h
+    ), rho AS (
+      SELECT event_type, bucket,
+             CASE WHEN rem = 0 THEN 51 ELSE 51 - length(bin(rem)) END AS rho
+      FROM parts
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(max(rho) AS INTEGER) AS max_rho, CAST(10 AS INTEGER) AS p
+    FROM rho GROUP BY 1, 2
+    """,
+    doc="PORTABLE HyperLogLog registers per event_type (round 12): "
+    "distinct-user sketch whose state any engine can rebuild and check "
+    "— unlike approx_count_distinct's opaque engine-internal buffer "
+    "(sketch_event_profile, which stays the idiomatic-Spark row). The "
+    "60-bit key hash is md5-derived (operators/terms._hll_h60), bucket "
+    "= top 10 bits, rho = exact leading-zero count of the remaining 50 "
+    "bits + 1 via binary-string length (no float log2 at power-of-two "
+    "boundaries), register = max rho per bucket — ≤ 1024 rows per "
+    "group at ANY key cardinality, one partial-aggregated shuffle, no "
+    "distinct-explosion of the user space. Registers are max-mergeable "
+    "across shards/ticks (hll_merge; merge ≡ full pinned in tests) and "
+    "hll_estimate adds the Flajolet bias-corrected + linear-counting "
+    "estimator, accuracy-tested against exact distincts. FULL oracle: "
+    "DuckDB rebuilds the identical register table bit-for-bit — the "
+    "count-min/SimHash/LSH portability move applied to HLL; "
+    "approximation lives in the data structure, not in any "
+    "nondeterminism.",
+)
+def sketch_portable_hll(spark, sf):
+    from ..operators.terms import hll_registers
+
+    events = load_table(spark, sf, "events")
+    return hll_registers(events, "user_id", p=10, group_cols=["event_type"])
+
+
 
 
 @query(

@@ -1282,3 +1282,89 @@ def test_dsir_validation_and_unscorable_docs(spark):
     assert [r.doc_id for r in sel] == [1]
     # 3 unigrams + 2 bigrams
     assert sel[0].n_feat == 5
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Portable-HLL accuracy: grouped estimates within 4 standard errors
+    of exact distincts (rsd = 1.04/sqrt(1024) ≈ 3.25% at p=10), and the
+    small-range linear-counting regime is exercised by the fixture's
+    per-type cardinalities."""
+    import pyspark.sql.functions as F
+
+    from global_market_index_etl_spark.operators.terms import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    regs = hll_registers(ev, "user_id", p=10, group_cols=["event_type"])
+    est = {
+        r.event_type: r.approx_distinct
+        for r in hll_estimate(regs, group_cols=["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, x in exact.items():
+        assert abs(est[et] - x) <= max(4 * 0.0325 * x, 3), (et, est[et], x)
+
+
+def test_hll_merge_equals_full_corpus_registers(spark):
+    """Mergeability — the property that makes HLL maintainable over
+    shards/ticks: registers(a ∪ b) ≡ elementwise-max merge of the two
+    shard register tables, exactly."""
+    import pyspark.sql.functions as F
+
+    from global_market_index_etl_spark.operators.terms import (
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = hll_merge(
+        hll_registers(a, "user_id", p=8, group_cols=["event_type"]),
+        hll_registers(b, "user_id", p=8, group_cols=["event_type"]),
+    )
+    full = hll_registers(ev, "user_id", p=8, group_cols=["event_type"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_hll_estimate_rejects_dimension_drift(spark):
+    """The count-min dimension discipline applies to HLL precision too:
+    a mismatched explicit p, or registers mixing two precisions, must
+    raise instead of silently mis-scaling the estimate; empty registers
+    need an explicit p."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.terms import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    regs = hll_registers(ev, "user_id", p=8)
+    with _pytest.raises(ValueError, match="does not match"):
+        hll_estimate(regs, p=10)
+    mixed = regs.unionByName(hll_registers(ev, "user_id", p=9))
+    with _pytest.raises(ValueError, match="mix precisions"):
+        hll_estimate(mixed)
+    empty = regs.limit(0)
+    with _pytest.raises(ValueError, match="carry no p"):
+        hll_estimate(empty)
+    # explicit p on empty UNGROUPED registers: the global aggregate emits
+    # one row and linear counting (V = m) gives exactly 0 distinct
+    rows = hll_estimate(empty, p=8).collect()
+    assert [r.approx_distinct for r in rows] == [0]
+    with _pytest.raises(ValueError, match="4 <= p <= 18"):
+        hll_registers(ev, "user_id", p=3)
+    with _pytest.raises(ValueError, match="at least one"):
+        hll_merge()
