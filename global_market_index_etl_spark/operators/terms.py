@@ -357,6 +357,10 @@ def hll_registers(
     if not 4 <= p <= 18:
         raise ValueError(f"need 4 <= p <= 18, got {p}")
     group_cols = list(group_cols or [])
+    # NULL keys are not a distinct value (count_distinct semantics and
+    # approx_count_distinct both ignore them); without the filter a NULL
+    # key would md5 to NULL and mint a phantom NULL-bucket register
+    df = df.filter(F.col(key_col).isNotNull())
     w = 60 - p  # remainder bits
     h = _hll_h60(key_col)
     rem = h.bitwiseAND(F.lit((1 << w) - 1))

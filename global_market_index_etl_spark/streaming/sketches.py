@@ -30,9 +30,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.terms import count_min_cells
+from ..operators.terms import count_min_cells, hll_registers
 
-__all__ = ["streaming_count_min", "read_count_min_state"]
+__all__ = [
+    "streaming_count_min",
+    "read_count_min_state",
+    "streaming_hll",
+    "read_hll_state",
+]
+
+
+def _committed_batch_dirs(spark: SparkSession, state_path: str) -> list[str]:
+    """``batch=<id>`` delta directories carrying Spark's ``_SUCCESS``
+    marker. A tick that crashed mid-write leaves a partial dir with no
+    marker; merging its partial rows would transiently violate the
+    sketch contract (count-min could UNDERestimate; HLL registers could
+    under-read a max), so unmarked dirs are excluded until the
+    checkpoint replay overwrites them."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    committed: list[str] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch=")
+                and fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+                )
+            ):
+                committed.append(st.getPath().toString())
+    return committed
 
 
 def streaming_count_min(
@@ -75,21 +105,7 @@ def read_count_min_state(spark: SparkSession, state_path: str) -> DataFrame:
     — the one direction the CMS contract forbids — so unmarked dirs are
     excluded until the checkpoint replay overwrites them (round-8 review
     fix)."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(state_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    committed = []
-    if fs.exists(root):
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if (
-                st.isDirectory()
-                and name.startswith("batch=")
-                and fs.exists(
-                    jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
-                )
-            ):
-                committed.append(st.getPath().toString())
+    committed = _committed_batch_dirs(spark, state_path)
     if not committed:
         return spark.createDataFrame(
             [], "row int, cell bigint, cnt bigint, depth int, width int"
@@ -120,4 +136,76 @@ def read_count_min_state(spark: SparkSession, state_path: str) -> DataFrame:
         .groupBy("row", "cell", "depth", "width")
         .agg(F.sum("cnt").alias("cnt"))
         .select("row", "cell", "cnt", "depth", "width")
+    )
+
+
+def streaming_hll(
+    keys_stream: DataFrame,
+    *,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    p: int = 10,
+    group_cols: list[str] | None = None,
+):
+    """Maintain portable HyperLogLog registers from a streaming key
+    source; one ``availableNow`` tick. Returns the started
+    StreamingQuery.
+
+    The register table (operators/terms.hll_registers) is MAX-mergeable:
+    registers of two disjoint corpora elementwise-max to the registers
+    of their union, exactly — the same easy case of the incremental-
+    index pattern as the additive count-min above, with ``max`` in
+    place of ``sum``. Each tick writes its batch's ≤ groups × 2^p
+    register rows as a ``batch=<id>`` delta; idempotence under
+    at-least-once ``foreachBatch`` delivery holds because a replayed
+    batch OVERWRITES its own directory with byte-identical content
+    (hll_registers is a pure function of the batch) and max-merge is
+    insensitive to the rewrite. State never grows with key cardinality
+    — distinct users per key at 100 TB without a distinct shuffle of
+    the user space, maintained per ingestion tick."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch, key_col, p=p, group_cols=group_cols)
+        regs.write.mode("overwrite").parquet(f"{state_path}/batch={batch_id}")
+
+    return (
+        keys_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .start()
+    )
+
+
+def read_hll_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merged register view over every COMMITTED tick delta — usable
+    directly with :func:`operators.terms.hll_estimate`.
+
+    ``p`` rides through the merge as a grouping key: deltas written at
+    different precisions survive as distinct rows, which hll_estimate
+    then REJECTS instead of silently mis-scaling (the count-min
+    dimension discipline). Uncommitted (marker-less) partial deltas are
+    excluded — a partial register set would under-read maxima."""
+    committed = _committed_batch_dirs(spark, state_path)
+    if not committed:
+        return spark.createDataFrame([], "bucket bigint, max_rho int, p int")
+    deltas = spark.read.option("basePath", state_path).parquet(
+        *sorted(committed)
+    )
+    # basePath reads surface batch=<id> as an inferred PARTITION column;
+    # the register schema is dynamic (group_cols ride along), so drop it
+    # explicitly or the delta id would join the merge keys and defeat the
+    # cross-tick max (count-min dodges this with its fixed column list)
+    if "batch" in deltas.columns:
+        deltas = deltas.drop("batch")
+    if "p" not in deltas.columns or "max_rho" not in deltas.columns:
+        raise ValueError(
+            f"HLL state at {state_path} lacks p/max_rho columns — not a "
+            "hll_registers delta directory"
+        )
+    keys = [c for c in deltas.columns if c != "max_rho"]
+    return (
+        deltas.groupBy(*keys)
+        .agg(F.max("max_rho").alias("max_rho"))
+        .select(*deltas.columns)
     )

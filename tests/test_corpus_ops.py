@@ -1368,3 +1368,24 @@ def test_hll_estimate_rejects_dimension_drift(spark):
         hll_registers(ev, "user_id", p=3)
     with _pytest.raises(ValueError, match="at least one"):
         hll_merge()
+
+
+def test_hll_ignores_null_keys(spark):
+    """NULL keys are not a distinct value (count_distinct semantics):
+    registers and estimate must be identical with and without NULL rows,
+    and an all-NULL corpus estimates 0."""
+    from global_market_index_etl_spark.operators.terms import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    with_nulls = spark.createDataFrame(
+        [(1,), (2,), (None,), (2,), (None,)], "k long"
+    )
+    without = with_nulls.filter("k IS NOT NULL")
+    a = sorted(map(tuple, hll_registers(with_nulls, "k", p=6).collect()))
+    b = sorted(map(tuple, hll_registers(without, "k", p=6).collect()))
+    assert a == b
+    only_nulls = with_nulls.filter("k IS NULL")
+    est = hll_estimate(hll_registers(only_nulls, "k", p=6), p=6).collect()
+    assert [r.approx_distinct for r in est] == [0]

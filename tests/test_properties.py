@@ -776,3 +776,34 @@ def test_exact_substring_matches_python_twin(spark, texts, keep_first):
     }
     want = _exactsubstr_twin(docs, L, keep_first=keep_first)
     assert got == want
+
+
+HLL_KEYS = st.lists(st.integers(0, 10_000), min_size=0, max_size=40)
+
+
+@given(a=HLL_KEYS, b=HLL_KEYS)
+@PROP_SETTINGS
+def test_hll_merge_is_union_for_any_split(spark, a, b):
+    """registers(a ∪ b) ≡ merge(registers(a), registers(b)) for ANY two
+    key multisets — the max-mergeability that makes HLL maintainable
+    over shards and streaming ticks (duplicate keys across shards must
+    not perturb the merge: max is idempotent)."""
+    from global_market_index_etl_spark.operators.terms import (
+        hll_merge,
+        hll_registers,
+    )
+
+    df_a = spark.createDataFrame([(k,) for k in a] or [(None,)], "k long")
+    df_b = spark.createDataFrame([(k,) for k in b] or [(None,)], "k long")
+    if not a:
+        df_a = df_a.filter("k IS NOT NULL")
+    if not b:
+        df_b = df_b.filter("k IS NOT NULL")
+    union = df_a.unionByName(df_b)
+    merged = hll_merge(
+        hll_registers(df_a, "k", p=6), hll_registers(df_b, "k", p=6)
+    )
+    full = hll_registers(union, "k", p=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )

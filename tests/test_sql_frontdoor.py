@@ -551,3 +551,40 @@ def test_sql_frontdoor_exact_substring(spark):
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_op.collect())
     )
+
+
+def test_sql_frontdoor_hll_registers(spark):
+    """The portable-HLL register construction re-expressed as one
+    spark.sql statement (same md5-derived 60-bit hash, same exact
+    binary-string leading-zero rho) must equal the operator."""
+    from global_market_index_etl_spark.operators.terms import hll_registers
+
+    register_views(spark, SF_SMALL)
+    via_sql = spark.sql(
+        """
+        WITH h AS (
+          SELECT event_type,
+                 CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),
+                           16, 10) AS BIGINT) AS h60
+          FROM events
+        ), parts AS (
+          SELECT event_type, shiftright(h60, 50) AS bucket,
+                 h60 & 1125899906842623 AS rem
+          FROM h
+        ), rho AS (
+          SELECT event_type, bucket,
+                 CASE WHEN rem = 0 THEN 51
+                      ELSE 51 - length(bin(rem)) END AS rho
+          FROM parts
+        )
+        SELECT event_type, bucket, CAST(max(rho) AS INT) AS max_rho,
+               10 AS p
+        FROM rho GROUP BY event_type, bucket
+        """
+    )
+    via_df = hll_registers(
+        spark.table("events"), "user_id", p=10, group_cols=["event_type"]
+    )
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )

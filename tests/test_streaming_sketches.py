@@ -168,3 +168,97 @@ def test_legacy_dimensionless_state_fails_with_migration_story(
     legacy.coalesce(1).write.mode("overwrite").parquet(f"{state}/batch=0")
     with pytest.raises(ValueError, match="dimension stamping"):
         read_count_min_state(spark, state)
+
+
+def test_streamed_hll_state_equals_batch_registers(spark, tmp_path):
+    """Two availableNow ticks of streaming_hll must leave exactly the
+    registers hll_registers computes over the full corpus (max-merge
+    additivity), a replay with the same checkpoint is a no-op, and the
+    merged state feeds hll_estimate directly."""
+    from global_market_index_etl_spark.operators.terms import (
+        hll_estimate,
+        hll_registers,
+    )
+    from global_market_index_etl_spark.streaming.sketches import (
+        read_hll_state,
+        streaming_hll,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    schema = "event_id long, user_id long, event_type string"
+
+    def tick():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_hll(
+            stream,
+            state_path=state,
+            checkpoint=ckpt,
+            key_col="user_id",
+            p=8,
+            group_cols=["event_type"],
+        )
+        q.awaitTermination(120)
+
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    tick()
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    tick()
+
+    streamed = sorted(map(tuple, read_hll_state(spark, state).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            hll_registers(
+                ev, "user_id", p=8, group_cols=["event_type"]
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+
+    tick()  # no new files: replay is a no-op
+    again = sorted(map(tuple, read_hll_state(spark, state).collect()))
+    assert again == batch
+
+    est = {
+        r.event_type: r.approx_distinct
+        for r in hll_estimate(
+            read_hll_state(spark, state), group_cols=["event_type"]
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, x in exact.items():
+        assert abs(est[et] - x) <= max(4 * 0.065 * x, 3), (et, est[et], x)
+
+
+def test_hll_state_rejects_foreign_layout_and_empty_reads_empty(
+    spark, tmp_path
+):
+    """read_hll_state on a directory without register deltas returns the
+    empty canonical schema; a committed delta lacking p/max_rho raises
+    with the layout story instead of merging garbage."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.streaming.sketches import (
+        read_hll_state,
+    )
+
+    state = str(tmp_path / "state")
+    empty = read_hll_state(spark, state)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"bucket", "max_rho", "p"}
+
+    spark.createDataFrame([(1, 2)], "a int, b int").write.parquet(
+        f"{state}/batch=0"
+    )
+    with _pytest.raises(ValueError, match="lacks p/max_rho"):
+        read_hll_state(spark, state)
