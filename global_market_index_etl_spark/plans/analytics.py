@@ -1233,28 +1233,25 @@ def tpch_q12_priority_buckets(spark, sf):
     )
 
 
-@query(
-    "tpch_q14_promo_revenue",
-    """
+# Leg oracles/builders for tpch_scalar_agg_suite (round-12 headroom
+# fusion of the former tpch_q6 / q14 / q19 rows — three single-row
+# exact-money scan/broadcast aggregates; each leg's plan is unchanged).
+_SQL_TPCH_Q14 = """
     SELECT 100.0 * ({promo}) / ({total}) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1996-02-01'
-    """.format(
-        promo=sql_exact_money_sum(
-            "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * "
-            "(1.0 - l_discount) ELSE 0.0 END",
-            10_000,
-        ),
-        total=sql_exact_money_sum(REVENUE, 10_000),
+""".format(
+    promo=sql_exact_money_sum(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * "
+        "(1.0 - l_discount) ELSE 0.0 END",
+        10_000,
     ),
-    doc="TPC-H Q14 shape — promotional revenue share for one month: a "
-    "conditional sum and a plain sum in the SAME aggregate pass, divided "
-    "once. Date range pushes into the lineitem scan; part is broadcast. "
-    "Both sums are integer-exact, so the single final division is "
-    "bit-identical across engines and partitionings.",
+    total=sql_exact_money_sum(REVENUE, 10_000),
 )
-def tpch_q14_promo_revenue(spark, sf):
+
+
+def _tpch_q14_promo_revenue(spark, sf):
     lineitem = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
@@ -1322,9 +1319,7 @@ def tpch_q18_large_orders(spark, sf):
     )
 
 
-@query(
-    "tpch_q19_disjunctive_revenue",
-    """
+_SQL_TPCH_Q19 = """
     SELECT {rev} AS revenue, CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 15
@@ -1333,15 +1328,10 @@ def tpch_q18_large_orders(spark, sf):
            AND l_quantity >= 10 AND l_quantity <= 30)
        OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
            AND l_quantity >= 20 AND l_quantity <= 50)
-    """.format(rev=sql_exact_money_sum(REVENUE, 10_000)),
-    doc="TPC-H Q19 shape — disjunction of three conjunctive predicate "
-    "blocks across BOTH join sides. Catalyst extracts the common "
-    "single-side conjuncts it can (brand/size reach the part scan, "
-    "quantity bounds the lineitem scan via the OR-envelope) and "
-    "evaluates the residual disjunction post-join; part is broadcast so "
-    "the fact side never shuffles.",
-)
-def tpch_q19_disjunctive_revenue(spark, sf):
+""".format(rev=sql_exact_money_sum(REVENUE, 10_000))
+
+
+def _tpch_q19_disjunctive_revenue(spark, sf):
     lineitem = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part").select(
         "p_partkey", "p_brand", "p_size"
@@ -1620,27 +1610,19 @@ def tpch_q9_product_profit(spark, sf):
     )
 
 
-@query(
-    "tpch_q6_forecast_revenue",
-    """
+_SQL_TPCH_Q6 = """
     SELECT {rev} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
-    """.format(
-        rev=sql_exact_money_sum("l_extendedprice * l_discount", 100_000)
-    ),
-    doc="TPC-H Q6 shape — forecast revenue change: a pure scan-filter-"
-    "aggregate with NO joins, the canonical predicate-pushdown probe. "
-    "All three predicates (date range, discount band, quantity cap) are "
-    "sargable and reach the parquet scan as PushedFilters; the aggregate "
-    "is a single partial+final sum of exact integer units, so the "
-    "shuffle carries one row per task. At 100 TB this query is I/O-"
-    "bound by construction — exactly what you want.",
+""".format(
+    rev=sql_exact_money_sum("l_extendedprice * l_discount", 100_000)
 )
-def tpch_q6_forecast_revenue(spark, sf):
+
+
+def _tpch_q6_forecast_revenue(spark, sf):
     li = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
@@ -1652,6 +1634,79 @@ def tpch_q6_forecast_revenue(spark, sf):
         exact_money_sum(
             F.col("l_extendedprice") * F.col("l_discount"), 100_000
         ).alias("revenue")
+    )
+
+
+@query(
+    "tpch_scalar_agg_suite",
+    f"""
+    SELECT 'q6' AS leg, 'revenue' AS measure, revenue AS value
+    FROM ({_SQL_TPCH_Q6})
+    UNION ALL
+    SELECT 'q14' AS leg, 'promo_revenue_pct' AS measure,
+           promo_revenue_pct AS value
+    FROM ({_SQL_TPCH_Q14})
+    UNION ALL
+    SELECT 'q19' AS leg, 'revenue' AS measure, revenue AS value
+    FROM ({_SQL_TPCH_Q19})
+    UNION ALL
+    SELECT 'q19' AS leg, 'n_lines' AS measure, CAST(n_lines AS DOUBLE) AS value
+    FROM ({_SQL_TPCH_Q19})
+    """,
+    doc="TPC-H scalar-aggregate shapes Q6 + Q14 + Q19 as tagged legs "
+    "(round-12 headroom fusion of three single-row rows; every leg's "
+    "plan executes unchanged inside the union — samp_policy_suite "
+    "discipline, long-format (leg, measure, value) output; bench "
+    "reports per-leg medians). 'q6' leg: pure scan-filter-aggregate "
+    "with NO joins, the canonical predicate-pushdown probe — all three "
+    "predicates (date range, discount band, quantity cap) are sargable "
+    "and reach the parquet scan as PushedFilters (plan-hygiene-"
+    "asserted); the aggregate is one partial+final sum of exact integer "
+    "units, so the shuffle carries one row per task and at 100 TB the "
+    "query is I/O-bound by construction. 'q14' leg: promotional revenue "
+    "share for one month — a conditional sum and a plain sum in the "
+    "SAME aggregate pass, divided once; date range pushes into the "
+    "lineitem scan, part is broadcast, and both sums are integer-exact "
+    "so the single final division is bit-identical across engines and "
+    "partitionings. 'q19' leg (two output rows, revenue + n_lines): "
+    "disjunction of three conjunctive predicate blocks across BOTH join "
+    "sides — Catalyst extracts the common single-side conjuncts "
+    "(brand/size to the part scan, the quantity OR-envelope to "
+    "lineitem) and evaluates the residual disjunction post-join; part "
+    "is broadcast so the fact side never shuffles. n_lines is exact "
+    "below 2^53, so the double cast is lossless.",
+)
+def tpch_scalar_agg_suite(spark, sf):
+    q6 = _tpch_q6_forecast_revenue(spark, sf)
+    q14 = _tpch_q14_promo_revenue(spark, sf)
+    q19 = _tpch_q19_disjunctive_revenue(spark, sf)
+    return (
+        q6.select(
+            F.lit("q6").alias("leg"),
+            F.lit("revenue").alias("measure"),
+            F.col("revenue").alias("value"),
+        )
+        .unionByName(
+            q14.select(
+                F.lit("q14").alias("leg"),
+                F.lit("promo_revenue_pct").alias("measure"),
+                F.col("promo_revenue_pct").alias("value"),
+            )
+        )
+        .unionByName(
+            q19.select(
+                F.lit("q19").alias("leg"),
+                F.lit("revenue").alias("measure"),
+                F.col("revenue").alias("value"),
+            )
+        )
+        .unionByName(
+            q19.select(
+                F.lit("q19").alias("leg"),
+                F.lit("n_lines").alias("measure"),
+                F.col("n_lines").cast("double").alias("value"),
+            )
+        )
     )
 
 

@@ -157,7 +157,8 @@ PUSHDOWN_EXPECTED = {
     # fused filter suite: BOTH legs' predicates must still reach their scans
     "f_filter_suite": ["GreaterThanOrEqual(ts,", "In(l_returnflag,"],
     "j4_interval_join": ["EqualTo(event_type,error"],
-    "tpch_q6_forecast_revenue": ["IsNotNull(l_shipdate)"],
+    # the q6 leg of the fused suite stays the canonical pushdown probe
+    "tpch_scalar_agg_suite": ["IsNotNull(l_shipdate)"],
     "tpch_q12_priority_buckets": ["IsNotNull(l_shipdate)"],
 }
 
