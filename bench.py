@@ -128,6 +128,9 @@ HEADLINE = [
     # round 12: portable HLL registers (md5-derived, DuckDB-rebuildable;
     # <= groups x 1024-row shuffle at any key cardinality)
     "sketch_portable_hll",
+    # round 12: TPC-H Q6/Q14/Q19 fused as tagged legs (scan/broadcast
+    # single-row exact-money aggregates; per-leg medians on the JSON line)
+    "tpch_scalar_agg_suite",
 ]
 
 

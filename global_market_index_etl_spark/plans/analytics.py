@@ -742,7 +742,7 @@ def sketch_event_profile(spark, sf):
       SELECT event_type,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) AS h60
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), parts AS (
       SELECT event_type, h60 >> 50 AS bucket,
              h60 & ((1::BIGINT << 50) - 1) AS rem
@@ -898,7 +898,8 @@ def tpch_q20_dominant_suppliers(spark, sf):
     """
     WITH ordered AS (
       SELECT user_id, event_id, ts, value,
-             CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                    - lag(CAST(floor(epoch(ts)) AS BIGINT))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     IS NULL
@@ -925,7 +926,12 @@ def tpch_q20_dominant_suppliers(spark, sf):
     "aggregate all share ONE hash shuffle on user_id — Catalyst plans a "
     "single Exchange because every window/group key is prefixed by the "
     "partition key. Value sums are exact cents; the (ts, event_id) total "
-    "order makes session numbering deterministic under any partitioning.",
+    "order makes session numbering deterministic under any partitioning. "
+    "The gap compares FLOOR-truncated epoch seconds on both engines "
+    "(Spark's timestamp→long cast truncates; the oracle floors — "
+    "DuckDB's epoch()::BIGINT ROUNDS, which produced a one-session "
+    "divergence on a sub-second boundary gap at sf0.1, caught by the "
+    "round-12 sf0.1 oracle soak).",
 )
 def w_sessionize(spark, sf):
     events = load_table(spark, sf, "events")
@@ -1673,13 +1679,25 @@ def _tpch_q6_forecast_revenue(spark, sf):
     "sides — Catalyst extracts the common single-side conjuncts "
     "(brand/size to the part scan, the quantity OR-envelope to "
     "lineitem) and evaluates the residual disjunction post-join; part "
-    "is broadcast so the fact side never shuffles. n_lines is exact "
-    "below 2^53, so the double cast is lossless.",
+    "is broadcast so the fact side never shuffles; both measures "
+    "unpivot from ONE aggregate via stack, so the subtree executes "
+    "once. n_lines is exact below 2^53, so the double cast is "
+    "lossless.",
 )
 def tpch_scalar_agg_suite(spark, sf):
     q6 = _tpch_q6_forecast_revenue(spark, sf)
     q14 = _tpch_q14_promo_revenue(spark, sf)
-    q19 = _tpch_q19_disjunctive_revenue(spark, sf)
+    # q19's two measures unpivot from ONE aggregate via stack — two union
+    # branches referencing the aggregate would re-execute the
+    # lineitem-join-part subtree twice (and the per-leg bench filter
+    # leg == 'q19' would keep both copies, timing a doubled plan)
+    q19 = _tpch_q19_disjunctive_revenue(spark, sf).select(
+        F.lit("q19").alias("leg"),
+        F.expr(
+            "stack(2, 'revenue', revenue, "
+            "'n_lines', CAST(n_lines AS DOUBLE)) AS (measure, value)"
+        ),
+    )
     return (
         q6.select(
             F.lit("q6").alias("leg"),
@@ -1693,20 +1711,7 @@ def tpch_scalar_agg_suite(spark, sf):
                 F.col("promo_revenue_pct").alias("value"),
             )
         )
-        .unionByName(
-            q19.select(
-                F.lit("q19").alias("leg"),
-                F.lit("revenue").alias("measure"),
-                F.col("revenue").alias("value"),
-            )
-        )
-        .unionByName(
-            q19.select(
-                F.lit("q19").alias("leg"),
-                F.lit("n_lines").alias("measure"),
-                F.col("n_lines").cast("double").alias("value"),
-            )
-        )
+        .unionByName(q19)
     )
 
 
@@ -2082,8 +2087,9 @@ def j4_interval_join(spark, sf):
     """
     WITH ordered AS (
       SELECT user_id, event_id, ts, value,
-             CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 21600000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -2107,8 +2113,12 @@ def j4_interval_join(spark, sf):
     "(streaming/sessions.py) relies on, here run in batch mode against "
     "the lag/running-sum oracle. The two formulations agree exactly "
     "because session_window's bound is INCLUSIVE (an event at precisely "
-    "last_ts + gap merges), matching the oracle's gap > 21600 break — "
-    "the boundary is pinned by test_exact_gap_boundary_semantics. At "
+    "last_ts + gap merges), matching the oracle's strictly-greater "
+    "break at MICROSECOND precision (epoch_us > 21600000000 — the "
+    "native window gaps on full-precision timestamps, so a whole-"
+    "second oracle would diverge on sub-second boundary gaps; round-12 "
+    "sf0.1 soak class) — the boundary is pinned by "
+    "test_exact_gap_boundary_semantics. At "
     "scale: one shuffle on user_id, state merged per key by the engine "
     "instead of two analytic window passes.",
 )

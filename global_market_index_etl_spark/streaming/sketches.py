@@ -177,7 +177,9 @@ def streaming_hll(
     )
 
 
-def read_hll_state(spark: SparkSession, state_path: str) -> DataFrame:
+def read_hll_state(
+    spark: SparkSession, state_path: str, *, empty_schema: str | None = None
+) -> DataFrame:
     """Merged register view over every COMMITTED tick delta — usable
     directly with :func:`operators.terms.hll_estimate`.
 
@@ -185,10 +187,21 @@ def read_hll_state(spark: SparkSession, state_path: str) -> DataFrame:
     different precisions survive as distinct rows, which hll_estimate
     then REJECTS instead of silently mis-scaling (the count-min
     dimension discipline). Uncommitted (marker-less) partial deltas are
-    excluded — a partial register set would under-read maxima."""
+    excluded — a partial register set would under-read maxima.
+
+    The register schema is DYNAMIC (the stream's ``group_cols`` ride
+    along), so a state dir with no committed delta yet cannot infer it
+    from data: pass ``empty_schema`` (e.g. ``"event_type string, bucket
+    bigint, max_rho int, p int"``) for grouped streams whose consumers
+    must survive the not-yet-committed window — without it the empty
+    read falls back to the UNGROUPED triple and a grouped
+    ``hll_estimate``/``hll_merge`` over it would fail on the missing
+    group columns."""
     committed = _committed_batch_dirs(spark, state_path)
     if not committed:
-        return spark.createDataFrame([], "bucket bigint, max_rho int, p int")
+        return spark.createDataFrame(
+            [], empty_schema or "bucket bigint, max_rho int, p int"
+        )
     deltas = spark.read.option("basePath", state_path).parquet(
         *sorted(committed)
     )

@@ -22,13 +22,19 @@ from global_market_index_etl_spark.sources import load_table
 
 from .conftest import SF_SMALL
 
-# exact all-pairs kernel: the non-equi probes×corpus join is the documented
-# design (probe side broadcast); the bucketed variants (the lsh leg,
-# ann_ivf_topk, emb_neardup_cosine, dedup_*) are the scale path and must
-# stay equi-join — they get NO exemption here
-# ann_probe_suite contains the exact brute-force leg by design; its lsh
-# leg stays equi-join (asserted separately in test_extensions recall tests)
-ALLPAIRS_OK = {"ann_probe_suite"}
+# exact all-pairs kernel: ann_probe_suite's BRUTE leg is the documented
+# non-equi probes×corpus design (probe side broadcast) — but its lsh leg
+# and the other bucketed variants (ann_ivf_topk, emb_neardup_cosine,
+# dedup_*) are the scale path and must stay equi-join, so the suite gets
+# a TIGHT allowance (≤ 1 fact-table non-equi join, and never a
+# CartesianProduct) instead of a blanket exemption: a regression that
+# degrades the lsh bucket probe to a second all-pairs join still fails.
+ALLPAIRS_BUDGET = {"ann_probe_suite": 1}
+
+_BNLJ_FACT_RE = (
+    r"BroadcastNestedLoopJoin[\s\S]{0,2000}?"
+    r"Scan parquet[^\n]*(lineitem|events|documents|embeddings)"
+)
 
 # full-width reads that are semantically required (SELECT * shapes)
 FULL_WIDTH_OK = {
@@ -53,16 +59,16 @@ def _formatted_plan(df) -> str:
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_accidental_cross_join(spark, name):
     plan = _formatted_plan(REGISTRY[name].spark(spark, SF_SMALL))
-    if name in ALLPAIRS_OK:
-        return
     assert "CartesianProduct" not in plan, name
     # BNLJ is fine only for tiny broadcast inputs (calendar grids etc.);
-    # flag it on the big tables
+    # flag it on the big tables — up to the declared budget for the one
+    # suite whose brute leg IS a documented fact-table non-equi join
     if "BroadcastNestedLoopJoin" in plan:
-        assert not re.search(
-            r"BroadcastNestedLoopJoin[\s\S]{0,2000}?Scan parquet[^\n]*(lineitem|events|documents|embeddings)",
-            plan,
-        ), f"{name}: non-equi join against a fact table"
+        hits = len(re.findall(_BNLJ_FACT_RE, plan))
+        assert hits <= ALLPAIRS_BUDGET.get(name, 0), (
+            f"{name}: {hits} non-equi join(s) against a fact table "
+            f"(budget {ALLPAIRS_BUDGET.get(name, 0)})"
+        )
 
 
 # Tables whose row count grows linearly with the scale factor.  An

@@ -98,3 +98,75 @@ def test_exact_gap_boundary_semantics(spark):
         (1, "2024-01-01 06:00:01", 2.0),  # one past the gap → splits
     ]
     assert len(sessionize_stream(_df(spark, rows2)).collect()) == 2
+
+
+def test_subsecond_boundary_gaps_match_both_oracles(spark):
+    """Round-12 sf0.1 soak regression class: every fixture event carries a
+    sub-second timestamp, and DuckDB's epoch()::BIGINT ROUNDS where
+    Spark's timestamp→long cast FLOORS — one boundary gap at sf0.1 made
+    w_sessionize's oracle mint an extra session. Pin both formulations
+    against in-memory DuckDB on planted fractional boundary gaps:
+    w_sessionize (whole-second floor semantics on BOTH engines) and the
+    native session_window (microsecond-exact strictly-greater split)."""
+    import duckdb
+
+    from global_market_index_etl_spark.plans import REGISTRY
+
+    rows = []
+    eid = 0
+    # pairs straddling the 6h boundary with adversarial fractions:
+    # gap 21600.4s with .3/.7 fractions (floor diff 21600 = merge;
+    # round diff 21601 would split — the caught divergence), gap
+    # 21599.6s rounding up to 21600, exact 21600.0, and 21600.5
+    for base_frac, gap_s in [
+        (0.3, 21600.4),
+        (0.9, 21599.6),
+        (0.0, 21600.0),
+        (0.25, 21600.5),
+        (0.6, 21601.2),
+    ]:
+        uid = len(rows) * 100 + 1
+        t0 = 1704067200.0 + base_frac
+        for t in (t0, t0 + gap_s):
+            rows.append((eid, uid, t))
+            eid += 1
+    df = spark.createDataFrame(
+        [
+            (e, u, __import__("datetime").datetime.utcfromtimestamp(t), 1.0)
+            for e, u, t in rows
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    )
+    df.createOrReplaceTempView("events")
+
+    con = duckdb.connect()
+    con.register(
+        "events_pd", df.toPandas()
+    )
+    con.execute("CREATE VIEW events AS SELECT * FROM events_pd")
+    for name in ("w_sessionize", "w_session_window_native"):
+        qd = REGISTRY[name]
+        import types
+
+        # run the registry plan against the in-memory view by monkey
+        # substitution: both plans only read `events`
+        import global_market_index_etl_spark.sources as S
+
+        orig = S.load_table
+        try:
+            S.load_table = lambda sp, sf, t, _df=df: _df
+            import global_market_index_etl_spark.plans.analytics as A
+
+            orig_a = A.load_table
+            A.load_table = S.load_table
+            sdf = qd.spark(spark, "unused").toPandas()
+        finally:
+            S.load_table = orig
+            A.load_table = orig_a
+        odf = con.execute(qd.oracle).fetchdf()
+        cols = sorted(sdf.columns)
+        assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+        got = sorted(tuple(map(str, r)) for r in sdf[cols].itertuples(index=False))
+        want = sorted(tuple(map(str, r)) for r in odf[cols].itertuples(index=False))
+        assert got == want, (name, got[:3], want[:3])
+    con.close()

@@ -566,7 +566,7 @@ def test_sql_frontdoor_hll_registers(spark):
           SELECT event_type,
                  CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),
                            16, 10) AS BIGINT) AS h60
-          FROM events
+          FROM events WHERE user_id IS NOT NULL
         ), parts AS (
           SELECT event_type, shiftright(h60, 50) AS bucket,
                  h60 & 1125899906842623 AS rem

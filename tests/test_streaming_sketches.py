@@ -256,6 +256,19 @@ def test_hll_state_rejects_foreign_layout_and_empty_reads_empty(
     empty = read_hll_state(spark, state)
     assert empty.count() == 0
     assert set(empty.columns) == {"bucket", "max_rho", "p"}
+    # grouped streams pass empty_schema so a not-yet-committed state dir
+    # still feeds grouped estimates/merges (the schema is dynamic and
+    # cannot be inferred from zero deltas)
+    from global_market_index_etl_spark.operators.terms import hll_estimate
+
+    grouped_empty = read_hll_state(
+        spark,
+        state,
+        empty_schema="event_type string, bucket bigint, max_rho int, p int",
+    )
+    assert grouped_empty.count() == 0
+    est = hll_estimate(grouped_empty, group_cols=["event_type"], p=8)
+    assert est.count() == 0  # no groups yet — empty, not an AnalysisException
 
     spark.createDataFrame([(1, 2)], "a int, b int").write.parquet(
         f"{state}/batch=0"
