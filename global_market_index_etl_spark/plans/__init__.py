@@ -58,6 +58,12 @@ PRIORITY_FIRST = [
     # one persisted copy of the SAME subtree across invocations — no
     # plan or value change, no pin.
     "stream_interval_join",
+    # round 12 continuation: w_session_window_native's ORACLE changed
+    # materially (whole-second lag → microsecond-exact epoch_us, the
+    # sf0.1 soak divergence class); last checked r11 under the old
+    # oracle and staleness alone rotates it out this round. w_sessionize
+    # (same fix) is already in-window by staleness.
+    "w_session_window_native",
     # (ann_lsh_topk's round-12 material-change pin was retired when the
     # row fused into ann_probe_suite — a never-checked name sorts at
     # staleness 0 and lands in-window by itself.)
