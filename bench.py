@@ -364,20 +364,27 @@ def main() -> None:
     # Warm-up: run EVERY headline plan once at the smallest SF — same
     # schemas ⇒ same generated code ⇒ codegen cache, Python-worker pools,
     # and the Python DataSource runner (e1's ~8-10 s first-read init) are
-    # all hot before anything is timed, as on a long-lived cluster.
+    # all hot before anything is timed, as on a long-lived cluster — and
+    # then once at the TIMED SF: a heavy co-tenant run (e.g. the full
+    # pytest suite) evicts the sf0.1 parquet pages from the OS cache, and
+    # without this pass the first timed rows read cold storage and swing
+    # up to 2x across idle-flagged captures (round-12 continuation
+    # finding; the medians should measure the steady-state read path, as
+    # on a long-lived cluster).
     # Failures are NOT swallowed silently: a query that cannot warm up will
     # post a visibly cold (or error) timed number, so say why on stderr.
-    for name in HEADLINE:
-        try:
-            REGISTRY[name].spark(spark, WARMUP_SF_DIR).write.format(
-                "noop"
-            ).mode("overwrite").save()
-        except Exception as e:
-            print(
-                f"bench: WARM-UP FAILED for {name}: "
-                f"{type(e).__name__}: {e}"[:300],
-                file=sys.stderr,
-            )
+    for warm_dir in (WARMUP_SF_DIR, SF_DIR):
+        for name in HEADLINE:
+            try:
+                REGISTRY[name].spark(spark, warm_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception as e:
+                print(
+                    f"bench: WARM-UP FAILED for {name} at {warm_dir}: "
+                    f"{type(e).__name__}: {e}"[:300],
+                    file=sys.stderr,
+                )
 
     timings, leg_timings, errors = _time_suite(
         spark, SF_DIR, REPS, per_leg=True
