@@ -192,6 +192,13 @@ def _lsh_signatures_batch(
     @pandas_udf("array<long>")
     def sigs(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        if mat.shape[1] != dim:
+            raise ValueError(
+                f"embedding dimension {mat.shape[1]} does not match the "
+                f"dim={dim} the LSH planes were built for — pass dim= "
+                "explicitly (signatures hashed against wrong-width planes "
+                "would bucket garbage)"
+            )
         dots = mat @ planes.T  # (n, tables*bits)
         packed = (dots > 0).astype(np.int64).reshape(-1, tables, bits) @ weights
         return pd.Series(list(packed))  # (n, tables)

@@ -807,3 +807,100 @@ def test_hll_merge_is_union_for_any_split(spark, a, b):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+_W5 = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsi"])
+_DOC = st.lists(_W5, min_size=3, max_size=8).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=2, max_size=7)
+_SPLIT = st.lists(st.booleans(), min_size=7, max_size=7)
+
+_MINHASH_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(corpus=_CORPUS, split=_SPLIT)
+@_MINHASH_SETTINGS
+def test_incremental_minhash_union_is_full_for_any_split(
+    spark, corpus, split
+):
+    """full(b1 ∪ b2) ≡ internal(b1) ∪ incremental(b2 | index(b1)) for ANY
+    corpus and ANY batch assignment — including an EMPTY index (day-zero
+    ingest) and an empty batch (idle tick), edges the fixture test's
+    fixed %2 split never exercises. The 5-word alphabet makes ≥0.8
+    Jaccard near-dups common, so the pair sets are routinely non-empty."""
+    from global_market_index_etl_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    b1_ids = [i for i in range(len(corpus)) if split[i % len(split)]]
+    b1 = docs.filter(F.col("doc_id").isin(b1_ids or [-1]))
+    b2 = docs.filter(~F.col("doc_id").isin(b1_ids or [-1]))
+
+    full = {
+        (r.id_1, r.id_2) for r in minhash_lsh_pairs(docs).collect()
+    }
+    internal = {
+        (r.id_1, r.id_2) for r in minhash_lsh_pairs(b1).collect()
+    }
+    bands, arrays = minhash_index(b1)
+    pairs, _, _ = incremental_minhash_pairs(b2, bands, arrays)
+    incremental = {(r.id_1, r.id_2) for r in pairs.collect()}
+
+    assert not (internal & incremental)
+    assert internal | incremental == full
+
+
+_VEC_POOL = [
+    [1.0, 0.0, 0.0, 0.5],
+    [0.0, 1.0, 0.25, 0.0],
+    [0.5, 0.5, 1.0, 0.0],
+]
+_VECS = st.lists(st.sampled_from([0, 1, 2]), min_size=2, max_size=7)
+
+
+@given(picks=_VECS, split=_SPLIT)
+@_MINHASH_SETTINGS
+def test_incremental_embedding_union_is_full_for_any_split(
+    spark, picks, split
+):
+    """The embedding twin of the minhash property: repeated picks from a
+    3-vector pool plant exact duplicates (cos = 1.0 ≥ 0.95), so pairs
+    exist for most draws; the split ranges over every assignment
+    including empty index / empty batch."""
+    from global_market_index_etl_spark.operators.similarity import (
+        embedding_lsh_index,
+        embedding_neardup_pairs,
+        incremental_embedding_neardup_pairs,
+    )
+
+    rows = [(i, _VEC_POOL[k]) for i, k in enumerate(picks)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    b1_ids = [i for i in range(len(picks)) if split[i % len(split)]]
+    b1 = vecs.filter(F.col("vec_id").isin(b1_ids or [-1]))
+    b2 = vecs.filter(~F.col("vec_id").isin(b1_ids or [-1]))
+
+    full = {
+        (r.id_1, r.id_2)
+        for r in embedding_neardup_pairs(vecs, threshold=0.95).collect()
+    }
+    internal = {
+        (r.id_1, r.id_2)
+        for r in embedding_neardup_pairs(b1, threshold=0.95).collect()
+    }
+    pairs, _ = incremental_embedding_neardup_pairs(
+        b2, embedding_lsh_index(b1, dim=4), b1, threshold=0.95, dim=4
+    )
+    incremental = {(r.id_1, r.id_2) for r in pairs.collect()}
+
+    assert not (internal & incremental)
+    assert internal | incremental == full
