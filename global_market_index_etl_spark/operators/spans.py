@@ -16,23 +16,37 @@ re-expression is token-window fingerprinting:
 
 ``duplicate_window_profile`` returns the per-document summary (how much of
 the document is covered by cross-document duplicate spans) that a curation
-pipeline thresholds on.  The plan is two shuffles, no joins:
+pipeline thresholds on.
 
-- groupBy (doc_id, window) counts in-document occurrences (partial-agg
-  combines the duplicated windows map-side);
-- a count-over-window partitioned by the window string yields the distinct
-  document frequency WITHOUT a second pass or a self-join — the rows are
-  already one-per-(doc, window);
-- the final groupBy doc_id reduces to one summary row per document.
+At 100 TB the window-fingerprint key space is the same shape as the
+shingle shuffle in minhash_signatures (operators/dedup.py) and carries the
+same skew hazard in a sharper form: a license header shared by 10^8 pages
+is ONE window fingerprint with 10^8 occurrence rows.  Any plan that
+funnels all rows of a fingerprint through one task (a window function
+``count().over(Window.partitionBy(fingerprint))``, or an unsalted join
+against a duplicate-window set) is a straggler/OOM at that scale no matter
+how well it measures on test corpora.  Every operator in this module
+therefore computes per-fingerprint statistics with a SALTED TWO-PHASE
+AGGREGATE (round-12 verdict item 1):
 
-At 100 TB the window-string shuffle dominates; it is the same key-space
-shape as the shingle shuffle in minhash_signatures (operators/dedup.py)
-and shares its skew remedy: a boilerplate window appearing in millions of
-docs lands as one hot key, but it arrives PRE-AGGREGATED to one row per
-(doc, window), so the hot key's row count equals its document frequency —
-bounded by the corpus, not by occurrences.  Raw window strings would make
-the shuffle payload ~k× the text size; every window therefore travels as
-its md5 fingerprint (32 hex chars, computed in-row before the explode) —
+- each row gets a deterministic salt in ``[0, n_salts)`` hashed from its
+  identity columns, so one fingerprint's rows spread across ``n_salts``
+  reducers;
+- ``groupBy(fingerprint, salt)`` computes map-side-combinable PARTIALS
+  (count is additive; the keep-first survivor is a min, and min-of-mins
+  is the global min — both exact under any split);
+- a final ``groupBy(fingerprint)`` over the ≤ ``n_salts`` partial rows
+  per fingerprint produces the verdict — bounded input per key by
+  construction;
+- verdicts are replicated to all ``n_salts`` salt values and joined back
+  on ``(fingerprint, salt)``, so the join-back ALSO spreads a hot
+  fingerprint's occurrence rows instead of re-concentrating them.
+
+The result is value-identical to the window-function formulation (the
+DuckDB oracles still use plain windows) but no task ever holds more than
+``occurrences / n_salts`` rows of any fingerprint.  Raw window strings
+would make the shuffles ~k× the text size; every window travels as its
+md5 fingerprint (32 hex chars, computed in-row before the explode) —
 md5 is engine-portable, so the DuckDB oracles hash the identical strings
 and the comparison stays exact, unlike Spark-internal xxhash64.
 """
@@ -40,7 +54,7 @@ and the comparison stays exact, unlike Spark-internal xxhash64.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 __all__ = [
     "duplicate_window_profile",
@@ -49,11 +63,48 @@ __all__ = [
     "exact_substring_dedup",
 ]
 
+# Default salt fan-out for per-fingerprint statistics.  16 bounds the
+# hottest fingerprint's per-task rows to occurrences/16 while keeping the
+# replicated verdict table (duplicate windows × n_salts slim rows) small;
+# raise it for corpora with known mega-hot boilerplate.
+N_SALTS = 16
+
 
 def _norm_tokens(text_col: str):
     return F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
+
+
+def _with_salt(df: DataFrame, n_salts: int, *cols: str) -> DataFrame:
+    """Deterministic per-row salt in ``[0, n_salts)`` from identity columns.
+
+    The salt is a pure function of the row's own identity (never RNG), so
+    repeated runs and the verdict join-back see the same placement.
+    """
+    return df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+
+
+def _replicate_salts(df: DataFrame, n_salts: int) -> DataFrame:
+    """Cross per-fingerprint verdict rows with every salt value so the
+    join back to occurrence rows keys on ``(__w, __salt)`` and a hot
+    fingerprint spreads over ``n_salts`` tasks instead of one."""
+    return df.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+
+
+def _check_params(k: int, n_salts: int, name: str = "k") -> None:
+    if k < 2:
+        raise ValueError(f"{name} must be >= 2, got {k}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
 
 
 def duplicate_window_profile(
@@ -62,22 +113,27 @@ def duplicate_window_profile(
     doc_id: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    n_salts: int = N_SALTS,
 ) -> DataFrame:
     """Per-document duplicate-span summary.
 
     Returns one row per document with at least ``k`` tokens:
     ``(doc_id, n_windows, n_dup_windows)`` where a window counts as dup
     when its exact k-token string occurs in >1 distinct document.
+
+    Plan: tokenize under a doc_id pre-partition (the (doc, window) groupBy
+    and the final per-document summary both reuse it), reduce to one row
+    per (doc, window) with map-side combine, then the salted two-phase
+    document-frequency aggregate + verdict join-back described in the
+    module docstring — no per-fingerprint task ever holds more than
+    ``doc_frequency / n_salts`` rows.
     """
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
+    _check_params(k, n_salts)
     # Pre-partition the DOCUMENTS by id: hashpartitioning(doc_id) satisfies
     # the clustered distribution of both the (doc_id, window) groupBy and
-    # the final per-document summary, so the only remaining exchange keyed
-    # on window rows is the cross-document frequency window — the shuffle
-    # that must exist. Moves one row per document instead of one row per
-    # window occurrence (same rewrite as sampling.dsir_ngram_features;
-    # measured 6.3 s → 2.3 s at sf1).
+    # the final per-document summary.  Moves one row per document instead
+    # of one row per window occurrence (same rewrite as
+    # sampling.dsir_ngram_features; measured 6.3 s → 2.3 s at sf1).
     toks = (
         docs.repartition(F.col(doc_id))
         .select(doc_id, _norm_tokens(text_col).alias("__t"))
@@ -92,19 +148,28 @@ def duplicate_window_profile(
             )
         ).alias("__w"),
     )
-    per_doc_win = wins.groupBy(doc_id, "__w").agg(
-        F.count(F.lit(1)).alias("__c")
+    per_doc_win = _with_salt(
+        wins.groupBy(doc_id, "__w").agg(F.count(F.lit(1)).alias("__c")),
+        n_salts,
+        doc_id,
     )
-    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("__w"))
-    return (
-        per_doc_win.withColumn("__df", doc_freq)
-        .groupBy(doc_id)
-        .agg(
-            F.sum("__c").alias("n_windows"),
-            F.sum(F.when(F.col("__df") > 1, F.col("__c")).otherwise(0)).alias(
-                "n_dup_windows"
-            ),
-        )
+    # salted two-phase document frequency: rows are one-per-(doc, window),
+    # so count per (__w, __salt) partials sum to the distinct-doc count.
+    dup_wins = _replicate_salts(
+        per_doc_win.groupBy("__w", "__salt")
+        .agg(F.count(F.lit(1)).alias("__pc"))
+        .groupBy("__w")
+        .agg(F.sum("__pc").alias("__df"))
+        .where(F.col("__df") > 1)
+        .select("__w", F.lit(True).alias("__dup")),
+        n_salts,
+    )
+    flagged = per_doc_win.join(dup_wins, ["__w", "__salt"], "left")
+    return flagged.groupBy(doc_id).agg(
+        F.sum("__c").alias("n_windows"),
+        F.sum(F.when(F.col("__dup"), F.col("__c")).otherwise(0)).alias(
+            "n_dup_windows"
+        ),
     )
 
 
@@ -114,6 +179,7 @@ def remove_duplicate_spans(
     doc_id: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    n_salts: int = N_SALTS,
 ) -> DataFrame:
     """Rewrite each document with cross-document duplicate spans REMOVED.
 
@@ -126,22 +192,24 @@ def remove_duplicate_spans(
     Entirely JVM-side — no Python in the pipeline:
 
     1. tokenize; windows with positions (``posexplode`` of the transform);
-    2. duplicate-window set = windows with distinct-doc count > 1
-       (one aggregation, map-side combined);
-    3. covered token indexes = dup window starts exploded to their k
-       positions, de-duplicated — fan-out exactly k, merging of
-       overlapping spans falls out of the DISTINCT;
+    2. duplicate-window set = windows with distinct-doc count > 1, via the
+       salted two-phase aggregate (module docstring) — map-side combined,
+       skew-proof;
+    3. covered token indexes = the dup verdicts joined back on
+       ``(__w, __salt)`` (inner join — only duplicated windows survive it)
+       exploded to their k positions, de-duplicated — fan-out exactly k,
+       merging of overlapping spans falls out of the DISTINCT;
     4. surviving tokens = left-anti join of token positions against the
        covered set; reconstruction = sort_array over (position, token)
        structs + array_join, giving deterministic order without a
        per-doc window sort.
 
-    All shuffles are keyed by window string or (doc, position) — linear in
-    corpus size; the per-doc state (one array of that doc's tokens) is
-    bounded by document length, same as every other text operator.
+    All shuffles are keyed by (window, salt) or (doc, position) — linear
+    in corpus size with bounded per-task rows; the per-doc state (one
+    array of that doc's tokens) is bounded by document length, same as
+    every other text operator.
     """
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
+    _check_params(k, n_salts)
     # three consumers re-derive the tokenized corpus; a util.materialize
     # persist here measured SLOWER at sf0.1 and sf1 (3.8 s vs 2.4 s — the
     # eager count + cache write outweigh the recomputed codegen tokenize,
@@ -150,9 +218,8 @@ def remove_duplicate_spans(
     # codegen; persist only if a Python tokenizer ever replaces it.
     # The doc_id pre-partition makes every per-document aggregation and the
     # (doc, position) anti-join downstream exchange-free (the recomputed
-    # tokenize subtrees all inherit it); only the duplicate-window-set
-    # shuffle remains keyed on window strings. Measured 19.8 s → 7.5 s at
-    # sf1 under full materialization.
+    # tokenize subtrees all inherit it). Measured 19.8 s → 7.5 s at sf1
+    # under full materialization.
     toks = (
         docs.repartition(F.col(doc_id))
         .select(doc_id, _norm_tokens(text_col).alias("__t"))
@@ -167,17 +234,28 @@ def remove_duplicate_spans(
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
-    # one winpos pass: group to (window, doc) with the doc's start positions,
-    # then a count-over-window on the window fingerprint IS the distinct
-    # document frequency (rows are one-per-(window, doc)) — no dup-set
-    # self-join, no second tokenize+explode of the corpus
-    per_doc = winpos.groupBy("__w", doc_id).agg(
-        F.collect_list("__i").alias("__pos")
+    # one winpos pass: group to (window, doc) with the doc's start
+    # positions (exchange-free under the doc_id pre-partition), then the
+    # salted two-phase distinct-doc frequency — no dup-set self-join, no
+    # second tokenize+explode of the corpus.
+    per_doc = _with_salt(
+        winpos.groupBy("__w", doc_id).agg(
+            F.collect_list("__i").alias("__pos")
+        ),
+        n_salts,
+        doc_id,
     )
-    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("__w"))
-    covered = (
-        per_doc.withColumn("__nd", doc_freq)
+    dup_wins = _replicate_salts(
+        per_doc.groupBy("__w", "__salt")
+        .agg(F.count(F.lit(1)).alias("__pc"))
+        .groupBy("__w")
+        .agg(F.sum("__pc").alias("__nd"))
         .where(F.col("__nd") > 1)
+        .select("__w"),
+        n_salts,
+    )
+    covered = (
+        per_doc.join(dup_wins, ["__w", "__salt"], "inner")
         .select(
             doc_id,
             F.explode(
@@ -227,28 +305,38 @@ def duplicate_span_suite(
     doc_id: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    n_salts: int = N_SALTS,
     checkpoint_dir: str | None = None,
+    share_cache: bool = True,
 ) -> DataFrame:
     """Profile AND removal in one fused plan — the tagged-leg union of
     :func:`duplicate_window_profile` ('profile') and
     :func:`remove_duplicate_spans` ('removal'), value-identical to running
     both (asserted in tests), but the expensive shared subtree — window
-    explode → one shuffle to (window, doc) rows → document-frequency
-    window — is computed ONCE and persisted instead of once per leg.
-    ReuseExchange alone does not deduplicate it across the union branches
-    (measured: no win); one MEMORY_AND_DISK materialize of the
-    one-row-per-(window, doc) table does (measured 2.6 s → 1.4 s at
-    sf0.1, 8.9 s → ~5 s at sf1 under full materialization). The persisted
-    table is the POST-shuffle reduction — corpus-window-set sized, far
-    smaller than the raw window occurrences, so the cache cost stays
-    bounded at scale. The persist is SHARED per (process, plan): repeat
+    explode → one shuffle to (window, doc) rows — is computed ONCE and
+    persisted instead of once per leg.  ReuseExchange alone does not
+    deduplicate it across the union branches (measured: no win); one
+    MEMORY_AND_DISK materialize of the one-row-per-(window, doc) table
+    does (measured 2.6 s → 1.4 s at sf0.1, 8.9 s → ~5 s at sf1 under full
+    materialization).  The persisted table is the POST-shuffle reduction —
+    corpus-window-set sized, far smaller than the raw window occurrences,
+    so the cache cost stays bounded at scale.  The duplicate-window
+    verdicts (salted two-phase aggregate, module docstring) are then
+    cheap re-aggregations of the cached table, one per leg.
+
+    ``share_cache=True`` (default) memoizes the persisted reduction per
+    (process, plan) via :func:`util.materialize_shared`: repeat
     invocations over the same input reuse one persisted table instead of
-    stacking a fresh copy per call (round-11 advice). ``checkpoint_dir``
-    switches it to a reliable checkpoint for executor-loss-safe cluster
-    runs (util.truncate_lineage semantics)."""
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-    from .util import materialize_shared
+    stacking a fresh copy per call (round-11 advice).  THIS REQUIRES THE
+    INPUT TO BE IMMUTABLE between calls — the fixture parquet tables the
+    registry reads qualify; a caller whose semantically-identical plan
+    reads MUTATED source data (a maintained table path, a streaming delta
+    dir) must pass ``share_cache=False`` to get a private, per-call
+    materialization (round-12 advice).  ``checkpoint_dir`` switches the
+    materialization to a reliable checkpoint for executor-loss-safe
+    cluster runs (util.truncate_lineage semantics)."""
+    _check_params(k, n_salts)
+    from .util import materialize, materialize_shared
 
     toks = (
         docs.repartition(F.col(doc_id))
@@ -264,21 +352,34 @@ def duplicate_span_suite(
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
-    per_doc = materialize_shared(
-        winpos.groupBy("__w", doc_id)
-        .agg(F.collect_list("__i").alias("__pos"))
-        .withColumn(
-            "__nd", F.count(F.lit(1)).over(Window.partitionBy("__w"))
+    _materialize = materialize_shared if share_cache else materialize
+    per_doc = _materialize(
+        _with_salt(
+            winpos.groupBy("__w", doc_id).agg(
+                F.collect_list("__i").alias("__pos")
+            ),
+            n_salts,
+            doc_id,
         ),
         checkpoint_dir=checkpoint_dir,
     )
+    dup_wins = _replicate_salts(
+        per_doc.groupBy("__w", "__salt")
+        .agg(F.count(F.lit(1)).alias("__pc"))
+        .groupBy("__w")
+        .agg(F.sum("__pc").alias("__nd"))
+        .where(F.col("__nd") > 1)
+        .select("__w", F.lit(True).alias("__dup")),
+        n_salts,
+    )
+    flagged = per_doc.join(dup_wins, ["__w", "__salt"], "left")
 
     profile = (
-        per_doc.groupBy(doc_id)
+        flagged.groupBy(doc_id)
         .agg(
             F.sum(F.size("__pos")).alias("n_windows"),
             F.sum(
-                F.when(F.col("__nd") > 1, F.size("__pos")).otherwise(0)
+                F.when(F.col("__dup"), F.size("__pos")).otherwise(0)
             ).alias("n_dup_windows"),
         )
         .select(
@@ -293,7 +394,7 @@ def duplicate_span_suite(
     )
 
     covered = (
-        per_doc.where(F.col("__nd") > 1)
+        flagged.where(F.col("__dup"))
         .select(
             doc_id,
             F.explode(
@@ -347,6 +448,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     min_len: int = 50,
     keep_first: bool = True,
+    n_salts: int = N_SALTS,
 ) -> DataFrame:
     """ExactSubstr-fidelity dedup: remove every repeated substring of
     ``min_len``+ tokens, keeping one occurrence (Lee et al., ACL'22,
@@ -369,30 +471,36 @@ def exact_substring_dedup(
     - occurrences are counted GLOBALLY — a 50-token block pasted twice
       into the same document is a repeat (the paper's semantics), not
       just cross-document hits;
-    - ``keep_first=True`` exempts the corpus-wide FIRST occurrence of
-      each repeated window (min (doc, position), deterministic): the
-      first copy of a duplicated region survives intact, later copies
-      are removed — dedup, not eradication. ``keep_first=False`` gives
-      the remove-all behavior of the boilerplate scrubber.
+    - ``keep_first=True`` exempts, PER REPEATED WINDOW, the corpus-wide
+      first occurrence (min (doc, position), deterministic) from removal.
+      For a duplicated region whose windows all share one first document
+      this keeps the first copy intact; when a region overlaps multiple
+      DISTINCT duplicated contexts, different windows can elect survivors
+      in different documents, so a first occurrence may be partially
+      removed where its windows lost their per-window election (the
+      engine and the SQL oracle agree exactly on this rule).
+      ``keep_first=False`` gives the remove-all behavior of the
+      boilerplate scrubber.
 
-    Plan shape (linear at any corpus size, no joins on the hot path):
-    one stride-1 window explode (rows = corpus tokens), ONE shuffle keyed
-    by window fingerprint where a count-over-window and min-over-window
-    mark each occurrence's global multiplicity and the survivor, the
-    covered-position explode (fan-out min_len, deduplicated), and the
-    per-document anti-join + ordered reassembly — the same (doc,
+    Plan shape (linear at any corpus size, skew-proof by construction):
+    one stride-1 window explode (rows = corpus tokens), then the salted
+    two-phase verdict aggregate from the module docstring — per-(window,
+    salt) partials carry ``(count, min(doc, position))``, the ≤ n_salts
+    partials per window reduce to the global ``(cnt, survivor)`` (count
+    is additive, survivor is min-of-mins), and verdicts for windows with
+    ``cnt ≥ 2`` are joined back on ``(window, salt)`` so even a
+    10^8-occurrence boilerplate window spreads over ``n_salts`` tasks.
+    Unique windows (the vast majority of the corpus) drop out BEFORE the
+    join-back — the inner join moves only duplicated-window occurrences.
+    Then the covered-position explode (fan-out min_len, deduplicated) and
+    the per-document anti-join + ordered reassembly — the same (doc,
     position) idiom as remove_duplicate_spans, exchange-free under the
-    doc_id pre-partition. A mega-hot boilerplate window concentrates its
-    occurrences on one reducer for the fingerprint window function; its
-    row count is bounded by occurrences (pre-aggregation cannot apply
-    since each occurrence needs its own survivor verdict), which is the
-    same cost class as the suffix array's duplicate-group walk.
+    doc_id pre-partition.
 
     Returns one row per non-empty document:
     ``(doc_id, cleaned_text, n_tokens, n_removed_tokens)``.
     """
-    if min_len < 2:
-        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    _check_params(min_len, n_salts, name="min_len")
     L = int(min_len)
     toks = (
         docs.repartition(F.col(doc_id))
@@ -408,21 +516,34 @@ def exact_substring_dedup(
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
-    per_w = Window.partitionBy("__w")
-    marked = occ.withColumn(
-        "__cnt", F.count(F.lit(1)).over(per_w)
-    ).withColumn(
-        "__surv", F.min(F.struct(F.col(doc_id), F.col("__i"))).over(per_w)
+    salted = _with_salt(occ, n_salts, doc_id, "__i")
+    verdicts = _replicate_salts(
+        salted.groupBy("__w", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__pc"),
+            F.min(F.struct(F.col(doc_id), F.col("__i"))).alias("__ps"),
+        )
+        .groupBy("__w")
+        .agg(
+            F.sum("__pc").alias("__cnt"),
+            F.min("__ps").alias("__surv"),
+        )
+        .where(F.col("__cnt") >= 2)
+        .select("__w", "__surv"),
+        n_salts,
     )
-    removable = F.col("__cnt") >= 2
+    # inner join: only occurrences of duplicated windows survive — unique
+    # windows never travel through the verdict join-back.
+    marked = salted.join(verdicts, ["__w", "__salt"], "inner")
     if keep_first:
-        removable = removable & ~(
-            (F.col("__surv")[doc_id] == F.col(doc_id))
-            & (F.col("__surv")["__i"] == F.col("__i"))
+        marked = marked.where(
+            ~(
+                (F.col("__surv")[doc_id] == F.col(doc_id))
+                & (F.col("__surv")["__i"] == F.col("__i"))
+            )
         )
     covered = (
-        marked.where(removable)
-        .select(
+        marked.select(
             doc_id,
             F.explode(
                 F.expr(f"sequence(__i, __i + {L - 1})")

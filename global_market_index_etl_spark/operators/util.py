@@ -121,21 +121,37 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
 
 
 # materialize_shared cache: LRU of (session, semanticHash, ckpt) →
-# (plan_df, materialized). Guarded by sameSemantics on hit, so a 32-bit
-# hash collision can never return the wrong table. Each distinct shared
-# subtree is persisted exactly ONCE per process instead of once per
-# invocation (round-11 advice: repeated bench reps / driver checks were
-# stacking a fresh never-unpersisted copy per call) — and the cache is
-# BOUNDED: holding strong references forever would pin every dataset's
-# blocks in storage memory (Spark's ContextCleaner only frees persists
-# whose DataFrames become unreachable), and a multi-dataset bench run
-# (sf0.1 → sf1 → 30× smoke in one 8g JVM) measurably degraded under
-# that pressure. Beyond the cap, the least-recently-used entry is
-# unpersisted and dropped; a later identical call just re-materializes.
+# _SharedEntry(plan_df, event, materialized). Guarded by sameSemantics on
+# hit, so a 32-bit hash collision can never return the wrong table. Each
+# distinct shared subtree is persisted exactly ONCE per process instead of
+# once per invocation (round-11 advice: repeated bench reps / driver
+# checks were stacking a fresh never-unpersisted copy per call) — and the
+# cache is BOUNDED: holding strong references forever would pin every
+# dataset's blocks in storage memory (Spark's ContextCleaner only frees
+# persists whose DataFrames become unreachable), and a multi-dataset
+# bench run (sf0.1 → sf1 → 30× smoke in one 8g JVM) measurably degraded
+# under that pressure. Beyond the cap, the least-recently-used COMPLETED
+# entry is unpersisted and dropped; a later identical call just
+# re-materializes.
+#
+# The global lock only guards the cache map itself: the eager
+# materialize() count (a potentially long Spark job) runs OUTSIDE it
+# against a placeholder entry, so concurrent callers materializing
+# DIFFERENT subtrees proceed in parallel and only identical-plan callers
+# block — on the placeholder's event, not on the lock (round-12 advice).
 _SHARED_CACHE_MAX = int(_os.environ.get("SPARK_GRAFT_SHARED_CACHE_MAX", "12"))
-_SHARED_CACHE: "OrderedDict[tuple, tuple[DataFrame, DataFrame]]" = (
-    OrderedDict()
-)
+
+
+class _SharedEntry:
+    __slots__ = ("plan_df", "event", "mat")
+
+    def __init__(self, plan_df: DataFrame):
+        self.plan_df = plan_df
+        self.event = threading.Event()
+        self.mat: DataFrame | None = None
+
+
+_SHARED_CACHE: "OrderedDict[tuple, _SharedEntry]" = OrderedDict()
 _SHARED_CACHE_LOCK = threading.Lock()
 
 
@@ -156,34 +172,72 @@ def materialize_shared(
     datasets (sf0.1 → sf1) releases the old dataset's blocks instead of
     squeezing execution memory.
 
+    Concurrency: the eager count runs outside the cache lock. The first
+    caller of a given plan inserts a placeholder and materializes;
+    concurrent callers of the SAME plan wait on the placeholder's event;
+    callers of DIFFERENT plans are never serialized behind someone
+    else's Spark job. If the owning call fails, the placeholder is
+    removed and waiters retry the materialization themselves.
+
     ONLY for deterministic subtrees over immutable inputs (the fixture
     parquet tables): a plan whose SOURCE content mutates between calls
     (a maintained table path, a streaming delta dir) must use plain
     :func:`materialize` — the cache would serve the old snapshot.
     """
     h = df.semanticHash()
-    with _SHARED_CACHE_LOCK:
-        for key, (plan_df, mat) in _SHARED_CACHE.items():
-            sess, kh, ckpt = key[:3]
-            if (
-                kh == h
-                and ckpt == checkpoint_dir
-                and sess is df.sparkSession
-                and df.sameSemantics(plan_df)
-            ):
-                _SHARED_CACHE.move_to_end(key)
-                return mat
-        mat = materialize(df, checkpoint_dir=checkpoint_dir)
-        _SHARED_CACHE[(df.sparkSession, h, checkpoint_dir, id(df))] = (
-            df,
-            mat,
-        )
-        while len(_SHARED_CACHE) > _SHARED_CACHE_MAX:
-            _, (_, old_mat) = _SHARED_CACHE.popitem(last=False)
-            try:
-                old_mat.unpersist(blocking=False)
-            except Exception:
-                pass  # checkpointed (non-persisted) or dead-session entry
+    while True:
+        owner_key = None
+        with _SHARED_CACHE_LOCK:
+            hit = None
+            for key, ent in _SHARED_CACHE.items():
+                sess, kh, ckpt = key[:3]
+                if (
+                    kh == h
+                    and ckpt == checkpoint_dir
+                    and sess is df.sparkSession
+                    and df.sameSemantics(ent.plan_df)
+                ):
+                    _SHARED_CACHE.move_to_end(key)
+                    hit = ent
+                    break
+            if hit is None:
+                entry = _SharedEntry(df)
+                owner_key = (df.sparkSession, h, checkpoint_dir, id(df))
+                _SHARED_CACHE[owner_key] = entry
+        if owner_key is None:
+            # someone else owns (or owned) this plan — wait for its
+            # materialization; a set event with mat=None means the owner
+            # failed and removed the entry, so loop and retry as owner.
+            hit.event.wait()
+            if hit.mat is not None:
+                return hit.mat
+            continue
+        try:
+            mat = materialize(df, checkpoint_dir=checkpoint_dir)
+        except BaseException:
+            with _SHARED_CACHE_LOCK:
+                _SHARED_CACHE.pop(owner_key, None)
+            entry.event.set()
+            raise
+        entry.mat = mat
+        entry.event.set()
+        with _SHARED_CACHE_LOCK:
+            # evict least-recently-used COMPLETED entries over the cap;
+            # in-flight placeholders are skipped (their owners hold
+            # references and will complete them).
+            done_keys = [
+                k
+                for k, e in _SHARED_CACHE.items()
+                if e.event.is_set() and k != owner_key
+            ]
+            excess = len(_SHARED_CACHE) - _SHARED_CACHE_MAX
+            for k in done_keys[:max(0, excess)]:
+                old = _SHARED_CACHE.pop(k)
+                if old.mat is not None:
+                    try:
+                        old.mat.unpersist(blocking=False)
+                    except Exception:
+                        pass  # checkpointed or dead-session entry
         return mat
 
 

@@ -190,3 +190,107 @@ def test_shared_cache_concurrent_callers_one_persist(spark):
         "racing callers got different materialized tables"
     )
     assert _n_persistent_rdds(spark) <= before + 1
+
+
+def test_shared_cache_different_plans_not_serialized(spark, monkeypatch):
+    """Concurrent callers materializing DIFFERENT subtrees must not queue
+    behind one long materialize (round-12 advice): the eager count runs
+    outside the cache lock, so a fast plan completes while a slow one is
+    still in flight."""
+    import threading
+    import time
+
+    from global_market_index_etl_spark.operators import util
+
+    slow_started = threading.Event()
+    fast_finished = threading.Event()
+
+    def gated(df, checkpoint_dir=None):
+        # stub: no Spark job — isolates the locking behavior under test.
+        if "slow_tag" in df.columns:
+            slow_started.set()
+            # the slow materialize only returns once the fast caller has
+            # completed: under lock-held-across-materialize semantics the
+            # fast caller could never complete first → 15 s timeout.
+            fast_finished.wait(15)
+        return df
+
+    monkeypatch.setattr(util, "materialize", gated)
+    base = _docs(spark)
+
+    def slow_worker():
+        util.materialize_shared(
+            base.select("doc_id", F.lit(1).alias("slow_tag"))
+        )
+
+    def fast_worker():
+        slow_started.wait(10)
+        util.materialize_shared(
+            base.select("doc_id", F.lit(2).alias("fast_tag"))
+        )
+        fast_finished.set()
+
+    t0 = time.monotonic()
+    ts = threading.Thread(target=slow_worker)
+    tf = threading.Thread(target=fast_worker)
+    ts.start()
+    tf.start()
+    tf.join(timeout=30)
+    ts.join(timeout=30)
+    assert fast_finished.is_set(), "fast caller never finished"
+    # the fast caller's only Spark-free path is blocked solely by the
+    # cache lock; if it had to wait out the slow job's 15 s gate, the
+    # old serialized behavior is back.
+    assert time.monotonic() - t0 < 12.0, (
+        "different-plan caller appears serialized behind the slow "
+        "materialize"
+    )
+
+
+def test_shared_cache_owner_failure_lets_waiters_retry(spark, monkeypatch):
+    """If the owning caller's materialize fails, the placeholder is
+    removed and a waiting same-plan caller retries (and succeeds) instead
+    of receiving the failure or hanging."""
+    import threading
+
+    from global_market_index_etl_spark.operators import util
+
+    real = util.materialize
+    calls = []
+    first_entered = threading.Event()
+    release_first = threading.Event()
+
+    def flaky(df, checkpoint_dir=None):
+        calls.append(1)
+        if len(calls) == 1:
+            first_entered.set()
+            release_first.wait(10)
+            raise RuntimeError("planted first-call failure")
+        return real(df, checkpoint_dir=checkpoint_dir)
+
+    monkeypatch.setattr(util, "materialize", flaky)
+    base = _docs(spark)
+    plan = base.select("doc_id", F.lit("flaky").alias("tag"))
+    errors, results = [], []
+
+    def owner():
+        try:
+            util.materialize_shared(plan)
+        except RuntimeError as e:
+            errors.append(e)
+
+    def waiter():
+        first_entered.wait(10)
+        release_first.set()
+        results.append(util.materialize_shared(plan))
+
+    to_ = threading.Thread(target=owner)
+    tw = threading.Thread(target=waiter)
+    to_.start()
+    tw.start()
+    to_.join(timeout=30)
+    tw.join(timeout=30)
+    assert len(errors) == 1, "owner should see its own failure"
+    assert len(results) == 1 and results[0].count() == base.count(), (
+        "waiter should retry and succeed after owner failure"
+    )

@@ -247,11 +247,22 @@ def test_span_suite_legs_share_the_persisted_reduction(spark):
     )
 
 
-def test_exact_substring_single_fingerprint_shuffle(spark):
-    """ExactSubstr's scale contract (round 12): exactly ONE exchange keyed
-    on the window fingerprint — the count + min-survivor verdicts ride
-    window functions over that single shuffle, never a dup-set self-join
-    — and no nested-loop/cartesian anywhere."""
+def test_exact_substring_salted_skew_proof_plan(spark):
+    """ExactSubstr's scale contract (round 13, verdict item 1): the
+    per-fingerprint (count, survivor) verdicts ride a SALTED two-phase
+    aggregate, never a window function or an unsalted occurrence-row
+    reduction keyed on the raw fingerprint — a mega-hot boilerplate
+    window (10^8 occurrences of one license header at 100 TB) must
+    spread across salts instead of landing on one reducer. Concretely:
+
+    - NO Window operator anywhere in the plan (the round-12 formulation's
+      count/min-over-Window(__w) was the skew);
+    - at least one exchange keyed (__w, __salt) — the occurrence-row
+      partials and/or the verdict join-back;
+    - exactly ONE exchange keyed on __w alone: the partials→totals
+      reduction, whose input is bounded to ≤ n_salts rows per window by
+      construction;
+    - no nested-loop/cartesian anywhere."""
     from global_market_index_etl_spark.operators.spans import (
         exact_substring_dedup,
     )
@@ -261,8 +272,37 @@ def test_exact_substring_single_fingerprint_shuffle(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    n_w_shuffles = len(re.findall(r"hashpartitioning\(__w\b", plan))
-    assert n_w_shuffles == 1, (
-        f"expected exactly one window-fingerprint shuffle, found "
-        f"{n_w_shuffles}:\n" + plan[:1500]
+    assert not re.search(r"\n[^\n]*\bWindow\b", plan), (
+        "a window function crept back into ExactSubstr — the "
+        "per-fingerprint verdicts must stay a salted two-phase aggregate"
     )
+    n_salted = len(re.findall(r"hashpartitioning\(__w#\d+, __salt#\d+", plan))
+    assert n_salted >= 1, (
+        "expected the salted (__w, __salt) partials exchange:\n"
+        + plan[:1500]
+    )
+    n_w_alone = len(re.findall(r"hashpartitioning\(__w#\d+, \d+\)", plan))
+    assert n_w_alone == 1, (
+        f"expected exactly one __w-alone exchange (the bounded "
+        f"partials→totals reduction), found {n_w_alone}:\n" + plan[:1500]
+    )
+
+
+def test_span_suite_salted_skew_proof_plan(spark):
+    """The k=8 boilerplate tier shares ExactSubstr's salted discipline
+    (round 13): no Window operator in the fused suite's plan, and the
+    document-frequency verdicts reduce through the salted partials."""
+    from global_market_index_etl_spark.operators.spans import (
+        duplicate_span_suite,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = duplicate_span_suite(docs, k=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert not re.search(r"\n[^\n]*\bWindow\b", plan), (
+        "a window function crept back into the span suite — the "
+        "doc-frequency verdicts must stay a salted two-phase aggregate"
+    )
+    assert len(
+        re.findall(r"hashpartitioning\(__w#\d+, __salt#\d+", plan)
+    ) >= 1

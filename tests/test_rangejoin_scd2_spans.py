@@ -708,3 +708,103 @@ def test_exact_substring_survivor_is_corpus_global_minimum(spark):
     assert got[3] == ("one two three four tail", 5, 0)
     assert got[5] == ("pad1 pad2", 6, 4)
     assert got[9] == ("", 4, 4)
+
+
+# --------------------------------------------------------------------- #
+# adversarial skew: one mega-hot planted window (round-13 verdict item 1)
+# --------------------------------------------------------------------- #
+#
+# The salted two-phase kernel exists exactly for this corpus shape: ONE
+# window fingerprint carried by (almost) every document — the license
+# header / navigation chrome case that concentrates on a single reducer
+# under a count-over-Window(__w) formulation. These tests pin the
+# VALUE contract on that shape (the survivor election and coverage stay
+# exact) and the salt-invariance property (any n_salts gives the same
+# answer — partial counts are additive, survivor is min-of-mins). The
+# timing proof at 100k+ occurrences lives in scripts/scale_testdata.py's
+# planted-skew smoke.
+
+
+def _hot_corpus(n_docs: int, block: str, k: int):
+    """Every doc carries the same k-token block at a varying position,
+    surrounded by per-doc-unique filler; doc 7 carries it twice."""
+    docs = []
+    for i in range(1, n_docs + 1):
+        pre = " ".join(f"u{i}x{j}" for j in range(i % 3))
+        post = f"u{i}tail0 u{i}tail1"
+        text = f"{pre} {block} {post}".strip()
+        if i == 7:
+            text = f"{text} {block}"
+        docs.append((i, text))
+    return docs
+
+
+def test_planted_hot_window_exact_substring_survivor(spark):
+    from global_market_index_etl_spark.operators.spans import (
+        exact_substring_dedup,
+    )
+
+    k = 6
+    block = "h0 h1 h2 h3 h4 h5"
+    docs = _hot_corpus(120, block, k)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = exact_substring_dedup(
+        df, min_len=k, keep_first=True, n_salts=5
+    ).collect()
+    got = {r.doc_id: (r.cleaned_text, r.n_removed_tokens) for r in out}
+    assert len(got) == 120
+    # the corpus-wide first occurrence is min (doc_id, position): doc 1
+    # has the block at the earliest position of the smallest doc_id —
+    # the block must survive there and ONLY there.
+    survivors = [d for d, (txt, _) in got.items() if block in txt]
+    assert survivors == [1], survivors
+    # every other doc lost exactly the k block tokens (doc 7 lost 2k:
+    # its in-doc repeat is a global repeat too).
+    for d, (txt, removed) in got.items():
+        if d == 1:
+            assert removed == 0
+        elif d == 7:
+            assert removed == 2 * k
+        else:
+            assert removed == k, (d, txt, removed)
+
+
+def test_planted_hot_window_salt_invariance(spark):
+    from global_market_index_etl_spark.operators.spans import (
+        duplicate_span_suite,
+        exact_substring_dedup,
+    )
+
+    k = 4
+    block = "h0 h1 h2 h3"
+    docs = _hot_corpus(60, block, k)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def rows(df_out):
+        return sorted(tuple(r) for r in df_out.collect())
+
+    base = rows(exact_substring_dedup(df, min_len=k, n_salts=1))
+    for n_salts in (3, 16):
+        assert rows(
+            exact_substring_dedup(df, min_len=k, n_salts=n_salts)
+        ) == base
+
+    suite1 = rows(
+        duplicate_span_suite(df, k=k, n_salts=1, share_cache=False)
+    )
+    suite16 = rows(
+        duplicate_span_suite(df, k=k, n_salts=16, share_cache=False)
+    )
+    assert suite1 == suite16
+
+
+def test_planted_hot_window_profile_counts(spark):
+    k = 4
+    block = "h0 h1 h2 h3"
+    docs = _hot_corpus(80, block, k)
+    got = _profile(spark, docs, k=k)
+    # the block is the only cross-doc duplicate; every doc's dup-window
+    # count is exactly its number of block occurrences (overlap-free by
+    # construction: filler tokens are doc-unique).
+    for d, (_, n_dup) in got.items():
+        assert n_dup == (2 if d == 7 else 1), (d, got[d])
