@@ -79,6 +79,18 @@ def main() -> None:
         help="comma-separated subset to build (default: all); the "
         "30x scale smoke only needs documents,embeddings",
     )
+    ap.add_argument(
+        "--hot-every",
+        type=int,
+        default=0,
+        help="adversarial-skew plant (round-13 verdict item 5): append "
+        "ONE fixed 50-token block to every document whose source doc_id "
+        "is divisible by this value (1 = every doc), across ALL "
+        "replicas. The block is a single window fingerprint with "
+        "n_docs/hot_every occurrences — the mega-hot license-header "
+        "shape that concentrates on one reducer under an unsalted "
+        "fingerprint reduction. 0 (default) disables.",
+    )
     args = ap.parse_args()
     subset = set(args.tables.split(",")) if args.tables else None
     out = Path(args.out)
@@ -97,6 +109,10 @@ def main() -> None:
             continue
         shutil.copyfile(f"{args.src}/{t}.parquet", out / f"{t}.parquet")
         print(f"{t}: copied")
+
+    # 50 tokens no real/junk word shares ('hotw<j>' vs 'r<i>w<k>'): one
+    # window fingerprint at min_len=50 (and 43 k=8 windows) per planted doc.
+    hot_block = " ".join(f"hotw{j}" for j in range(50))
 
     for t, key_groups in KEYED.items():
         if subset is not None and t not in subset:
@@ -144,6 +160,22 @@ def main() -> None:
                     )
                 else:
                     proj.append(c)
+            if t == "documents" and args.hot_every > 0:
+                # append the hot block AFTER perturbation so every planted
+                # copy carries the intact 50-token window; key off the
+                # SOURCE doc_id (pre-offset) so the plant rate is uniform
+                # across replicas.
+                for idx, p in enumerate(proj):
+                    if p == "text" or p.endswith(" AS text"):
+                        base = (
+                            "text" if p == "text"
+                            else p[: -len(" AS text")]
+                        )
+                        proj[idx] = (
+                            f"CASE WHEN doc_id % {args.hot_every} = 0 "
+                            f"THEN ({base}) || ' {hot_block}' "
+                            f"ELSE ({base}) END AS text"
+                        )
             selects.append(
                 f"SELECT {', '.join(proj)} FROM '{args.src}/{t}.parquet'"
             )
