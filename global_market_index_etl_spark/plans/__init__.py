@@ -46,27 +46,14 @@ DRIVER_WINDOW = 50
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
-    # round 12: stream_interval_join's bucketization changed MATERIALLY
-    # (the interval explode's upper bound dropped the half-open `- 1` so
-    # sub-second interval opens stop losing last-fractional-second
-    # matches — round-11 advice); it was checked r11 under the old plan,
-    # so staleness alone would rotate it out. The r11 pins went
-    # hash-green and drain by staleness. The new rows
-    # (dedup_incremental_embedding, stream_index_suite) need no
-    # pin: never-checked queries sort at staleness 0. The
-    # materialize_shared switch (span suite, curation pipelines) reuses
-    # one persisted copy of the SAME subtree across invocations — no
-    # plan or value change, no pin.
-    "stream_interval_join",
-    # round 12 continuation: w_session_window_native's ORACLE changed
-    # materially (whole-second lag → microsecond-exact epoch_us, the
-    # sf0.1 soak divergence class); last checked r11 under the old
-    # oracle and staleness alone rotates it out this round. w_sessionize
-    # (same fix) is already in-window by staleness.
-    "w_session_window_native",
-    # (ann_lsh_topk's round-12 material-change pin was retired when the
-    # row fused into ann_probe_suite — a never-checked name sorts at
-    # staleness 0 and lands in-window by itself.)
+    # round 13: exact_substring_dedup's plan changed MATERIALLY (the
+    # count/min-over-Window(__w) verdicts became the salted two-phase
+    # aggregate + join-back — round-12 verdict item 1); it was checked
+    # r12 under the old plan, so staleness alone would rotate it out.
+    # dedup_span_suite (same rewrite) is already in-window by staleness
+    # (last checked r11). The r12 pins (stream_interval_join,
+    # w_session_window_native) went hash-green and drain by staleness.
+    "dedup_exact_substring",
 ]
 
 _ROOT = _os.path.dirname(
@@ -94,13 +81,37 @@ def last_driver_round(root: str = _ROOT) -> dict[str, int]:
 
 
 def ordered_registry() -> dict[str, QueryDef]:
-    """REGISTRY re-ordered for the driver's 50-query correctness window."""
+    """REGISTRY re-ordered for the driver's 50-query correctness window.
+
+    Rank groups (round-12 verdict item 3 — the r12 window let six rows
+    fall TWO rounds stale because fusion renames consumed slots that
+    plain staleness sorting gave to never-checked new names):
+
+    0. MUST-CHECK: rows whose last driver row is ≥ 2 rounds behind the
+       upcoming round — skipping one of these breaches the "every row at
+       most one round stale" invariant, so they outrank everything,
+       including brand-new rows (a new row that waits one round is born
+       one round stale; a 2-stale row that waits becomes 3-stale).
+       Stalest first within the group.
+    1. never-checked rows (new this round), registration order.
+    2. rows checked last round — safe to sit out exactly one round.
+    """
     first = [n for n in PRIORITY_FIRST if n in REGISTRY]
     pinned = set(first)
     checked = last_driver_round()
-    rest = [n for n in REGISTRY if n not in pinned]
+    next_round = (max(checked.values()) + 1) if checked else 1
     reg_index = {n: i for i, n in enumerate(REGISTRY)}
-    rest.sort(key=lambda n: (checked.get(n, 0), reg_index[n]))
+
+    def rank(n: str):
+        last = checked.get(n)
+        if last is None:
+            return (1, 0, reg_index[n])
+        staleness = next_round - last
+        if staleness >= 2:
+            return (0, -staleness, reg_index[n])
+        return (2, -staleness, reg_index[n])
+
+    rest = sorted((n for n in REGISTRY if n not in pinned), key=rank)
     return {n: REGISTRY[n] for n in first + rest}
 
 

@@ -87,3 +87,59 @@ def test_previously_rotated_queries_regain_rows_this_round():
     assert len(regained) >= min(8, len(stale)), (
         f"only {sorted(regained)} stale queries regain a driver row"
     )
+
+
+def test_every_registry_row_covered_by_last_or_next_window():
+    """Round-12 verdict item 3: fusion renames silently burned window
+    slots, letting six rows fall TWO rounds stale (checked in neither r11
+    nor r12). Invariant: every registry row either has a driver row from
+    the LATEST recorded round or sits inside the upcoming window — i.e.
+    (last window ∪ next planned window) covers the registry."""
+    checked = last_driver_round()
+    if not checked:
+        return
+    latest = max(checked.values())
+    covered_last = {n for n, r in checked.items() if r == latest}
+    window = set(list(ordered_registry())[:DRIVER_WINDOW])
+    uncovered = sorted(
+        n for n in REGISTRY if n not in covered_last and n not in window
+    )
+    assert not uncovered, (
+        f"rows checked before round {latest} AND outside the upcoming "
+        f"window — they will be ≥2 rounds stale: {uncovered}"
+    )
+
+
+def test_must_check_rows_outrank_renamed_new_rows(monkeypatch):
+    """Simulated rename-induced gap (the r12 failure shape): rows already
+    one round stale MUST outrank a batch of never-checked names (fusion
+    renames), or the renames push them to two rounds stale. The ordering
+    is exercised against a synthetic history, not the real files."""
+    import global_market_index_etl_spark.plans as plans
+
+    names = [n for n in REGISTRY if n not in plans.PRIORITY_FIRST]
+    assert len(names) >= 20, "test assumes a populated registry"
+    stale_rows = names[:6]        # last checked 3 rounds ago — must-check
+    renamed_rows = names[6:13]    # fused/renamed: never checked
+    fresh_rows = names[13:]       # checked last round
+    fake = {}
+    for n in stale_rows:
+        fake[n] = 10
+    for n in fresh_rows:
+        fake[n] = 12
+    monkeypatch.setattr(
+        plans, "last_driver_round", lambda root=None: fake
+    )
+    order = [
+        n for n in plans.ordered_registry()
+        if n not in plans.PRIORITY_FIRST
+    ]
+    assert set(order[: len(stale_rows)]) == set(stale_rows), (
+        "must-check (≥2-rounds-stale) rows no longer lead the window — "
+        "a rename burst would push them a further round stale"
+    )
+    assert set(order[len(stale_rows): len(stale_rows) + len(renamed_rows)]
+               ) == set(renamed_rows), (
+        "never-checked rows must follow the must-check group, ahead of "
+        "fresh rows"
+    )
