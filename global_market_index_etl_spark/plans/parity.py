@@ -1043,6 +1043,132 @@ def e1_pipeline_market_bars(spark, sf):
     return load_batch(None, batch, ["ticker", "timestamp_utc"], "batch_ts")
 
 
+def _e1_fixture_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "tests",
+        "fixtures",
+        "e1_raw_bars.parquet",
+    )
+
+
+def _e1_transform_oracle() -> str:
+    """DuckDB twin of the E1 transform over the materialized raw-bars
+    fixture. The indices dimension and the sparse FX rates are inlined as
+    VALUES from the same pure-python generators the Spark side uses
+    (schemas.INDICES_SEED / fixtures.fx_rate_rows) — repr round-trip
+    keeps every double bit-exact, so products match bit-for-bit."""
+    import datetime as dt
+
+    from ..schemas import INDICES_SEED
+    from ..sources.fixtures import fx_rate_rows
+
+    idx_values = ",\n      ".join(
+        f"('{t}', '{n}', '{c}', '{e}', '{cur}')"
+        for t, n, c, e, cur in INDICES_SEED
+    )
+    fx_values = ",\n      ".join(
+        f"('{b}', DATE '{d.isoformat()}', {r!r})"
+        for b, _tgt, d, r in fx_rate_rows(
+            dates=[dt.date(2024, 1, 1), dt.date(2024, 1, 2)]
+        )
+    )
+    return f"""
+    WITH raw AS (
+      SELECT * FROM read_parquet('{_e1_fixture_path()}')
+    ), idx(ticker, name, country, exchange, original_currency) AS (
+      VALUES {idx_values}
+    ), fx(base_currency, rate_date, rate) AS (
+      VALUES {fx_values}
+    ), std AS (
+      SELECT CAST(r."timestamp" AS TIMESTAMP) AS timestamp_utc, r.ticker,
+             i.name, i.country, i.original_currency, i.exchange,
+             CAST(r."Open" AS DOUBLE) AS "open",
+             CAST(r."High" AS DOUBLE) AS "high",
+             CAST(r."Low" AS DOUBLE) AS "low",
+             CAST(r."Close" AS DOUBLE) AS "close",
+             CAST(r."Adj Close" AS DOUBLE) AS adjusted_close,
+             CAST(r."Volume" AS BIGINT) AS volume
+      FROM raw r LEFT JOIN idx i ON r.ticker = i.ticker
+    ), conv AS (
+      SELECT s.*,
+             CASE WHEN s.original_currency = 'USD' THEN 1.0
+                  ELSE f.rate END AS exchange_rate
+      FROM std s LEFT JOIN fx f
+        ON s.original_currency = f.base_currency
+       AND CAST(s.timestamp_utc AS DATE) = f.rate_date
+    )
+    SELECT epoch_us(timestamp_utc) AS ts_us, ticker, name, country,
+           original_currency, exchange, "open", "high", "low", "close",
+           adjusted_close, volume,
+           "open" * exchange_rate AS open_usd,
+           "high" * exchange_rate AS high_usd,
+           "low" * exchange_rate AS low_usd,
+           "close" * exchange_rate AS close_usd,
+           adjusted_close * exchange_rate AS adjusted_close_usd
+    FROM conv
+    """
+
+
+@query(
+    "e1_fixture_transform",
+    _e1_transform_oracle(),
+    doc="E1's TRANSFORM graduated from digest to a full oracle (round-12 "
+    "verdict item 4): the seeded DataSource's 480-row output is "
+    "materialized once as tests/fixtures/e1_raw_bars.parquet "
+    "(scripts/gen_e1_raw_fixture.py), and the standardize→enrich→FX→LWW "
+    "chain (pipeline.run_batch + load_batch, standardizer.py:9-260 + "
+    "currency_converter.py:32-181 + main.py:97-138) runs over that "
+    "fixture as plain relational algebra the DuckDB oracle rebuilds "
+    "value-for-value — rename P1, UTC P2, broadcast indices enrich J1 "
+    "(3 of the 10 source tickers are absent from the dimension: NULL "
+    "enrich + NULL-rate propagation both exercised), coercing casts P3, "
+    "sparse FX join J2 with identity USD shortcut F1 and missing-rate → "
+    "NULL _usd, and the LWW key dedup (structurally executed; its "
+    "tie-breaking semantics are oracled separately by d3_upsert_lww — "
+    "this fixture's keys are unique by construction). The digest row "
+    "(e1_pipeline_market_bars) keeps covering the DataSource stage "
+    "itself. Timestamps compare µs-exact (unix_micros ≡ epoch_us).",
+)
+def e1_fixture_transform(spark, sf):
+    import datetime as dt
+
+    from ..pipeline import load_batch, run_batch
+    from ..sources.fixtures import fx_rates_df, indices_df
+
+    raw_long = spark.read.parquet(_e1_fixture_path())
+    rates = fx_rates_df(
+        spark, dates=[dt.date(2024, 1, 1), dt.date(2024, 1, 2)]
+    )
+    batch = run_batch(raw_long, indices_df(spark), fx_rates=rates).withColumn(
+        "batch_ts", F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    out = load_batch(None, batch, ["ticker", "timestamp_utc"], "batch_ts")
+    return out.select(
+        F.unix_micros("timestamp_utc").alias("ts_us"),
+        "ticker",
+        "name",
+        "country",
+        "original_currency",
+        "exchange",
+        "open",
+        "high",
+        "low",
+        "close",
+        "adjusted_close",
+        "volume",
+        "open_usd",
+        "high_usd",
+        "low_usd",
+        "close_usd",
+        "adjusted_close_usd",
+    )
+
+
 
 
 @query(

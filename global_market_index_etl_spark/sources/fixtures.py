@@ -61,6 +61,30 @@ def raw_bars_df(
     return spark.createDataFrame(rows, RAW_BARS)
 
 
+def fx_rate_rows(
+    dates: list[dt.date] | None = None,
+    seed: int = 7,
+    drop_every: int = 5,
+) -> list[tuple]:
+    """Pure-python row builder behind :func:`fx_rates_df` — also used to
+    inline the identical values into DuckDB oracle SQL (the generator is
+    deterministic and engine-free, so repr round-trip keeps the doubles
+    bit-exact on both sides)."""
+    dates = dates or [dt.date(2023, 10, 24), dt.date(2023, 10, 25)]
+    currencies = sorted({c for *_, c in INDICES_SEED if c != "USD"})
+    rng = _lcg(seed)
+    rows: list[tuple] = []
+    i = 0
+    for cur in currencies:
+        level = 0.1 + 2.0 * next(rng)
+        for d in dates:
+            i += 1
+            if i % drop_every == 0:
+                continue  # simulate a missing rate
+            rows.append((cur, "USD", d, level * (0.98 + 0.04 * next(rng))))
+    return rows
+
+
 def fx_rates_df(
     spark: SparkSession,
     *,
@@ -71,16 +95,6 @@ def fx_rates_df(
     """Sparse FX dimension: one row per (non-USD currency, date), with every
     ``drop_every``-th pair omitted to exercise missing-rate → NULL ``_usd``
     semantics (currency_converter.py:170-181, README.md:381)."""
-    dates = dates or [dt.date(2023, 10, 24), dt.date(2023, 10, 25)]
-    currencies = sorted({c for *_, c in INDICES_SEED if c != "USD"})
-    rng = _lcg(seed)
-    rows = []
-    i = 0
-    for cur in currencies:
-        level = 0.1 + 2.0 * next(rng)
-        for d in dates:
-            i += 1
-            if i % drop_every == 0:
-                continue  # simulate a missing rate
-            rows.append((cur, "USD", d, level * (0.98 + 0.04 * next(rng))))
-    return spark.createDataFrame(rows, FX_RATES)
+    return spark.createDataFrame(
+        fx_rate_rows(dates=dates, seed=seed, drop_every=drop_every), FX_RATES
+    )

@@ -27,6 +27,8 @@ exact heavy-hitter pass (terms.top_terms_global) cannot give.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -201,6 +203,26 @@ def read_hll_state(
     if not committed:
         return spark.createDataFrame(
             [], empty_schema or "bucket bigint, max_rho int, p int"
+        )
+    # Schema-drift guard (round-12 advice): a plain multi-path parquet
+    # read takes its schema from one file set — a stream reconfigured
+    # with different group_cols against the SAME state_path would have
+    # its other deltas' group columns silently dropped/nulled. Compare
+    # per-delta column sets (driver-side footer reads, bounded by tick
+    # count) and fail loud on drift, matching the p-mismatch discipline.
+    per_delta = {}
+    for d in sorted(committed):
+        cols = tuple(
+            sorted(c for c in spark.read.parquet(d).columns if c != "batch")
+        )
+        per_delta.setdefault(cols, os.path.basename(d.rstrip("/")))
+    if len(per_delta) > 1:
+        raise ValueError(
+            f"HLL state at {state_path} mixes register schemas across "
+            f"deltas ({ {v: list(k) for k, v in per_delta.items()} }) — "
+            "the stream was reconfigured with different group_cols "
+            "against one state_path; use a fresh state directory per "
+            "configuration"
         )
     deltas = spark.read.option("basePath", state_path).parquet(
         *sorted(committed)

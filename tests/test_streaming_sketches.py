@@ -275,3 +275,50 @@ def test_hll_state_rejects_foreign_layout_and_empty_reads_empty(
     )
     with _pytest.raises(ValueError, match="lacks p/max_rho"):
         read_hll_state(spark, state)
+
+
+def test_hll_state_rejects_group_col_schema_drift(spark, tmp_path):
+    """Round-12 advice: a stream reconfigured with different group_cols
+    against the SAME state_path must be rejected at read time, not have
+    one configuration's group columns silently dropped/nulled by the
+    single-schema parquet read."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.streaming.sketches import (
+        read_hll_state,
+        streaming_hll,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = "event_id long, user_id long, event_type string"
+
+    def tick(ckpt, group_cols):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_hll(
+            stream,
+            state_path=state,
+            checkpoint=str(tmp_path / ckpt),
+            key_col="user_id",
+            p=8,
+            group_cols=group_cols,
+        )
+        q.awaitTermination(120)
+
+    # two GROUPED ticks leave batch=0 and batch=1 deltas carrying the
+    # event_type group column
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    tick("ckpt_a", ["event_type"])
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    tick("ckpt_a", ["event_type"])
+    # reconfigure: UNGROUPED maintainer with a FRESH checkpoint replays
+    # everything as its batch=0 (overwriting that delta with the new
+    # schema) but leaves the grouped batch=1 delta in place — the state
+    # dir now mixes register schemas
+    tick("ckpt_b", None)
+
+    with _pytest.raises(ValueError, match="mixes register schemas"):
+        read_hll_state(spark, state)
