@@ -61,8 +61,9 @@ HEADLINE = [
     "ts_reshape_suite",
     "w_sessionize",
     "text_repetition",
-    "q1_top5_recent",
+    # round 13: q1_top5_recent rides as q_sort_limit_suite's recent5 leg
     "q_sort_limit_suite",
+    "chunk_pack_training_prep",
     "j1_enrich_broadcast",
     "j2_rate_lookup_join",
     "d3_upsert_lww",
@@ -202,6 +203,9 @@ SMOKE_QUERIES = [
     # round 13: the k=8 boilerplate tier joins the smoke as the plain-30x
     # baseline for the planted-skew block (skew_smoke hot_over_plain)
     "dedup_span_suite",
+    # round 13: chunk+pack — growth must stay linear in corpus tokens
+    # (narrow chunk map + one bucket shuffle)
+    "chunk_pack_training_prep",
 ]
 
 

@@ -89,6 +89,7 @@ def pack_fixed_chunks(
     idx_col: str = "chunk_idx",
     text_col: str = "chunk_text",
     n_buckets: int = 256,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pack uniform chunks into sequences: one row per pack with the
     ordered chunk texts and their (doc, idx) provenance.
@@ -100,12 +101,25 @@ def pack_fixed_chunks(
     assignment is deterministic under any partitioning. One shuffle on the
     bucket; each bucket's row-numbering is the only serial region, sized
     1/n_buckets of the data.
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest — one JVM hash) or
+    ``"md5"`` (portable — bucket = first 8 md5 hex chars of the id
+    string, reproducible by ANY engine; the export_training_shards dial,
+    which is what lets the packing carry a full SQL oracle).
     """
     if chunks_per_pack <= 0:
         raise ValueError(
             f"chunks_per_pack must be positive, got {chunks_per_pack}"
         )
-    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.col(id_col))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    bucket = F.pmod(h, F.lit(n_buckets))
     w = Window.partitionBy("__bucket").orderBy(id_col, idx_col)
     packed = (
         df.withColumn("__bucket", bucket)

@@ -716,6 +716,8 @@ def optimize_table(
     min_files_per_bucket: int = 2,
     retain_versions: int = 1,
     stats_columns: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """Re-layout a manifest table's buckets — the Delta/Iceberg
     ``OPTIMIZE (ZORDER)`` analog under this module's commit protocol.
@@ -730,8 +732,18 @@ def optimize_table(
     ranges per file — tight pruning again), stages outside the live set,
     moves in under commit-unique names, and commits ONE new manifest
     version — crash-atomic like MERGE: readers see the old or the new
-    layout, never a mixture. Without ``cluster_by`` it is a pure compactor
-    for buckets holding ≥ ``min_files_per_bucket`` files.
+    layout, never a mixture. Without ``cluster_by``/``zorder_by`` it is a
+    pure compactor for buckets holding ≥ ``min_files_per_bucket`` files.
+
+    ``zorder_by`` is the MULTI-dimensional form — ``OPTIMIZE ZORDER BY``
+    proper: each bucket's rows are sorted on the Morton interleave of the
+    named columns (:func:`zorder_value`, a pure codegen expression — the
+    grid calibration is one bounded min/max aggregate over the live rows,
+    never a global sort), so per-file min/max rectangles stay tight on
+    EVERY named column at once and ``read_table(prune=)`` skips files for
+    predicates on ANY of them. A linear ``cluster_by`` gives tight ranges
+    on its first column only. Mutually exclusive with ``cluster_by``; the
+    sort key is computed on the fly and never written.
 
     ``stats_columns`` RETROFITS data skipping onto a table written without
     it (or changes the tracked set): the new manifest records stats for
@@ -742,13 +754,19 @@ def optimize_table(
     single writer, or with ``retain_versions > 1`` alongside readers; a
     concurrent MERGE commit surfaces as ``ManifestConflict`` (re-run).
     """
+    if cluster_by and zorder_by:
+        raise ValueError(
+            "cluster_by and zorder_by are mutually exclusive — a linear "
+            "sort and a Morton sort cannot both order the same rewrite"
+        )
     version, manifest = _read_manifest(spark, path)
     if manifest is None:
         raise ValueError(f"no manifest at {path} — nothing to optimize")
     targets = {
         b
         for b, files in manifest["buckets"].items()
-        if files and (cluster_by or len(files) >= min_files_per_bucket)
+        if files
+        and (cluster_by or zorder_by or len(files) >= min_files_per_bucket)
     }
     if not targets:
         if stats_columns:  # stats retrofit alone still commits
@@ -769,6 +787,22 @@ def optimize_table(
         arranged = arranged.sortWithinPartitions(
             BUCKET, *[F.col(c) for c in cluster_by]
         )
+    elif zorder_by:
+        bits = min(zorder_bits, 63 // len(zorder_by))
+        stats = current.agg(
+            *[F.min(c).alias(f"__min_{c}") for c in zorder_by],
+            *[F.max(c).alias(f"__max_{c}") for c in zorder_by],
+        ).first()
+        mins = {c: stats[f"__min_{c}"] for c in zorder_by}
+        maxs = {c: stats[f"__max_{c}"] for c in zorder_by}
+        if any(mins[c] is None for c in zorder_by):
+            # all-null / empty live set: nothing to interleave — plain
+            # compaction ordering (grid calibration needs real bounds)
+            arranged = arranged.sortWithinPartitions(BUCKET)
+        else:
+            arranged = arranged.sortWithinPartitions(
+                F.col(BUCKET), zorder_value(zorder_by, mins, maxs, bits)
+            )
     staging = f"{path}/.staging-{uuid.uuid4().hex}"
     writer = arranged.write.mode("overwrite")
     if max_records_per_file:

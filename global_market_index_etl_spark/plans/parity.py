@@ -26,27 +26,6 @@ from .registry import query
 
 
 @query(
-    "q1_top5_recent",
-    """
-    SELECT o_orderkey, o_orderdate, o_totalprice
-    FROM orders WHERE o_custkey = 42
-    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5
-    """,
-    doc="Q1 — 5 most recent rows for one key (README.md:322-331). Catalyst "
-    "plans TakeOrderedAndProject: per-partition top-5 then a 5-row driver "
-    "merge — no global sort at any scale.",
-)
-def q1_top5_recent(spark, sf):
-    return (
-        load_table(spark, sf, "orders")
-        .filter(F.col("o_custkey") == 42)
-        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
-        .limit(5)
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
-    )
-
-
-@query(
     "f_filter_suite",
     """
     SELECT 'day' AS leg, event_id AS k1, CAST(NULL AS BIGINT) AS k2,
@@ -108,12 +87,13 @@ def f_filter_suite(spark, sf):
     """
     SELECT 'catalog' AS leg, CAST(n_nationkey AS BIGINT) AS k1,
            CAST(NULL AS BIGINT) AS k2, n_name AS s1, r_name AS s2,
-           CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS INTEGER) AS rn
+           CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS INTEGER) AS rn,
+           CAST(NULL AS DOUBLE) AS v
     FROM nation JOIN region ON n_regionkey = r_regionkey
     UNION ALL
     SELECT 'topn' AS leg, o_custkey AS k1, o_orderkey AS k2,
            CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
-           o_orderdate AS ts, rn
+           o_orderdate AS ts, rn, CAST(NULL AS DOUBLE) AS v
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate,
              CAST(row_number() OVER (
@@ -121,17 +101,28 @@ def f_filter_suite(spark, sf):
                ORDER BY o_orderdate DESC, o_orderkey DESC) AS INTEGER) AS rn
       FROM orders)
     WHERE rn <= 3
+    UNION ALL
+    SELECT 'recent5' AS leg, o_orderkey AS k1, CAST(NULL AS BIGINT) AS k2,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+           o_orderdate AS ts, CAST(NULL AS INTEGER) AS rn, o_totalprice AS v
+    FROM (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_custkey = 42
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5)
     """,
-    doc="Q3 + Q4 fused into one sort/rank suite (round-8 verdict item 5 — "
-    "registry headroom): the 'catalog' leg is the dimension catalog scan "
+    doc="Q1 + Q3 + Q4 fused into one sort/rank suite (Q3/Q4 in round 8 — "
+    "verdict item 5, registry headroom; Q1 in round 13 for the same "
+    "reason): the 'recent5' leg is Q1's 5-most-recent-rows-for-one-key "
+    "(README.md:322-331) — Catalyst plans TakeOrderedAndProject: "
+    "per-partition top-5 then a 5-row driver merge, no global sort at "
+    "any scale, with the o_custkey equality pushed to the scan "
+    "(plan-asserted); the 'catalog' leg is the dimension catalog scan "
     "with the region lookup as a broadcast join (README.md:350-357); the "
     "'topn' leg is latest-N per key via a ranking window "
     "(postgres_writer.py:371-377) — one hash shuffle on the key, which at "
     "scale beats a global sort+limit by never materializing a total "
-    "order. Legs are tagged and column-aligned like f_filter_suite; both "
-    "plans execute unchanged inside the union. The global-sort shape Q3's "
-    "standalone row carried stays covered by q1_top5_recent's "
-    "TakeOrderedAndProject.",
+    "order. Legs are tagged and column-aligned like f_filter_suite; all "
+    "three plans execute unchanged inside the union.",
 )
 def q_sort_limit_suite(spark, sf):
     nation = load_table(spark, sf, "nation")
@@ -148,6 +139,7 @@ def q_sort_limit_suite(spark, sf):
             F.col("r_name").alias("s2"),
             F.lit(None).cast(ts_type).alias("ts"),
             F.lit(None).cast("int").alias("rn"),
+            F.lit(None).cast("double").alias("v"),
         )
     )
     w = Window.partitionBy("o_custkey").orderBy(
@@ -164,9 +156,25 @@ def q_sort_limit_suite(spark, sf):
             F.lit(None).cast("string").alias("s2"),
             F.col("o_orderdate").alias("ts"),
             "rn",
+            F.lit(None).cast("double").alias("v"),
         )
     )
-    return catalog.unionByName(topn)
+    recent5 = (
+        orders.filter(F.col("o_custkey") == 42)
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(5)
+        .select(
+            F.lit("recent5").alias("leg"),
+            F.col("o_orderkey").alias("k1"),
+            F.lit(None).cast("long").alias("k2"),
+            F.lit(None).cast("string").alias("s1"),
+            F.lit(None).cast("string").alias("s2"),
+            F.col("o_orderdate").alias("ts"),
+            F.lit(None).cast("int").alias("rn"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    return catalog.unionByName(topn).unionByName(recent5)
 
 
 # --------------------------------------------------------------------------
@@ -521,43 +529,63 @@ def k7_export_roundtrip(spark, sf):
 @query(
     "k6_skipping_read",
     """
-    SELECT l_returnflag,
+    SELECT 'linear' AS leg, l_returnflag,
            CAST(count(*) AS BIGINT) AS n_rows,
            {revenue} AS revenue
     FROM lineitem
     WHERE l_orderkey % 4 = 0
       AND l_extendedprice >= 30000.0 AND l_extendedprice <= 40000.0
     GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'zorder' AS leg, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {revenue} AS revenue
+    FROM lineitem
+    WHERE l_orderkey % 4 = 0
+      AND l_extendedprice >= 30000.0 AND l_extendedprice <= 40000.0
+      AND l_quantity >= 10.0 AND l_quantity <= 20.0
+    GROUP BY l_returnflag
     """.format(
         revenue=sql_exact_money_sum("l_extendedprice * (1 - l_discount)")
     ),
-    doc="K6 — manifest-level DATA SKIPPING (operators/storage.py): lineitem "
-    "is materialized as a stats-tracked bucketed table (cluster_by "
-    "l_extendedprice + maxRecordsPerFile splits each bucket into files "
-    "with near-disjoint price ranges; per-file min/max footer stats land "
-    "in the manifest), then read back with prune={l_extendedprice: "
-    "[30000, 40000]} so files whose range misses the band are never even "
-    "PLANNED — O(matching files) scan planning instead of O(all files), "
-    "on top of the engine's row-group pruning, the Delta/Iceberg skipping "
-    "story under this module's own manifest protocol. The real predicate "
-    "is still applied (pruning is correctness-neutral by construction; "
-    "missing stats keep the file) and the aggregate must match the oracle "
-    "computed over the UNPRUNED table — a wrongly-skipped file would "
-    "change the counts and hash-mismatch. The stats-tracked table is "
-    "written ONCE per (process, sf) and reused on repeat invocations "
-    "(round-8 verdict item 6): the write is deterministic per sf, k2 "
-    "already owns the eager-write durability story, and caching it lets "
-    "the bench number isolate the pruned READ this row exists to prove; "
-    "the returned plan is the pruned read + aggregate.",
+    doc="K6 — manifest-level DATA SKIPPING (operators/storage.py), two "
+    "tagged legs. 'linear': lineitem materialized as a stats-tracked "
+    "bucketed table (cluster_by l_extendedprice + maxRecordsPerFile "
+    "splits each bucket into files with near-disjoint price ranges; "
+    "per-file min/max footer stats land in the manifest), read back with "
+    "prune={l_extendedprice: [30000, 40000]} so files whose range misses "
+    "the band are never even PLANNED — O(matching files) scan planning "
+    "instead of O(all files), on top of the engine's row-group pruning, "
+    "the Delta/Iceberg skipping story under this module's own manifest "
+    "protocol. 'zorder' (round 13 — OPTIMIZE ZORDER driver-visible, r12 "
+    "verdict item 7's alternate candidate): the same quarter written "
+    "UNSORTED (the decayed post-MERGE layout), re-laid-out through "
+    "optimize_table(zorder_by=[l_extendedprice, l_quantity]) — each "
+    "bucket Morton-sorted by the codegen interleave expression, files "
+    "re-split, 2-column stats committed crash-atomically as ONE new "
+    "manifest version — then read with a TWO-dimensional prune (price "
+    "band AND quantity band), the pruning shape a linear sort cannot "
+    "serve on its second column. Real predicates are still applied "
+    "(pruning is correctness-neutral by construction; missing stats keep "
+    "the file) and both legs must match the oracle computed over the "
+    "UNPRUNED table — a wrongly-skipped file would change the counts and "
+    "hash-mismatch. Tables are written ONCE per (process, sf) and reused "
+    "on repeat invocations (round-8 verdict item 6): the writes are "
+    "deterministic per sf, k2 owns the eager-write durability story, and "
+    "caching lets the bench number isolate the pruned READS this row "
+    "exists to prove.",
 )
 def k6_skipping_read(spark, sf):
     from ..operators.storage import read_table
 
-    path = _k6_table_for(spark, sf)
     lo, hi = 30000.0, 40000.0
-    pruned = read_table(spark, path, prune={"l_extendedprice": (lo, hi)})
-    return (
-        pruned.filter(
+    qlo, qhi = 10.0, 20.0
+    linear = (
+        read_table(
+            spark, _k6_table_for(spark, sf),
+            prune={"l_extendedprice": (lo, hi)},
+        )
+        .filter(
             (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") <= hi)
         )
         .groupBy("l_returnflag")
@@ -567,7 +595,29 @@ def k6_skipping_read(spark, sf):
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
         )
+        .select(F.lit("linear").alias("leg"), "l_returnflag", "n_rows", "revenue")
     )
+    zordered = (
+        read_table(
+            spark, _k6_zorder_table_for(spark, sf),
+            prune={"l_extendedprice": (lo, hi), "l_quantity": (qlo, qhi)},
+        )
+        .filter(
+            (F.col("l_extendedprice") >= lo)
+            & (F.col("l_extendedprice") <= hi)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .select(F.lit("zorder").alias("leg"), "l_returnflag", "n_rows", "revenue")
+    )
+    return linear.unionByName(zordered)
 
 
 _K6_SCRATCH: list[str] = []
@@ -618,6 +668,49 @@ def _k6_table_for(spark, sf: str) -> str:
         max_records_per_file=2000,
     )
     _K6_WRITTEN[sf] = path  # only after a successful commit
+    return path
+
+
+_K6Z_WRITTEN: dict[str, str] = {}
+
+
+def _k6_zorder_table_for(spark, sf: str) -> str:
+    """The OPTIMIZE-ZORDERed k6 table for ``sf`` — written UNSORTED (wide
+    overlapping per-file ranges, the decayed post-MERGE layout), then
+    re-laid-out via ``optimize_table(zorder_by=[l_extendedprice,
+    l_quantity])`` so the driver row reads through the OPTIMIZE commit
+    protocol, not just a fortunate initial write. Built once per
+    (process, sf), k6/k2 discipline."""
+    if sf in _K6Z_WRITTEN:
+        return _K6Z_WRITTEN[sf]
+    if not _K6_SCRATCH:
+        _k6_table_for(spark, sf)  # creates the scratch root
+    from ..operators.storage import optimize_table, write_bucketed_table
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_extendedprice", "l_discount", "l_quantity",
+        )
+    )
+    path = f"{_K6_SCRATCH[0]}/z__{sf.strip('/').replace('/', '__')}"
+    write_bucketed_table(
+        li,
+        path,
+        ["l_orderkey", "l_linenumber"],
+        n_buckets=8,
+        max_records_per_file=2000,
+    )
+    optimize_table(
+        spark,
+        path,
+        zorder_by=["l_extendedprice", "l_quantity"],
+        stats_columns=["l_extendedprice", "l_quantity"],
+        max_records_per_file=2000,
+    )
+    _K6Z_WRITTEN[sf] = path
     return path
 
 

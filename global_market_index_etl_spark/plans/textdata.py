@@ -3093,3 +3093,89 @@ def text_langid(spark, sf):
 
     docs = parallelize_small(load_table(spark, sf, "documents"))
     return T.langid_hashed_ngram(docs)
+
+
+@query(
+    "chunk_pack_training_prep",
+    """
+    WITH w AS (
+      SELECT doc_id, {words} AS ws FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             CAST(s.i // 20 AS INTEGER) AS chunk_idx,
+             array_to_string(list_slice(ws, s.i + 1, s.i + 24), ' ')
+               AS chunk_text,
+             CAST(len(list_slice(ws, s.i + 1, s.i + 24)) AS INTEGER)
+               AS n_tokens
+      FROM w, UNNEST(generate_series(0, greatest(len(ws) - 4 - 1, 0), 20))
+              AS s(i)
+      WHERE len(ws) > 0
+    ), b AS (
+      SELECT ch.*,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS bucket
+      FROM ch
+    ), rn AS (
+      SELECT b.*,
+             row_number() OVER (
+               PARTITION BY bucket ORDER BY doc_id, chunk_idx) - 1 AS r
+      FROM b
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(('0x' || substr(md5(chunk_text), 1, 15)) AS BIGINT)
+             AS text_fp,
+           CAST(bucket * 4294967296 + r // 8 AS BIGINT) AS pack_id,
+           CAST(r % 8 AS INTEGER) AS pos
+    FROM rn
+    """.format(words=_SQL_WORDS.format(col="text")),
+    doc="Document chunking + fixed-size sequence packing — the sequence-"
+    "prep pair between a curated corpus and the tokenizer (operators/"
+    "chunking.chunk_documents + pack_fixed_chunks, registry-visible for "
+    "the first time; pack_documents_best_fit already rides inside "
+    "curation_pipeline_v3). Chunks are 24-token windows with a 4-token "
+    "overlap (stride 20, tail kept, fully-contained tails excluded), "
+    "sliced from ONE word array per document inside a codegen transform "
+    "— a narrow, shuffle-free map whose chunk identity (doc_id, "
+    "chunk_idx) never depends on partitioning. Packing groups 8 chunks "
+    "per training sequence via the md5 hash-bucket dial (portable — any "
+    "engine recomputes placement, same discipline as "
+    "export_training_shards): bucket = md5(doc_id) mod 16, per-bucket "
+    "row_number over (doc_id, chunk_idx), pack_id = bucket·2^32 + "
+    "rn div 8 — ONE shuffle on the bucket key, the only serial region "
+    "is 1/n_buckets of the data, no global coordination, every pack "
+    "except ≤ n_buckets tails exactly full. The returned plan flattens "
+    "the packs back to one row per chunk (pack_id, pos, identity, "
+    "md5-fingerprint of the chunk TEXT), so the oracle hash-match "
+    "proves conservation (every chunk placed exactly once, none "
+    "dropped/duplicated) AND byte-identical chunk content AND exact "
+    "placement arithmetic in one check. Scale: chunking is linear and "
+    "narrow; packing's row-number window is bounded per bucket — raise "
+    "n_buckets with the cluster, placement unchanged.",
+)
+def chunk_pack_training_prep(spark, sf):
+    from ..operators.chunking import chunk_documents, pack_fixed_chunks
+    from ..operators.util import parallelize_small
+
+    docs = parallelize_small(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+    chunks = chunk_documents(docs, chunk_tokens=24, overlap=4)
+    packed = pack_fixed_chunks(
+        chunks, chunks_per_pack=8, n_buckets=16, hash_fn="md5"
+    )
+    z = F.posexplode(F.arrays_zip("texts", "provenance"))
+    return (
+        packed.select("pack_id", z.alias("pos", "z"))
+        .select(
+            F.col("z.provenance.doc_id").alias("doc_id"),
+            F.col("z.provenance.chunk_idx").alias("chunk_idx"),
+            F.size(F.split(F.col("z.texts"), r"\s+"))
+            .cast("int")
+            .alias("n_tokens"),
+            F.conv(F.substring(F.md5(F.col("z.texts")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("text_fp"),
+            "pack_id",
+            F.col("pos").cast("int").alias("pos"),
+        )
+    )

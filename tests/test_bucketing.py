@@ -495,6 +495,78 @@ def test_optimize_table_compacts_and_restores_pruning(spark, tmp_path):
     )
 
 
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER (round 13): after the Morton re-layout a 2-D band
+    prunes files on BOTH columns, where the linear cluster_by layout only
+    serves its first column — and content stays row-identical. Also pins
+    the cluster_by/zorder_by mutual exclusion."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.storage import (
+        _prune_manifest_files,
+        _read_manifest,
+        optimize_table,
+        read_table,
+        write_bucketed_table,
+    )
+
+    # two independent uniform dimensions: (i % 100, i // 100 scattered)
+    rows = [
+        (i, float(i % 100), float((i * 37) % 100)) for i in range(4000)
+    ]
+    base = spark.createDataFrame(rows, "k long, x double, y double")
+
+    def build(path, **optimize_kwargs):
+        write_bucketed_table(
+            base, path, ["k"], n_buckets=4, max_records_per_file=250
+        )
+        optimize_table(
+            spark, path, max_records_per_file=250, **optimize_kwargs
+        )
+        _, manifest = _read_manifest(spark, path)
+        return manifest
+
+    z_path = str(tmp_path / "z")
+    z_manifest = build(
+        z_path, zorder_by=["x", "y"], stats_columns=["x", "y"]
+    )
+    l_path = str(tmp_path / "l")
+    l_manifest = build(
+        l_path, cluster_by=["x"], stats_columns=["x", "y"]
+    )
+
+    band = {"x": (20.0, 30.0), "y": (20.0, 30.0)}
+    _, z_tot, z_kept = _prune_manifest_files(z_manifest, band)
+    _, l_tot, l_kept = _prune_manifest_files(l_manifest, band)
+    # both layouts prune on x; only zorder also prunes on y
+    assert z_kept < z_tot
+    assert z_kept / z_tot < l_kept / max(l_tot, 1), (
+        f"zorder kept {z_kept}/{z_tot}, linear kept {l_kept}/{l_tot}"
+    )
+
+    # identical content through the re-layout, pruned read exact
+    expect = sorted(
+        t for t in rows if 20.0 <= t[1] <= 30.0 and 20.0 <= t[2] <= 30.0
+    )
+    got = sorted(
+        map(
+            tuple,
+            read_table(spark, z_path, prune=band)
+            .filter(
+                (F.col("x") >= 20.0) & (F.col("x") <= 30.0)
+                & (F.col("y") >= 20.0) & (F.col("y") <= 30.0)
+            )
+            .collect(),
+        )
+    )
+    assert got == expect
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        optimize_table(
+            spark, z_path, cluster_by=["x"], zorder_by=["x", "y"]
+        )
+
+
 def test_optimize_table_noop_below_threshold(spark, tmp_path):
     from global_market_index_etl_spark.operators.storage import (
         optimize_table,

@@ -1360,6 +1360,39 @@ def test_pack_fixed_chunks_full_packs_and_provenance(spark, docs):
     assert a == b
 
 
+def test_pack_fixed_chunks_md5_dial_portable_placement(spark, docs):
+    """hash_fn='md5' (round 13 — the export_training_shards dial applied
+    to packing): bucket placement matches a pure-python md5 recompute,
+    conservation holds, and an unknown hash_fn raises."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.chunking import (
+        chunk_documents,
+        pack_fixed_chunks,
+    )
+
+    chunks = chunk_documents(docs, chunk_tokens=16)
+    n_chunks = chunks.count()
+    packs = pack_fixed_chunks(
+        chunks, chunks_per_pack=4, n_buckets=8, hash_fn="md5"
+    )
+    rows = packs.collect()
+    assert sum(r.n_chunks for r in rows) == n_chunks
+    for r in rows:
+        bucket = r.pack_id >> 32
+        for p in r.provenance:
+            expect = (
+                int(hashlib.md5(str(p.doc_id).encode()).hexdigest()[:8], 16)
+                % 8
+            )
+            assert bucket == expect, (r.pack_id, p.doc_id)
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        pack_fixed_chunks(chunks, chunks_per_pack=4, hash_fn="sha1")
+
+
 def _planted_embeddings(spark, emb, n_pairs=12, id_base=100_000):
     """Corpus + deterministic near-duplicate blends (several alphas
     sweeping through the 0.95 boundary); returns the combined DataFrame."""

@@ -159,7 +159,8 @@ def test_scans_prune_columns(spark, name):
 # at 100 TB the difference between scanning a day and scanning the table.
 # Each entry: (query, fragment that must appear inside a PushedFilters list)
 PUSHDOWN_EXPECTED = {
-    "q1_top5_recent": ["EqualTo(o_custkey,42)"],
+    # Q1's recent5 leg (fused into the sort/rank suite in round 13)
+    "q_sort_limit_suite": ["EqualTo(o_custkey,42)"],
     # fused filter suite: BOTH legs' predicates must still reach their scans
     "f_filter_suite": ["GreaterThanOrEqual(ts,", "In(l_returnflag,"],
     "j4_interval_join": ["EqualTo(event_type,error"],

@@ -7,6 +7,8 @@ verbatim-shaped SQL and must agree with the DataFrame declarations.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from global_market_index_etl_spark.plans import REGISTRY
 from global_market_index_etl_spark.sources import register_views
 
@@ -23,7 +25,16 @@ def test_sql_frontdoor_matches_dataframe_queries(spark):
         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5
         """
     )
-    via_df = REGISTRY["q1_top5_recent"].spark(spark, SF_SMALL)
+    via_df = (
+        REGISTRY["q_sort_limit_suite"]
+        .spark(spark, SF_SMALL)
+        .filter("leg = 'recent5'")
+        .select(
+            F.col("k1").alias("o_orderkey"),
+            F.col("ts").alias("o_orderdate"),
+            F.col("v").alias("o_totalprice"),
+        )
+    )
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_df.collect())
     )
