@@ -904,3 +904,100 @@ def test_incremental_embedding_union_is_full_for_any_split(
 
     assert not (internal & incremental)
     assert internal | incremental == full
+
+
+# --------------------------------------------------------------------- #
+# chunking + packing (round 13)
+# --------------------------------------------------------------------- #
+
+WORD = st.sampled_from(["alpha", "b", "gamma7", "Zz", "q.q"])
+DOC_TEXTS = st.lists(
+    st.lists(WORD, min_size=0, max_size=30).map(" ".join),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(
+    texts=DOC_TEXTS,
+    chunk_tokens=st.integers(2, 9),
+    overlap=st.integers(0, 4),
+)
+@PROP_SETTINGS
+def test_chunk_documents_reconstruction_and_coverage(
+    spark, texts, chunk_tokens, overlap
+):
+    """For ANY corpus and any (chunk_tokens, overlap < chunk_tokens):
+    dropping each chunk's first `overlap` words (except chunk 0) and
+    concatenating in chunk_idx order reconstructs the document exactly —
+    i.e. chunking loses nothing, duplicates only the declared overlap,
+    and chunk_idx ordering is the document ordering."""
+    from global_market_index_etl_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    overlap = min(overlap, chunk_tokens - 1)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(texts):
+        words = text.split() if text.strip() else []
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_idx)
+        if not words:
+            assert chunks == []
+            continue
+        assert [r.chunk_idx for r in chunks] == list(range(len(chunks)))
+        rebuilt: list[str] = []
+        for r in chunks:
+            toks = r.chunk_text.split()
+            assert r.n_tokens == len(toks) <= chunk_tokens
+            rebuilt.extend(toks if not rebuilt else toks[overlap:])
+        assert rebuilt == words, (doc_id, rebuilt, words)
+
+
+@given(
+    texts=DOC_TEXTS,
+    chunks_per_pack=st.integers(1, 5),
+    hash_fn=st.sampled_from(["xxhash64", "md5"]),
+)
+@PROP_SETTINGS
+def test_pack_fixed_chunks_conservation_any_corpus(
+    spark, texts, chunks_per_pack, hash_fn
+):
+    """For ANY chunk set, either hash dial: every chunk is placed exactly
+    once (multiset conservation), no pack exceeds chunks_per_pack, and at
+    most one non-full pack exists per bucket."""
+    from collections import Counter
+
+    from global_market_index_etl_spark.operators.chunking import (
+        chunk_documents,
+        pack_fixed_chunks,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    chunks = chunk_documents(df, chunk_tokens=4)
+    expect = Counter(
+        (r.doc_id, r.chunk_idx, r.chunk_text) for r in chunks.collect()
+    )
+    packs = pack_fixed_chunks(
+        chunks, chunks_per_pack=chunks_per_pack, n_buckets=4, hash_fn=hash_fn
+    ).collect()
+    placed: Counter = Counter()
+    short_per_bucket: Counter = Counter()
+    for r in packs:
+        assert 1 <= r.n_chunks <= chunks_per_pack
+        assert len(r.texts) == len(r.provenance) == r.n_chunks
+        if r.n_chunks < chunks_per_pack:
+            short_per_bucket[r.pack_id >> 32] += 1
+        for p, t in zip(r.provenance, r.texts):
+            placed[(p.doc_id, p.chunk_idx, t)] += 1
+    assert placed == expect
+    assert all(v == 1 for v in short_per_bucket.values())
