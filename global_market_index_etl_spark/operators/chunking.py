@@ -130,8 +130,14 @@ def pack_fixed_chunks(
             + (F.col("__rn") / chunks_per_pack).cast("long"),
         )
     )
+    # group by (__bucket, pack_id), not pack_id alone: pack_id determines
+    # the bucket (pack_id >> 32 == __bucket), so the grouping is identical
+    # — but hash-partitioning on __bucket (already in place from the
+    # row-number window) satisfies the clustered distribution of the
+    # superset key, and Catalyst reuses that exchange instead of adding a
+    # second full shuffle of the chunk set (plan-asserted in tests)
     return (
-        packed.groupBy("pack_id")
+        packed.groupBy("__bucket", "pack_id")
         .agg(
             F.array_sort(
                 F.collect_list(

@@ -1393,6 +1393,22 @@ def test_pack_fixed_chunks_md5_dial_portable_placement(spark, docs):
         pack_fixed_chunks(chunks, chunks_per_pack=4, hash_fn="sha1")
 
 
+def test_pack_fixed_chunks_single_shuffle_plan(spark, docs):
+    """Packing is ONE shuffle: grouping by (__bucket, pack_id) — identical
+    grouping, since pack_id determines the bucket — lets Catalyst reuse
+    the row-number window's bucket exchange for the pack aggregation
+    instead of re-shuffling the whole chunk set on pack_id (round 13)."""
+    from global_market_index_etl_spark.operators.chunking import (
+        chunk_documents,
+        pack_fixed_chunks,
+    )
+
+    chunks = chunk_documents(docs, chunk_tokens=16)
+    packs = pack_fixed_chunks(chunks, chunks_per_pack=4, n_buckets=8)
+    plan = packs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def _planted_embeddings(spark, emb, n_pairs=12, id_base=100_000):
     """Corpus + deterministic near-duplicate blends (several alphas
     sweeping through the 0.95 boundary); returns the combined DataFrame."""
