@@ -718,6 +718,7 @@ def optimize_table(
     stats_columns: list[str] | None = None,
     zorder_by: list[str] | None = None,
     zorder_bits: int = 16,
+    zorder_method: str = "linear",
 ) -> int:
     """Re-layout a manifest table's buckets — the Delta/Iceberg
     ``OPTIMIZE (ZORDER)`` analog under this module's commit protocol.
@@ -743,7 +744,11 @@ def optimize_table(
     EVERY named column at once and ``read_table(prune=)`` skips files for
     predicates on ANY of them. A linear ``cluster_by`` gives tight ranges
     on its first column only. Mutually exclusive with ``cluster_by``; the
-    sort key is computed on the fly and never written.
+    sort key is computed on the fly and never written. ``zorder_method``
+    picks the grid calibration exactly as in :func:`write_zordered`:
+    ``"linear"`` (default — one bounded min/max aggregate) or
+    ``"quantile"`` (rank-bucketed equal-population cells via one
+    approxQuantile pass, for heavily skewed columns).
 
     ``stats_columns`` RETROFITS data skipping onto a table written without
     it (or changes the tracked set): the new manifest records stats for
@@ -758,6 +763,10 @@ def optimize_table(
         raise ValueError(
             "cluster_by and zorder_by are mutually exclusive — a linear "
             "sort and a Morton sort cannot both order the same rewrite"
+        )
+    if zorder_method not in ("linear", "quantile"):
+        raise ValueError(
+            f"zorder_method must be 'linear' or 'quantile': {zorder_method!r}"
         )
     version, manifest = _read_manifest(spark, path)
     if manifest is None:
@@ -789,20 +798,28 @@ def optimize_table(
         )
     elif zorder_by:
         bits = min(zorder_bits, 63 // len(zorder_by))
-        stats = current.agg(
-            *[F.min(c).alias(f"__min_{c}") for c in zorder_by],
-            *[F.max(c).alias(f"__max_{c}") for c in zorder_by],
-        ).first()
-        mins = {c: stats[f"__min_{c}"] for c in zorder_by}
-        maxs = {c: stats[f"__max_{c}"] for c in zorder_by}
-        if any(mins[c] is None for c in zorder_by):
-            # all-null / empty live set: nothing to interleave — plain
-            # compaction ordering (grid calibration needs real bounds)
-            arranged = arranged.sortWithinPartitions(BUCKET)
+        if zorder_method == "quantile":
+            from .zorder import zorder_key
+
+            # rank grids: equal-population cells; ≤255 boundary doubles
+            # per column (the write_zordered cap rationale)
+            z = zorder_key(current, zorder_by, bits=min(bits, 8))
+            arranged = arranged.sortWithinPartitions(F.col(BUCKET), z)
         else:
-            arranged = arranged.sortWithinPartitions(
-                F.col(BUCKET), zorder_value(zorder_by, mins, maxs, bits)
-            )
+            stats = current.agg(
+                *[F.min(c).alias(f"__min_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"__max_{c}") for c in zorder_by],
+            ).first()
+            mins = {c: stats[f"__min_{c}"] for c in zorder_by}
+            maxs = {c: stats[f"__max_{c}"] for c in zorder_by}
+            if any(mins[c] is None for c in zorder_by):
+                # all-null / empty live set: nothing to interleave — plain
+                # compaction ordering (grid calibration needs real bounds)
+                arranged = arranged.sortWithinPartitions(BUCKET)
+            else:
+                arranged = arranged.sortWithinPartitions(
+                    F.col(BUCKET), zorder_value(zorder_by, mins, maxs, bits)
+                )
     staging = f"{path}/.staging-{uuid.uuid4().hex}"
     writer = arranged.write.mode("overwrite")
     if max_records_per_file:

@@ -543,6 +543,123 @@ def langid_weight(lang: str, bucket: int) -> int:
     return int(h[:8], 16) % 1000
 
 
+def _langid_bucketed(
+    df: DataFrame,
+    base_cols: list[str],
+    text_col: str,
+    prefix_chars: int,
+    buckets: int,
+) -> DataFrame:
+    """The shared trigram feature pipeline: lowered prefix sample →
+    stride-1 char trigrams (codegen transform + explode) → md5 hash
+    bucket ``__b``. Used identically by scoring and training, so a
+    trained model scores the exact features it was fit on."""
+    prefix = F.substring(F.lower(F.col(text_col)), 1, prefix_chars)
+    tri = (
+        df.where(F.col(text_col).isNotNull())
+        .select(*base_cols, prefix.alias("__p"))
+        .where(F.length("__p") >= 3)
+        .select(
+            *base_cols,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(__p) - 2),"
+                    " i -> substring(__p, i, 3))"
+                )
+            ).alias("__g"),
+        )
+    )
+    return tri.withColumn(
+        "__b",
+        (
+            F.conv(F.substring(F.md5("__g"), 1, 4), 16, 10).cast("int")
+            % buckets
+        ),
+    )
+
+
+def langid_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    langs: list[str] | None = None,
+    buckets: int = LANGID_BUCKETS,
+    prefix_chars: int = LANGID_PREFIX_CHARS,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """TRAIN the weights relation :func:`langid_hashed_ngram` consumes —
+    the demonstration of its 'a trained table drops in' contract.
+
+    Multinomial naive Bayes over the same hashed-trigram features the
+    scorer extracts (the shared :func:`_langid_bucketed` pipeline):
+    ``w_<lang>(bucket) = round(scale · ln((c + 1) / (N_lang + buckets)))``
+    with add-one smoothing, where ``c`` counts the language's trigram
+    occurrences hashing to the bucket and ``N_lang`` its total. Scoring
+    then sums these integer log-probabilities per document and argmaxes —
+    exactly the fastText/CLD decision rule with equal priors.
+
+    Scale shape: ONE map-side-combined integer-count shuffle over the
+    corpus (groupBy (lang, bucket) — at most ``langs × buckets`` result
+    rows at ANY corpus size), then a bounded model-sized collect (the
+    IVF-centroid/codebook discipline) where the log happens once per
+    CELL in plain Python — never per row, and the returned weights table
+    is deterministic under any partitioning because the counts are exact
+    integers. Labels outside ``langs`` (when given) are ignored;
+    ``langs=None`` infers the sorted distinct label set.
+    """
+    import math
+
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    spark = df.sparkSession
+    labeled = df.where(F.col(label_col).isNotNull())
+    if langs is None:
+        langs = sorted(
+            r[0] for r in labeled.select(label_col).distinct().collect()
+        )
+    if not langs:
+        raise ValueError("no labels to train on")
+    labeled = labeled.where(F.col(label_col).isin(list(langs)))
+    counts = (
+        _langid_bucketed(
+            labeled, [label_col], text_col, prefix_chars, buckets
+        )
+        .groupBy(label_col, "__b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cell: dict[tuple[str, int], int] = {
+        (r[0], r[1]): r[2] for r in counts
+    }
+    totals = {
+        lang: sum(c for (lg, _), c in cell.items() if lg == lang)
+        for lang in langs
+    }
+    rows = [
+        (
+            b,
+            *[
+                int(
+                    round(
+                        scale
+                        * math.log(
+                            (cell.get((lang, b), 0) + 1)
+                            / (totals[lang] + buckets)
+                        )
+                    )
+                )
+                for lang in langs
+            ],
+        )
+        for b in range(buckets)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bucket int, " + ", ".join(f"w_{lang} long" for lang in langs),
+    )
+
+
 def langid_hashed_ngram(
     df: DataFrame,
     *,
@@ -551,6 +668,7 @@ def langid_hashed_ngram(
     langs: list[str] | None = None,
     buckets: int = LANGID_BUCKETS,
     prefix_chars: int = LANGID_PREFIX_CHARS,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Hashed character-trigram multinomial language classifier — the
     fastText/CLD architecture with a deterministic md5-derived model.
@@ -577,39 +695,36 @@ def langid_hashed_ngram(
     ``s_<lang>``, ``pred_lang`` (argmax, ties broken by ascending
     language code), and the input's label column when present (plus
     ``label_match``) for confusion auditing.
+
+    ``weights`` swaps in a TRAINED model (:func:`langid_train`, or any
+    relation with the same ``bucket, w_<lang>…`` shape): ``langs`` and
+    ``buckets`` are then read off the table itself, and the md5-derived
+    default is not built.
     """
     spark = df.sparkSession
-    langs = sorted(langs or LANGID_LANGS)
-    weights = spark.createDataFrame(
-        [
-            (b, *[langid_weight(lang, b) for lang in langs])
-            for b in range(buckets)
-        ],
-        "bucket int, " + ", ".join(f"w_{lang} long" for lang in langs),
-    )
-    prefix = F.substring(F.lower(F.col(text_col)), 1, prefix_chars)
+    if weights is not None:
+        langs = sorted(
+            c[len("w_"):] for c in weights.columns if c.startswith("w_")
+        )
+        if "bucket" not in weights.columns or not langs:
+            raise ValueError(
+                "weights must have a bucket column and w_<lang> columns; "
+                f"got {weights.columns}"
+            )
+        buckets = weights.count()
+    else:
+        langs = sorted(langs or LANGID_LANGS)
+        weights = spark.createDataFrame(
+            [
+                (b, *[langid_weight(lang, b) for lang in langs])
+                for b in range(buckets)
+            ],
+            "bucket int, " + ", ".join(f"w_{lang} long" for lang in langs),
+        )
     has_label = "lang" in df.columns
     base_cols = [doc_id, "lang"] if has_label else [doc_id]
-    tri = (
-        df.where(F.col(text_col).isNotNull())
-        .select(*base_cols, prefix.alias("__p"))
-        .where(F.length("__p") >= 3)
-        .select(
-            *base_cols,
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(__p) - 2),"
-                    " i -> substring(__p, i, 3))"
-                )
-            ).alias("__g"),
-        )
-    )
-    bucketed = tri.withColumn(
-        "__b",
-        (
-            F.conv(F.substring(F.md5("__g"), 1, 4), 16, 10).cast("int")
-            % buckets
-        ),
+    bucketed = _langid_bucketed(
+        df, base_cols, text_col, prefix_chars, buckets
     )
     scored = (
         bucketed.join(F.broadcast(weights), bucketed["__b"] == weights["bucket"])

@@ -565,6 +565,58 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
         optimize_table(
             spark, z_path, cluster_by=["x"], zorder_by=["x", "y"]
         )
+    with _pytest.raises(ValueError, match="zorder_method"):
+        optimize_table(
+            spark, z_path, zorder_by=["x", "y"], zorder_method="hilbert"
+        )
+
+
+def test_optimize_zorder_quantile_tightens_skewed_column(spark, tmp_path):
+    """zorder_method='quantile' (the write_zordered dial, on OPTIMIZE):
+    with an exponentially skewed column a linear grid collapses the dense
+    region into one cell (the Morton key carries no information there),
+    while rank buckets keep equal-population cells — a band inside the
+    dense region prunes files only under the quantile grid."""
+    from global_market_index_etl_spark.operators.storage import (
+        _prune_manifest_files,
+        _read_manifest,
+        optimize_table,
+        write_bucketed_table,
+    )
+
+    # x uniform; y exponentially skewed: 90% of rows in [0, 10), a tail
+    # out to ~1e6 — the linear grid's bottom cell swallows the dense mass
+    rows = [
+        (
+            i,
+            float(i % 100),
+            float(i % 10) if i % 10 < 9 else float(2 ** (10 + i % 10)),
+        )
+        for i in range(4000)
+    ]
+    base = spark.createDataFrame(rows, "k long, x double, y double")
+
+    def kept_fraction(method):
+        path = str(tmp_path / method)
+        write_bucketed_table(
+            base, path, ["k"], n_buckets=4, max_records_per_file=250
+        )
+        optimize_table(
+            spark, path, zorder_by=["x", "y"],
+            stats_columns=["x", "y"], max_records_per_file=250,
+            zorder_method=method,
+        )
+        _, manifest = _read_manifest(spark, path)
+        # a band at the TOP of the dense region: rank-bucketed files
+        # segregate the dense values (ranges like [0,3] / [0,6] miss it),
+        # while the linear grid's collapsed cell leaves every dense file
+        # spanning [0,8] — nothing prunes
+        _, tot, kept = _prune_manifest_files(
+            manifest, {"y": (7.0, 8.0)}
+        )
+        return kept / tot
+
+    assert kept_fraction("quantile") < kept_fraction("linear")
 
 
 def test_optimize_table_noop_below_threshold(spark, tmp_path):

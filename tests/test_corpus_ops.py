@@ -1389,3 +1389,90 @@ def test_hll_ignores_null_keys(spark):
     only_nulls = with_nulls.filter("k IS NULL")
     est = hll_estimate(hll_registers(only_nulls, "k", p=6), p=6).collect()
     assert [r.approx_distinct for r in est] == [0]
+
+
+# --------------------------------------------------------------------- #
+# langid training (round 13 — the 'trained table drops in' contract)
+# --------------------------------------------------------------------- #
+
+
+def _langid_corpus(spark, n_per_lang=12, start=0):
+    """Synthetic labeled corpus with genuinely distinct char statistics:
+    deterministic, no RNG."""
+    langs = {
+        "en": "the quick brown fox jumps over the lazy dog and runs with it",
+        "fr": "le renard brun saute par dessus le chien très paresseux où",
+        "de": "der schnelle braune fuchs springt über den faulen hund größe",
+    }
+    rows = []
+    i = start
+    for lang, base in langs.items():
+        words = base.split()
+        for k in range(n_per_lang):
+            # rotate word order so documents differ but keep the char stats
+            rot = words[k % len(words):] + words[: k % len(words)]
+            rows.append((i, " ".join(rot * 3), lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_langid_train_weights_classify_heldout(spark):
+    """Weights trained on a labeled corpus drop into langid_hashed_ngram
+    (the documented contract) and classify held-out same-language docs
+    perfectly on this separable fixture — where the md5-derived default
+    weights are language-agnostic noise and cannot."""
+    from global_market_index_etl_spark.operators.text import (
+        langid_hashed_ngram,
+        langid_train,
+    )
+
+    train = _langid_corpus(spark, n_per_lang=12, start=0)
+    model = langid_train(train)
+    assert model.columns == ["bucket", "w_de", "w_en", "w_fr"]
+
+    heldout = _langid_corpus(spark, n_per_lang=5, start=1000)
+    scored = langid_hashed_ngram(heldout, weights=model).collect()
+    assert len(scored) == 15
+    assert all(r.label_match for r in scored), [
+        (r.lang, r.pred_lang) for r in scored if not r.label_match
+    ]
+
+    # the untrained md5 default is noise on the same task — training is
+    # what carries the signal, not the architecture alone
+    default = langid_hashed_ngram(
+        heldout, langs=["de", "en", "fr"]
+    ).collect()
+    assert sum(r.label_match for r in default) < len(default)
+
+
+def test_langid_train_deterministic_under_partitioning(spark):
+    """Counts are exact integers and the log happens once per model cell,
+    so the trained table is identical under any input partitioning."""
+    from global_market_index_etl_spark.operators.text import langid_train
+
+    corpus = _langid_corpus(spark)
+    a = sorted(map(tuple, langid_train(corpus).collect()))
+    b = sorted(map(tuple, langid_train(corpus.repartition(17)).collect()))
+    assert a == b
+
+
+def test_langid_train_validation_and_label_scoping(spark):
+    """langs scoping drops foreign labels from training; empty label sets
+    and bad weights tables fail loudly."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.text import (
+        langid_hashed_ngram,
+        langid_train,
+    )
+
+    corpus = _langid_corpus(spark)
+    model = langid_train(corpus, langs=["en", "fr"])
+    assert model.columns == ["bucket", "w_en", "w_fr"]
+
+    with _pytest.raises(ValueError, match="no labels"):
+        langid_train(corpus.where("lang IS NULL"))
+
+    bad = corpus.sparkSession.createDataFrame([(0, 1)], "bucket int, x long")
+    with _pytest.raises(ValueError, match="w_<lang>"):
+        langid_hashed_ngram(corpus, weights=bad)
