@@ -218,3 +218,141 @@ def quarantine_report(spark, **options):
     return spark.createDataFrame(
         rows, "ticker string, attempts int, error string"
     )
+
+
+# ---------------------------------------------------------------------------
+# S6 — ticker metadata probe (notebooks/01_data_exploration.ipynb cell
+# de2e3d6f: yf.Ticker(t).info cross-checked against the indices config).
+# Previously the one deliberately-scoped-out reference component; the
+# engine form keeps the notebook's exact semantics — fetch .info per
+# configured ticker, report the yfinance-side name/currency/exchange/
+# timezone/market-state next to the CONFIG's currency/exchange with
+# match flags, warn-and-continue per ticker — behind the same stubbed
+# deterministic transport as the bars source (no sandbox egress).
+
+_MARKET_STATES = ["PRE", "REGULAR", "POST", "CLOSED"]
+
+
+def _fetch_info(
+    ticker: str,
+    config: dict[str, tuple[str, str]],
+    seed: int,
+    attempt: int,
+    fail_tickers: set[str],
+    fail_attempts: int,
+    fail_kind: str,
+    divergent: set[str],
+) -> dict:
+    """The stand-in for ``yf.Ticker(t).info``: a deterministic metadata
+    record seeded by (seed, ticker). For tickers in ``divergent`` the
+    'live' currency/exchange disagree with the config — the drift case
+    the notebook's cross-check exists to surface (a reconfigured listing
+    or a config typo) — so both audit outcomes are exercised without
+    network. Fail injection mirrors the bars fetch."""
+    if ticker in fail_tickers and attempt <= fail_attempts:
+        raise MarketFetchError(
+            f"synthetic {fail_kind} failure for {ticker}.info "
+            f"(attempt {attempt})"
+        )
+    name, currency, exchange = config.get(
+        ticker, (ticker, "USD", "UNKNOWN")
+    )
+    state = seed
+    for ch in ticker:
+        state = (state * 31 + ord(ch)) & 0x7FFFFFFF
+    if ticker in divergent:
+        currency = "USD" if currency != "USD" else "EUR"
+        exchange = exchange + "-NEW"
+    return {
+        "shortName": name,
+        "longName": f"{name} Index",
+        "currency": currency,
+        "exchange": exchange,
+        "exchangeTimezoneName": f"Etc/GMT{'+' if state % 2 else '-'}{state % 12}",
+        "marketState": _MARKET_STATES[state % len(_MARKET_STATES)],
+    }
+
+
+def ticker_metadata_probe(spark, **options):
+    """S6 — per-ticker ``.info`` metadata audit against the indices
+    config (notebook cell de2e3d6f re-expressed as a relation).
+
+    One row per configured ticker: the fetched name/currency/exchange/
+    timezone/market-state, the CONFIG's currency/exchange, and
+    ``currency_match``/``exchange_match`` flags — the notebook's printed
+    cross-check as queryable columns. Per-ticker failures retry up to
+    ``max_attempts`` and then degrade to a row with ``error`` set and
+    fetched fields NULL (the notebook's warn-and-continue), never
+    aborting the probe.
+
+    Driver-built like ``quarantine_report``: the row count is
+    |tickers|-bounded (a dimension, not data), so there is nothing to
+    distribute — at any corpus scale this stays a constant-size audit.
+    Options: ``tickers`` (default: the indices-dimension seed),
+    ``seed``, ``max_attempts``, ``fail_tickers``/``fail_attempts``/
+    ``fail_kind`` (deterministic failure injection), ``divergent``
+    (tickers whose live metadata drifts from config — test dial).
+    """
+    from ..schemas import INDICES_SEED
+
+    # (ticker, name, country, exchange, currency) → name/currency/exchange
+    config = {t: (n, c, x) for t, n, _, x, c in INDICES_SEED}
+    tickers = [
+        t.strip()
+        for t in options.get(
+            "tickers", ",".join(t for t, *_ in INDICES_SEED)
+        ).split(",")
+        if t.strip()
+    ]
+    seed = int(options.get("seed", "42"))
+    max_attempts = int(options.get("max_attempts", "3"))
+    fail_tickers = {
+        x.strip() for x in options.get("fail_tickers", "").split(",") if x.strip()
+    }
+    fail_attempts = int(options.get("fail_attempts", "0"))
+    fail_kind = options.get("fail_kind", "timeout")
+    divergent = {
+        x.strip() for x in options.get("divergent", "").split(",") if x.strip()
+    }
+    rows = []
+    for t in tickers:
+        cfg_name, cfg_currency, cfg_exchange = config.get(
+            t, (None, None, None)
+        )
+        info, err, attempts = None, None, 0
+        while attempts < max_attempts:
+            attempts += 1
+            try:
+                info = _fetch_info(
+                    t, config, seed, attempts,
+                    fail_tickers, fail_attempts, fail_kind, divergent,
+                )
+                err = None
+                break
+            except MarketFetchError as e:
+                err = str(e)
+        g = (info or {}).get
+        rows.append((
+            t,
+            g("shortName"),
+            g("longName"),
+            cfg_currency,
+            g("currency"),
+            None if info is None or cfg_currency is None
+            else g("currency") == cfg_currency,
+            cfg_exchange,
+            g("exchange"),
+            None if info is None or cfg_exchange is None
+            else g("exchange") == cfg_exchange,
+            g("exchangeTimezoneName"),
+            g("marketState"),
+            attempts,
+            err,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "ticker string, short_name string, long_name string, "
+        "currency_cfg string, currency_yf string, currency_match boolean, "
+        "exchange_cfg string, exchange_yf string, exchange_match boolean, "
+        "timezone string, market_state string, attempts int, error string",
+    )

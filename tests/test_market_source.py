@@ -165,3 +165,98 @@ def test_poison_ticker_raises_by_default(spark):
     )
     with _pytest.raises(Exception, match="failed after 3 attempts"):
         df.collect()
+
+
+# --------------------------------------------------------------------- #
+# S6 — ticker metadata probe (round 13: the last scoped-out reference
+# component, notebook cell de2e3d6f)
+# --------------------------------------------------------------------- #
+
+
+def test_metadata_probe_matches_config_for_seed_tickers(spark):
+    """Default probe over the indices dimension: every fetched
+    currency/exchange agrees with config (the healthy case), names come
+    from the dimension, and the frame is one row per configured ticker."""
+    from global_market_index_etl_spark.schemas import INDICES_SEED
+    from global_market_index_etl_spark.sources.market_source import (
+        ticker_metadata_probe,
+    )
+
+    rows = {r.ticker: r for r in ticker_metadata_probe(spark).collect()}
+    assert set(rows) == {t for t, *_ in INDICES_SEED}
+    for t, name, _, exchange, currency in INDICES_SEED:
+        r = rows[t]
+        assert r.short_name == name and r.long_name == f"{name} Index"
+        assert r.currency_match and r.exchange_match
+        assert r.currency_yf == currency and r.exchange_yf == exchange
+        assert r.error is None and r.attempts == 1
+        assert r.market_state in ("PRE", "REGULAR", "POST", "CLOSED")
+
+
+def test_metadata_probe_flags_config_drift(spark):
+    """A divergent listing (reconfigured exchange / redenominated
+    currency) is exactly what the notebook's cross-check exists to
+    surface: match flags go false, probe keeps running."""
+    from global_market_index_etl_spark.sources.market_source import (
+        ticker_metadata_probe,
+    )
+
+    rows = {
+        r.ticker: r
+        for r in ticker_metadata_probe(spark, divergent="^FTSE").collect()
+    }
+    assert not rows["^FTSE"].currency_match
+    assert not rows["^FTSE"].exchange_match
+    assert rows["^FTSE"].exchange_yf == "LSE-NEW"
+    assert rows["^GSPC"].currency_match  # others unaffected
+
+
+def test_metadata_probe_warn_and_continue_and_retry(spark):
+    """Per-ticker failures degrade to an error row after max_attempts
+    (warn-and-continue — the probe never aborts); a transient failure
+    clears within the retry budget and reports the attempt count."""
+    from global_market_index_etl_spark.sources.market_source import (
+        ticker_metadata_probe,
+    )
+
+    rows = {
+        r.ticker: r
+        for r in ticker_metadata_probe(
+            spark,
+            tickers="^GSPC,^FTSE,^N225",
+            fail_tickers="^FTSE,^N225",
+            fail_attempts=99,  # ^FTSE never recovers …
+            max_attempts=3,
+        ).collect()
+    }
+    bad = rows["^FTSE"]
+    assert bad.error is not None and bad.attempts == 3
+    assert bad.currency_yf is None and bad.currency_match is None
+    assert rows["^GSPC"].error is None
+
+    transient = {
+        r.ticker: r
+        for r in ticker_metadata_probe(
+            spark,
+            tickers="^N225",
+            fail_tickers="^N225",
+            fail_attempts=1,  # … but one transient failure recovers
+            max_attempts=3,
+        ).collect()
+    }["^N225"]
+    assert transient.error is None and transient.attempts == 2
+    assert transient.currency_match
+
+
+def test_metadata_probe_unknown_ticker_has_null_config(spark):
+    """A ticker outside the dimension still probes (the notebook loops
+    whatever the config yields), with NULL config side and NULL match
+    flags — absence of ground truth is not a mismatch."""
+    from global_market_index_etl_spark.sources.market_source import (
+        ticker_metadata_probe,
+    )
+
+    r = ticker_metadata_probe(spark, tickers="ZZZ").collect()[0]
+    assert r.currency_cfg is None and r.exchange_cfg is None
+    assert r.currency_match is None and r.exchange_match is None
+    assert r.currency_yf == "USD"  # the stub's unknown-ticker default
