@@ -453,3 +453,177 @@ def hll_estimate(
     return agg.select(
         *group_cols, F.round(est).cast("bigint").alias("approx_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# portable quantile histogram (round 13) — the missing member of the
+# portable-sketch family: count-min (frequencies), HLL (distincts),
+# SimHash/LSH (similarity) are all engine-checkable; quantiles only had
+# percentile_approx's opaque engine-internal KLL buffer
+# (sketch_event_profile). Same move as hll_registers: approximation
+# lives in the DATA STRUCTURE, construction is bit-deterministic on any
+# engine.
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    bits: int = 6,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Log-bucketed quantile histogram (the HDR-histogram / DDSketch
+    relative-accuracy scheme, integer-exact): ``(*group_cols, bucket,
+    cnt, bits, scale_bits)`` with at most ``2^(bits+1) + 62·2^bits``
+    buckets per sign lane — FIXED state regardless of row count.
+
+    Arithmetic (all integer, engine-portable — no float log at bucket
+    boundaries, the hll_registers discipline): the magnitude is
+    fixed-pointed as ``q = round(|v| · 2^scale_bits)``; values with
+    ``q < 2^(bits+1)`` get their own exact bucket; larger values keep
+    their top ``bits+1`` binary digits — ``shift = bitlength(q) -
+    (bits+1)`` (via the exact binary-string length), ``bucket =
+    (q DIV 2^shift) + shift · 2^bits`` — so every bucket spans a
+    relative width ≤ 2^-bits. Negative values mirror to negative bucket
+    ids; the id is monotone in the value, which is what lets
+    :func:`quantile_estimate` walk a cumulative sum. NULLs are excluded
+    (percentile semantics); |v| must stay below ``2^(62-scale_bits)``
+    (BIGINT lane) — far beyond any fixture or price domain.
+
+    One partial-aggregated shuffle of ≤ groups × buckets rows; counts
+    are ADDITIVE across shards/ticks (:func:`quantile_histogram_merge`
+    — the count-min merge law, not HLL's max). ``bits``/``scale_bits``
+    ride on every row so persisted histograms are never dimensionless
+    and mismatched merges are refused (count_min_cells discipline).
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError(f"need 1 <= bits <= 16, got {bits}")
+    if not 0 <= scale_bits <= 30:
+        raise ValueError(f"need 0 <= scale_bits <= 30, got {scale_bits}")
+    g = list(group_cols or [])
+    v = F.col(value_col)
+    base = df.where(v.isNotNull()).select(
+        *g,
+        F.when(v < 0, F.lit(-1)).otherwise(F.lit(1)).alias("__sign"),
+        F.round(F.abs(v) * F.lit(float(1 << scale_bits)))
+        .cast("bigint")
+        .alias("__q"),
+    )
+    octave = F.length(F.bin(F.col("__q")))
+    shift = F.greatest(octave - F.lit(bits + 1), F.lit(0)).cast("bigint")
+    staged = base.select(
+        *g,
+        "__sign",
+        "__q",
+        shift.alias("__shift"),
+        F.pow(F.lit(2.0), shift.cast("double")).cast("bigint").alias("__den"),
+    )
+    mag = F.expr("__q DIV __den") + F.col("__shift") * F.lit(1 << bits)
+    return (
+        staged.select(
+            *g,
+            F.when(F.col("__q") == 0, F.lit(0))
+            .otherwise(F.col("__sign") * mag)
+            .alias("bucket"),
+        )
+        .groupBy(*g, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bits", F.lit(int(bits)))
+        .withColumn("scale_bits", F.lit(int(scale_bits)))
+    )
+
+
+def quantile_histogram_merge(*tables: DataFrame) -> DataFrame:
+    """Merge histograms by ADDING counts per (group, bucket) — shards,
+    streaming ticks, or partial corpus passes compose exactly
+    (merge ≡ build-over-the-union, pinned by test). Refuses mixed
+    ``bits``/``scale_bits``: adding counts across different grids would
+    silently place mass in the wrong value ranges."""
+    if not tables:
+        raise ValueError("nothing to merge")
+    unioned = tables[0]
+    for t in tables[1:]:
+        unioned = unioned.unionByName(t)
+    dims = unioned.select("bits", "scale_bits").distinct().collect()
+    if len(dims) != 1:
+        raise ValueError(
+            f"cannot merge histograms with mixed grids: {sorted(map(tuple, dims))}"
+        )
+    keys = [c for c in unioned.columns if c not in ("cnt",)]
+    return (
+        unioned.groupBy(*keys)
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(*tables[0].columns)
+    )
+
+
+def quantile_estimate(
+    buckets: DataFrame,
+    probs: list[float],
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Estimate quantiles from a :func:`quantile_buckets` histogram:
+    ``(*group_cols, p, approx_value)`` — one row per group × prob, the
+    bucket-midpoint of the first bucket whose cumulative count reaches
+    ``ceil(p · n)`` (the lower-rank convention; p=0 → min bucket). The
+    true quantile lies INSIDE that bucket, so the estimate's relative
+    error is bounded by half the bucket's relative width (≤ 2^-(bits+1))
+    plus the 2^-(scale_bits+1) fixed-point quantization — a guarantee,
+    not a heuristic. Grid parameters are read off the histogram itself.
+
+    Plan shape: one cumulative-sum window over ≤ buckets rows per group
+    (the histogram is sketch-sized, not data-sized), then a groups ×
+    probs aggregate — nothing here touches the original corpus.
+    """
+    from pyspark.sql import Window
+
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"probs must be in [0, 1], got {p}")
+    g = list(group_cols or [])
+    dims = buckets.select("bits", "scale_bits").distinct().collect()
+    if len(dims) != 1:
+        raise ValueError(
+            f"histogram has mixed grids: {sorted(map(tuple, dims))}"
+        )
+    bits, scale_bits = int(dims[0][0]), int(dims[0][1])
+    w = Window.partitionBy(*g).orderBy("bucket") if g else Window.orderBy(
+        "bucket"
+    )
+    cum = buckets.select(
+        *g,
+        "bucket",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__cum"),
+        F.sum("cnt").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    # decode the bucket midpoint: invert bucket -> (shift, sub) -> value
+    amag = F.abs(F.col("bucket"))
+    d = F.expr(f"abs(bucket) DIV {1 << bits}")
+    shift = F.when(d >= 2, d - 1).otherwise(F.lit(0)).cast("bigint")
+    sub = amag - shift * F.lit(1 << bits)
+    unit = F.pow(F.lit(2.0), shift.cast("double"))
+    mid = (sub.cast("double") + 0.5) * unit / F.lit(float(1 << scale_bits))
+    value = (
+        F.when(F.col("bucket") == 0, F.lit(0.0))
+        .otherwise(F.signum(F.col("bucket").cast("double")) * mid)
+    )
+    decoded = cum.withColumn("__val", value)
+    out = None
+    for p in probs:
+        target = F.greatest(F.ceil(F.lit(float(p)) * F.col("__n")), F.lit(1))
+        hit = (
+            decoded.where(F.col("__cum") >= target)
+            .groupBy(*g)
+            .agg(F.min_by("__val", "bucket").alias("approx_value"))
+            .select(*g, F.lit(float(p)).alias("p"), "approx_value")
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -1476,3 +1476,149 @@ def test_langid_train_validation_and_label_scoping(spark):
     bad = corpus.sparkSession.createDataFrame([(0, 1)], "bucket int, x long")
     with _pytest.raises(ValueError, match="w_<lang>"):
         langid_hashed_ngram(corpus, weights=bad)
+
+
+# --------------------------------------------------------------------- #
+# portable quantile histogram (round 13)
+# --------------------------------------------------------------------- #
+
+
+def _qh_values(spark):
+    """Mixed-sign, long-tailed, duplicate-heavy values incl. zero."""
+    vals = (
+        [0.0, 0.0, -0.25, 1e-7]
+        + [float(i) * 1.37 for i in range(1, 200)]
+        + [-float(2**i) * 0.61 for i in range(1, 12)]
+        + [123456.789] * 5
+    )
+    return spark.createDataFrame(
+        [(i % 3, v) for i, v in enumerate(vals)], "g int, v double"
+    )
+
+
+def test_quantile_histogram_error_bound_and_signs(spark):
+    """The estimate's relative error is a GUARANTEE (≤ 2^-(bits+1) of
+    the true quantile, + fixed-point quantization) — checked against the
+    exact percentile for every prob, per group, signs included."""
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+        quantile_estimate,
+    )
+
+    df = _qh_values(spark)
+    bits, scale_bits = 6, 20
+    probs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    hist = quantile_buckets(
+        df, "v", group_cols=["g"], bits=bits, scale_bits=scale_bits
+    )
+    est = {
+        (r.g, r.p): r.approx_value
+        for r in quantile_estimate(hist, probs, group_cols=["g"]).collect()
+    }
+    import math
+
+    rows = df.collect()
+    for g in (0, 1, 2):
+        vals = sorted(r.v for r in rows if r.g == g)
+        for p in probs:
+            exact = vals[max(0, math.ceil(p * len(vals)) - 1)]
+            got = est[(g, p)]
+            tol = abs(exact) * 2 ** -(bits + 1) + 2 ** -(scale_bits - 1)
+            assert abs(got - exact) <= tol, (g, p, exact, got, tol)
+
+
+def test_quantile_histogram_merge_is_exact_union(spark):
+    """merge(shard histograms) ≡ histogram(union) — counts are additive,
+    so sharded / streaming construction composes exactly."""
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+        quantile_histogram_merge,
+    )
+
+    df = _qh_values(spark)
+    full = sorted(
+        map(tuple, quantile_buckets(df, "v", group_cols=["g"]).collect())
+    )
+    a = quantile_buckets(df.where("v < 10"), "v", group_cols=["g"])
+    b = quantile_buckets(df.where("v >= 10"), "v", group_cols=["g"])
+    merged = sorted(map(tuple, quantile_histogram_merge(a, b).collect()))
+    assert merged == full
+
+
+def test_quantile_histogram_refuses_mixed_grids(spark):
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+        quantile_estimate,
+        quantile_histogram_merge,
+    )
+
+    df = _qh_values(spark)
+    a = quantile_buckets(df, "v", bits=6)
+    b = quantile_buckets(df, "v", bits=7)
+    with _pytest.raises(ValueError, match="mixed grids"):
+        quantile_histogram_merge(a, b).collect()
+    with _pytest.raises(ValueError, match="mixed grids"):
+        quantile_estimate(a.unionByName(b), [0.5])
+
+
+def test_quantile_histogram_portable_duckdb_twin(spark):
+    """The histogram is ENGINE-CHECKABLE: DuckDB rebuilds the identical
+    (g, bucket, cnt) table from the same rows with the same integer
+    arithmetic — the hll_registers portability contract for quantiles."""
+    import duckdb
+
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+    )
+
+    df = _qh_values(spark)
+    bits, scale_bits = 6, 20
+    got = sorted(
+        map(
+            tuple,
+            quantile_buckets(
+                df, "v", group_cols=["g"], bits=bits, scale_bits=scale_bits
+            ).select("g", "bucket", "cnt").collect(),
+        )
+    )
+    pdf = df.toPandas()  # noqa: F841 — registered below
+    con = duckdb.connect()
+    con.register("t", pdf)
+    twin = con.execute(
+        f"""
+        WITH q AS (
+          SELECT g, CASE WHEN v < 0 THEN -1 ELSE 1 END AS sign,
+                 CAST(round(abs(v) * {1 << scale_bits}) AS BIGINT) AS q
+          FROM t WHERE v IS NOT NULL
+        ), s AS (
+          SELECT g, sign, q,
+                 greatest(length(bin(q)) - {bits + 1}, 0) AS shift
+          FROM q
+        ), b AS (
+          SELECT g,
+                 CASE WHEN q = 0 THEN 0
+                      ELSE sign * ((q >> shift) + shift * {1 << bits})
+                 END AS bucket
+          FROM s
+        )
+        SELECT g, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert got == sorted(twin)
+
+
+def test_quantile_histogram_state_is_sketch_sized(spark):
+    """10k distinct values collapse into the bounded bucket space — the
+    whole point at 100 TB: quantiles without shuffling the value space."""
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+    )
+
+    df = spark.range(10_000).selectExpr("CAST(id AS DOUBLE) * 1.7 AS v")
+    hist = quantile_buckets(df, "v", bits=6)
+    n_buckets = hist.count()
+    assert n_buckets < 2 ** 7 + 62 * 2 ** 6  # the documented cap
+    assert hist.agg(F.sum("cnt")).first()[0] == 10_000
