@@ -39,6 +39,8 @@ __all__ = [
     "read_count_min_state",
     "streaming_hll",
     "read_hll_state",
+    "streaming_quantile_histogram",
+    "read_quantile_state",
 ]
 
 
@@ -242,5 +244,101 @@ def read_hll_state(
     return (
         deltas.groupBy(*keys)
         .agg(F.max("max_rho").alias("max_rho"))
+        .select(*deltas.columns)
+    )
+
+
+def streaming_quantile_histogram(
+    values_stream: DataFrame,
+    *,
+    state_path: str,
+    checkpoint: str,
+    value_col: str,
+    bits: int = 6,
+    scale_bits: int = 20,
+    group_cols: list[str] | None = None,
+):
+    """Maintain a portable quantile histogram
+    (operators/terms.quantile_buckets) from a streaming value source;
+    one ``availableNow`` tick. Returns the started StreamingQuery.
+
+    The histogram is ADDITIVE like count-min (bucket counts of two
+    disjoint corpora sum to the counts of their union, exactly), so the
+    maintenance is the same easy case of the incremental-index pattern:
+    each tick writes its batch's ≤ groups × buckets rows as a
+    ``batch=<id>`` delta, a replayed batch OVERWRITES its own directory
+    with byte-identical content (quantile_buckets is a pure function of
+    the batch), and the queryable state is the merge-on-read sum. State
+    never grows with row count or value cardinality — p50/p99 per key
+    maintained per ingestion tick at 100 TB without ever re-scanning
+    history."""
+    from ..operators.terms import quantile_buckets
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        hist = quantile_buckets(
+            batch,
+            value_col,
+            group_cols=group_cols,
+            bits=bits,
+            scale_bits=scale_bits,
+        )
+        hist.write.mode("overwrite").parquet(f"{state_path}/batch={batch_id}")
+
+    return (
+        values_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .start()
+    )
+
+
+def read_quantile_state(
+    spark: SparkSession, state_path: str, *, empty_schema: str | None = None
+) -> DataFrame:
+    """Merged histogram view over every COMMITTED tick delta — usable
+    directly with :func:`operators.terms.quantile_estimate`.
+
+    The HLL read discipline applies verbatim: uncommitted (marker-less)
+    partial deltas are excluded (partial counts would misplace quantile
+    mass), per-delta schemas are compared and group-column drift fails
+    loud, ``bits``/``scale_bits`` ride through the merge as grouping
+    keys so mixed-grid deltas survive as distinct rows for
+    quantile_estimate to REJECT, and ``empty_schema`` covers grouped
+    consumers reading before the first commit."""
+    committed = _committed_batch_dirs(spark, state_path)
+    if not committed:
+        return spark.createDataFrame(
+            [],
+            empty_schema
+            or "bucket bigint, cnt bigint, bits int, scale_bits int",
+        )
+    per_delta = {}
+    for d in sorted(committed):
+        cols = tuple(
+            sorted(c for c in spark.read.parquet(d).columns if c != "batch")
+        )
+        per_delta.setdefault(cols, os.path.basename(d.rstrip("/")))
+    if len(per_delta) > 1:
+        raise ValueError(
+            f"quantile state at {state_path} mixes histogram schemas "
+            f"across deltas ({ {v: list(k) for k, v in per_delta.items()} }) "
+            "— the stream was reconfigured with different group_cols "
+            "against one state_path; use a fresh state directory per "
+            "configuration"
+        )
+    deltas = spark.read.option("basePath", state_path).parquet(
+        *sorted(committed)
+    )
+    if "batch" in deltas.columns:
+        deltas = deltas.drop("batch")
+    if "bits" not in deltas.columns or "scale_bits" not in deltas.columns:
+        raise ValueError(
+            f"quantile state at {state_path} lacks bits/scale_bits "
+            "columns — not a quantile_buckets delta directory"
+        )
+    keys = [c for c in deltas.columns if c != "cnt"]
+    return (
+        deltas.groupBy(*keys)
+        .agg(F.sum("cnt").alias("cnt"))
         .select(*deltas.columns)
     )

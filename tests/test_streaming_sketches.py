@@ -322,3 +322,139 @@ def test_hll_state_rejects_group_col_schema_drift(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="mixes register schemas"):
         read_hll_state(spark, state)
+
+
+# --------------------------------------------------------------------- #
+# streaming quantile histogram (round 13)
+# --------------------------------------------------------------------- #
+
+
+def _qtick(spark, src, checkpoint, state, **kw):
+    stream = spark.readStream.schema(
+        "event_type string, value double"
+    ).parquet(src)
+    from global_market_index_etl_spark.streaming.sketches import (
+        streaming_quantile_histogram,
+    )
+
+    q = streaming_quantile_histogram(
+        stream, state_path=state, checkpoint=checkpoint, **kw
+    )
+    q.awaitTermination(120)
+
+
+def test_streamed_quantile_state_equals_batch_histogram(spark, tmp_path):
+    """Two ticks merge to the batch histogram exactly (additive counts),
+    replay is a no-op, and estimates off the streamed state keep the
+    relative-error guarantee vs exact percentiles."""
+    import math
+
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+        quantile_estimate,
+    )
+    from global_market_index_etl_spark.streaming.sketches import (
+        read_quantile_state,
+    )
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    kw = dict(value_col="value", group_cols=["event_type"], bits=6)
+
+    events.filter("value < 50").coalesce(1).write.mode("append").parquet(src)
+    _qtick(spark, src, ckpt, state, **kw)
+    events.filter("value >= 50 or value IS NULL").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _qtick(spark, src, ckpt, state, **kw)
+
+    streamed = sorted(
+        map(tuple, read_quantile_state(spark, state).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            quantile_buckets(
+                events, "value", group_cols=["event_type"], bits=6
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+
+    _qtick(spark, src, ckpt, state, **kw)  # replay: no new files, no-op
+    assert (
+        sorted(map(tuple, read_quantile_state(spark, state).collect()))
+        == batch
+    )
+
+    est = {
+        (r.event_type, r.p): r.approx_value
+        for r in quantile_estimate(
+            read_quantile_state(spark, state),
+            [0.5, 0.99],
+            group_cols=["event_type"],
+        ).collect()
+    }
+    vals = {}
+    for r in events.where("value IS NOT NULL").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for et, vs in vals.items():
+        vs.sort()
+        for p in (0.5, 0.99):
+            exact = vs[max(0, math.ceil(p * len(vs)) - 1)]
+            got = est[(et, p)]
+            assert abs(got - exact) <= abs(exact) * 2 ** -7 + 2 ** -19
+
+
+def test_quantile_state_rejects_drift_and_reads_empty(spark, tmp_path):
+    """Group-column drift against one state path fails loud; an empty
+    state dir reads the (optionally grouped) empty frame."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.streaming.sketches import (
+        read_quantile_state,
+    )
+
+    state = str(tmp_path / "state")
+    empty = read_quantile_state(
+        spark,
+        state,
+        empty_schema=(
+            "event_type string, bucket bigint, cnt bigint, "
+            "bits int, scale_bits int"
+        ),
+    )
+    assert empty.count() == 0 and "event_type" in empty.columns
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "s1")
+    # two GROUPED ticks leave batch=0 and batch=1 deltas with event_type
+    events.filter("event_id % 2 = 0").limit(40).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _qtick(
+        spark, src, str(tmp_path / "c1"), state,
+        value_col="value", group_cols=["event_type"],
+    )
+    events.filter("event_id % 2 = 1").limit(40).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _qtick(
+        spark, src, str(tmp_path / "c1"), state,
+        value_col="value", group_cols=["event_type"],
+    )
+    # reconfigured UNGROUPED maintainer with a FRESH checkpoint replays
+    # everything as its batch=0, leaving the grouped batch=1 in place —
+    # the state dir now mixes histogram schemas
+    _qtick(
+        spark, src, str(tmp_path / "c2"), state,
+        value_col="value", group_cols=None,
+    )
+    with _pytest.raises(ValueError, match="mixes histogram schemas"):
+        read_quantile_state(spark, state)
