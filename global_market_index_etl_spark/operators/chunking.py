@@ -111,15 +111,14 @@ def pack_fixed_chunks(
         raise ValueError(
             f"chunks_per_pack must be positive, got {chunks_per_pack}"
         )
-    if hash_fn == "md5":
-        h = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long")
-    elif hash_fn == "xxhash64":
-        h = F.xxhash64(F.col(id_col))
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    bucket = F.pmod(h, F.lit(n_buckets))
+    if n_buckets < 1:
+        # pmod(x, 0) yields NULL buckets (non-ANSI) and every chunk would
+        # silently collapse into ONE unbounded NULL pack — fail loudly at
+        # the API boundary like pack_documents_best_fit (code-review fix)
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from .util import portable_id_hash
+
+    bucket = F.pmod(portable_id_hash(F.col(id_col), hash_fn), F.lit(n_buckets))
     w = Window.partitionBy("__bucket").orderBy(id_col, idx_col)
     packed = (
         df.withColumn("__bucket", bucket)

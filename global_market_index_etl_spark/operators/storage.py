@@ -798,28 +798,13 @@ def optimize_table(
         )
     elif zorder_by:
         bits = min(zorder_bits, 63 // len(zorder_by))
-        if zorder_method == "quantile":
-            from .zorder import zorder_key
-
-            # rank grids: equal-population cells; ≤255 boundary doubles
-            # per column (the write_zordered cap rationale)
-            z = zorder_key(current, zorder_by, bits=min(bits, 8))
-            arranged = arranged.sortWithinPartitions(F.col(BUCKET), z)
+        z = _zorder_sort_key(current, zorder_by, bits, zorder_method)
+        if z is None:
+            # all-null / empty live set: nothing to interleave — plain
+            # compaction ordering (grid calibration needs real bounds)
+            arranged = arranged.sortWithinPartitions(BUCKET)
         else:
-            stats = current.agg(
-                *[F.min(c).alias(f"__min_{c}") for c in zorder_by],
-                *[F.max(c).alias(f"__max_{c}") for c in zorder_by],
-            ).first()
-            mins = {c: stats[f"__min_{c}"] for c in zorder_by}
-            maxs = {c: stats[f"__max_{c}"] for c in zorder_by}
-            if any(mins[c] is None for c in zorder_by):
-                # all-null / empty live set: nothing to interleave — plain
-                # compaction ordering (grid calibration needs real bounds)
-                arranged = arranged.sortWithinPartitions(BUCKET)
-            else:
-                arranged = arranged.sortWithinPartitions(
-                    F.col(BUCKET), zorder_value(zorder_by, mins, maxs, bits)
-                )
+            arranged = arranged.sortWithinPartitions(F.col(BUCKET), z)
     staging = f"{path}/.staging-{uuid.uuid4().hex}"
     writer = arranged.write.mode("overwrite")
     if max_records_per_file:
@@ -1039,16 +1024,13 @@ def export_training_shards(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    if hash_fn == "md5":
-        h = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long")
-    elif hash_fn == "xxhash64":
-        h = F.xxhash64(F.col(id_col))
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    from .util import portable_id_hash
+
     sharded = df.withColumn(
-        "shard", F.pmod(h, F.lit(n_shards)).cast("int")
+        "shard",
+        F.pmod(portable_id_hash(F.col(id_col), hash_fn), F.lit(n_shards)).cast(
+            "int"
+        ),
     )
     order = [F.col(order_col)] if order_col else []
     (
@@ -1159,6 +1141,36 @@ def write_zordered(
     if method not in ("linear", "quantile"):
         raise ValueError(f"method must be 'linear' or 'quantile': {method!r}")
     bits = min(bits, 63 // max(len(columns), 1))
+    z = _zorder_sort_key(df, columns, bits, method, relative_error)
+    arranged = df
+    if z is not None:
+        arranged = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    arranged.write.mode("overwrite").parquet(path)
+
+
+def _zorder_sort_key(
+    df: DataFrame,
+    columns: list[str],
+    bits: int,
+    method: str,
+    relative_error: float = 0.001,
+):
+    """Grid calibration shared by :func:`write_zordered` and
+    :func:`optimize_table` — ONE definition of the Morton sort key so
+    the two layout paths can never diverge (code-review fix: the
+    empty/all-NULL guard previously lived only in optimize_table's
+    inlined copy, leaving write_zordered to crash on the same input).
+
+    Returns the key Column, or ``None`` when the live rows offer no
+    usable bounds (empty input, or an all-NULL zorder column) — callers
+    skip the Morton sort and write the plain layout, which is
+    correctness-neutral like all stats-based skipping.
+    """
     if method == "quantile":
         from .zorder import zorder_key
 
@@ -1166,22 +1178,15 @@ def write_zordered(
         # population by construction, and file-level pruning only needs
         # ~log2(n_files) discriminating bits — cap at 8 (256 cells/col)
         # so the quantile pass ships ≤255 boundary doubles per column
-        z = zorder_key(
+        return zorder_key(
             df, columns, bits=min(bits, 8), relative_error=relative_error
         )
-    else:
-        stats = df.agg(
-            *[F.min(c).alias(f"__min_{c}") for c in columns],
-            *[F.max(c).alias(f"__max_{c}") for c in columns],
-        ).first()
-        mins = {c: stats[f"__min_{c}"] for c in columns}
-        maxs = {c: stats[f"__max_{c}"] for c in columns}
-        z = zorder_value(columns, mins, maxs, bits)
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    stats = df.agg(
+        *[F.min(c).alias(f"__min_{c}") for c in columns],
+        *[F.max(c).alias(f"__max_{c}") for c in columns],
+    ).first()
+    mins = {c: stats[f"__min_{c}"] for c in columns}
+    maxs = {c: stats[f"__max_{c}"] for c in columns}
+    if any(mins[c] is None for c in columns):
+        return None
+    return zorder_value(columns, mins, maxs, bits)

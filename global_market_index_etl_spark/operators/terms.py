@@ -546,10 +546,12 @@ def quantile_histogram_merge(*tables: DataFrame) -> DataFrame:
     for t in tables[1:]:
         unioned = unioned.unionByName(t)
     dims = unioned.select("bits", "scale_bits").distinct().collect()
-    if len(dims) != 1:
+    if len(dims) > 1:
         raise ValueError(
             f"cannot merge histograms with mixed grids: {sorted(map(tuple, dims))}"
         )
+    # len(dims) == 0: every input empty (e.g. pre-first-commit streaming
+    # state) — the merge of nothing is the empty histogram, not an error
     keys = [c for c in unioned.columns if c not in ("cnt",)]
     return (
         unioned.groupBy(*keys)
@@ -584,10 +586,20 @@ def quantile_estimate(
             raise ValueError(f"probs must be in [0, 1], got {p}")
     g = list(group_cols or [])
     dims = buckets.select("bits", "scale_bits").distinct().collect()
-    if len(dims) != 1:
+    if len(dims) > 1:
         raise ValueError(
             f"histogram has mixed grids: {sorted(map(tuple, dims))}"
         )
+    if not dims:
+        # empty histogram (e.g. streaming state before the first commit,
+        # read_quantile_state's documented empty path): no groups exist,
+        # so the estimate is the empty frame — not a grid error. Group
+        # column types are taken from the (empty) input itself.
+        return buckets.select(
+            *g,
+            F.lit(None).cast("double").alias("p"),
+            F.lit(None).cast("double").alias("approx_value"),
+        ).where(F.lit(False))
     bits, scale_bits = int(dims[0][0]), int(dims[0][1])
     w = Window.partitionBy(*g).orderBy("bucket") if g else Window.orderBy(
         "bucket"
@@ -604,13 +616,22 @@ def quantile_estimate(
             )
         ).alias("__n"),
     )
-    # decode the bucket midpoint: invert bucket -> (shift, sub) -> value
+    # decode the bucket midpoint: invert bucket -> (shift, sub) -> value.
+    # A shift-0 bucket holds EXACTLY the fixed-point integer sub (values
+    # that ROUNDED to it, i.e. (sub±0.5)·2^-scale_bits), so its midpoint
+    # is sub itself — decoding it at sub+0.5 would sit on the interval's
+    # upper edge and double the quantization term of the documented
+    # bound (code-review fix). Wider buckets span [sub, sub+1)·2^shift
+    # of q-space and keep the +0.5 midpoint.
     amag = F.abs(F.col("bucket"))
     d = F.expr(f"abs(bucket) DIV {1 << bits}")
     shift = F.when(d >= 2, d - 1).otherwise(F.lit(0)).cast("bigint")
     sub = amag - shift * F.lit(1 << bits)
     unit = F.pow(F.lit(2.0), shift.cast("double"))
-    mid = (sub.cast("double") + 0.5) * unit / F.lit(float(1 << scale_bits))
+    center = F.when(shift == 0, sub.cast("double")).otherwise(
+        (sub.cast("double") + 0.5) * unit
+    )
+    mid = center / F.lit(float(1 << scale_bits))
     value = (
         F.when(F.col("bucket") == 0, F.lit(0.0))
         .otherwise(F.signum(F.col("bucket").cast("double")) * mid)

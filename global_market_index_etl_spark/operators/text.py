@@ -711,7 +711,27 @@ def langid_hashed_ngram(
                 "weights must have a bucket column and w_<lang> columns; "
                 f"got {weights.columns}"
             )
-        buckets = weights.count()
+        # the hash MODULUS must be the grid the model was trained on —
+        # deriving it from a row count would silently re-bucket features
+        # on any non-dense table (filtered/compacted rows), so require a
+        # dense 0..n-1 bucket column and read n off it (code-review fix);
+        # one bounded model-sized aggregate, no double evaluation
+        n, nd, lo, hi = weights.agg(
+            F.count(F.lit(1)),
+            F.countDistinct("bucket"),
+            F.min("bucket"),
+            F.max("bucket"),
+        ).first()
+        if n == 0:
+            raise ValueError("weights table is empty")
+        if not (nd == n and lo == 0 and hi == n - 1):
+            raise ValueError(
+                "weights bucket column must be dense 0..n-1 (one row per "
+                f"hash bucket); got n={n}, distinct={nd}, min={lo}, "
+                f"max={hi} — a filtered/compacted model would re-bucket "
+                "features into a different space than it was trained on"
+            )
+        buckets = int(n)
     else:
         langs = sorted(langs or LANGID_LANGS)
         weights = spark.createDataFrame(

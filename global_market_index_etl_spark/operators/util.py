@@ -275,3 +275,28 @@ def truncate_lineage(
     with _CHECKPOINT_DIR_LOCK:
         sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=True)
+
+
+def portable_id_hash(col, hash_fn: str):
+    """Deterministic 64-bit id hash behind the engine-portability dial —
+    the SINGLE definition of the placement hash shared by sharded export
+    (storage.export_training_shards) and sequence packing
+    (chunking.pack_fixed_chunks), so the "any engine recomputes
+    placement" contract can never diverge between the two (code-review
+    fix: both previously inlined identical copies).
+
+    - ``"xxhash64"`` (default everywhere): fastest, one JVM hash.
+    - ``"md5"``: first 8 md5 hex chars of the STRING form as a BIGINT —
+      reproducible by any engine (DuckDB:
+      ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS
+      BIGINT)``), which is what lets placement carry a full SQL oracle.
+    """
+    from pyspark.sql import functions as F
+
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")

@@ -624,13 +624,11 @@ _K6_SCRATCH: list[str] = []
 _K6_WRITTEN: dict[str, str] = {}
 
 
-def _k6_table_for(spark, sf: str) -> str:
-    """The stats-tracked k6 table for ``sf`` — written on first use in
-    this process, reused afterwards (the write is deterministic per sf:
-    a fixed quarter of lineitem, fixed layout). One scratch root per
-    process, removed at interpreter exit (k2 discipline)."""
-    if sf in _K6_WRITTEN:
-        return _K6_WRITTEN[sf]
+def _k6_scratch_root() -> str:
+    """One scratch root per process, removed at interpreter exit (k2
+    discipline) — shared by the linear and zordered k6 tables so neither
+    builder has to create the other's table just to get a directory
+    (code-review fix)."""
     if not _K6_SCRATCH:
         import atexit
         import shutil
@@ -639,6 +637,16 @@ def _k6_table_for(spark, sf: str) -> str:
         root = tempfile.mkdtemp(prefix="gmie_k6_skipping_")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _K6_SCRATCH.append(root)
+    return _K6_SCRATCH[0]
+
+
+def _k6_table_for(spark, sf: str) -> str:
+    """The stats-tracked k6 table for ``sf`` — written on first use in
+    this process, reused afterwards (the write is deterministic per sf:
+    a fixed quarter of lineitem, fixed layout). One scratch root per
+    process, removed at interpreter exit (k2 discipline)."""
+    if sf in _K6_WRITTEN:
+        return _K6_WRITTEN[sf]
     from ..operators.storage import write_bucketed_table
 
     # a deterministic quarter of lineitem: the skipping semantics are
@@ -657,7 +665,7 @@ def _k6_table_for(spark, sf: str) -> str:
     # — nondeterministic across processes and collision-prone across sf
     # values, which could silently serve one sf's table for another's
     # pruned-read bench — round-9 review fix)
-    path = f"{_K6_SCRATCH[0]}/{sf.strip('/').replace('/', '__')}"
+    path = f"{_k6_scratch_root()}/{sf.strip('/').replace('/', '__')}"
     write_bucketed_table(
         li,
         path,
@@ -683,8 +691,6 @@ def _k6_zorder_table_for(spark, sf: str) -> str:
     (process, sf), k6/k2 discipline."""
     if sf in _K6Z_WRITTEN:
         return _K6Z_WRITTEN[sf]
-    if not _K6_SCRATCH:
-        _k6_table_for(spark, sf)  # creates the scratch root
     from ..operators.storage import optimize_table, write_bucketed_table
 
     li = (
@@ -695,7 +701,7 @@ def _k6_zorder_table_for(spark, sf: str) -> str:
             "l_extendedprice", "l_discount", "l_quantity",
         )
     )
-    path = f"{_K6_SCRATCH[0]}/z__{sf.strip('/').replace('/', '__')}"
+    path = f"{_k6_scratch_root()}/z__{sf.strip('/').replace('/', '__')}"
     write_bucketed_table(
         li,
         path,

@@ -306,6 +306,12 @@ def ticker_metadata_probe(spark, **options):
     ]
     seed = int(options.get("seed", "42"))
     max_attempts = int(options.get("max_attempts", "3"))
+    if max_attempts < 1:
+        # zero/negative would skip the fetch loop entirely and emit
+        # all-NULL rows with error=NULL — indistinguishable from a
+        # healthy probe, violating the warn-and-continue contract that
+        # degraded rows carry an error (code-review fix)
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     fail_tickers = {
         x.strip() for x in options.get("fail_tickers", "").split(",") if x.strip()
     }

@@ -663,3 +663,24 @@ def test_optimize_table_retrofits_stats(spark, tmp_path):
         .collect()
     )
     assert got == list(range(10, 21))
+
+
+def test_write_zordered_survives_empty_and_all_null(spark, tmp_path):
+    """Code-review fix: the empty/all-NULL calibration guard lives in the
+    SHARED sort-key helper now, so write_zordered writes a plain layout
+    instead of crashing on float(None)."""
+    from global_market_index_etl_spark.operators.storage import (
+        write_zordered,
+    )
+
+    empty = spark.createDataFrame([], "a double, b double")
+    p1 = str(tmp_path / "empty")
+    write_zordered(empty, p1, ["a", "b"], n_files=4)
+    assert spark.read.parquet(p1).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(float(i), None) for i in range(10)], "a double, b double"
+    )
+    p2 = str(tmp_path / "nulls")
+    write_zordered(nulls, p2, ["a", "b"], n_files=4)
+    assert spark.read.parquet(p2).count() == 10

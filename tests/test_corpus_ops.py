@@ -1622,3 +1622,73 @@ def test_quantile_histogram_state_is_sketch_sized(spark):
     n_buckets = hist.count()
     assert n_buckets < 2 ** 7 + 62 * 2 ** 6  # the documented cap
     assert hist.agg(F.sum("cnt")).first()[0] == 10_000
+
+
+def test_quantile_histogram_empty_inputs_are_empty_not_errors(spark):
+    """Code-review fix: an EMPTY histogram (streaming state before the
+    first commit) estimates/merges to empty — not a 'mixed grids' error."""
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+        quantile_estimate,
+        quantile_histogram_merge,
+    )
+
+    empty = spark.createDataFrame(
+        [], "g int, bucket bigint, cnt bigint, bits int, scale_bits int"
+    )
+    est = quantile_estimate(empty, [0.5], group_cols=["g"])
+    assert est.count() == 0
+    assert est.columns == ["g", "p", "approx_value"]
+    assert quantile_histogram_merge(empty, empty).count() == 0
+    # an empty shard merged with a real one is the real one
+    real = quantile_buckets(_qh_values(spark), "v", group_cols=["g"])
+    merged = sorted(
+        map(
+            tuple,
+            quantile_histogram_merge(
+                empty.select(*real.columns), real
+            ).collect(),
+        )
+    )
+    assert merged == sorted(map(tuple, real.collect()))
+
+
+def test_quantile_exact_buckets_decode_exactly(spark):
+    """Code-review fix: shift-0 buckets hold ONE fixed-point integer and
+    must decode to it — the quantization term stays ≤ 2^-(scale_bits+1)
+    as documented, not 2^-scale_bits."""
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+        quantile_estimate,
+    )
+
+    scale_bits = 10
+    # values exactly on the fixed-point grid: decode must be EXACT
+    vals = [3.0 / (1 << scale_bits), 17.0 / (1 << scale_bits), 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    hist = quantile_buckets(df, "v", bits=6, scale_bits=scale_bits)
+    est = {
+        r.p: r.approx_value
+        for r in quantile_estimate(hist, [0.0, 0.5, 1.0]).collect()
+    }
+    assert est[0.0] == 0.0
+    assert est[0.5] == 3.0 / (1 << scale_bits)
+    assert est[1.0] == 17.0 / (1 << scale_bits)
+
+
+def test_langid_scorer_rejects_non_dense_weights(spark):
+    """Code-review fix: the hash modulus is the trained grid, so a
+    filtered/compacted weights table (holes in 0..n-1) must be rejected —
+    counting rows would silently re-bucket features."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.text import (
+        langid_hashed_ngram,
+        langid_train,
+    )
+
+    corpus = _langid_corpus(spark)
+    model = langid_train(corpus)
+    holey = model.where("bucket <> 7")
+    with _pytest.raises(ValueError, match="dense 0..n-1"):
+        langid_hashed_ngram(corpus, weights=holey)

@@ -2880,3 +2880,18 @@ def test_ann_ivf_suite_exhaustive_leg_equals_brute_force(spark):
     }
     assert leg == brute
     assert brute, "fixture must produce neighbors"
+
+
+def test_pack_fixed_chunks_rejects_bad_n_buckets(spark, docs):
+    """Code-review fix: n_buckets < 1 would pmod into NULL buckets and
+    silently collapse every chunk into one unbounded pack."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.chunking import (
+        chunk_documents,
+        pack_fixed_chunks,
+    )
+
+    chunks = chunk_documents(docs, chunk_tokens=8)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        pack_fixed_chunks(chunks, chunks_per_pack=4, n_buckets=0)

@@ -260,3 +260,16 @@ def test_metadata_probe_unknown_ticker_has_null_config(spark):
     assert r.currency_cfg is None and r.exchange_cfg is None
     assert r.currency_match is None and r.exchange_match is None
     assert r.currency_yf == "USD"  # the stub's unknown-ticker default
+
+
+def test_metadata_probe_rejects_non_positive_max_attempts(spark):
+    """Code-review fix: max_attempts=0 would emit all-NULL rows with
+    error=NULL — indistinguishable from a healthy probe."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.sources.market_source import (
+        ticker_metadata_probe,
+    )
+
+    with _pytest.raises(ValueError, match="max_attempts"):
+        ticker_metadata_probe(spark, max_attempts=0)
