@@ -1001,3 +1001,78 @@ def test_pack_fixed_chunks_conservation_any_corpus(
             placed[(p.doc_id, p.chunk_idx, t)] += 1
     assert placed == expect
     assert all(v == 1 for v in short_per_bucket.values())
+
+
+# --------------------------------------------------------------------- #
+# portable quantile histogram (round 13)
+# --------------------------------------------------------------------- #
+
+QH_VALUES = st.lists(
+    st.one_of(
+        st.integers(-(10**6), 10**6).map(lambda i: i / 97.0),
+        st.sampled_from([0.0, -0.0, 1e-7, -1e-7, 123456.78]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=QH_VALUES, bits=st.integers(2, 8), probs_seed=st.integers(0, 4))
+@PROP_SETTINGS
+def test_quantile_sketch_bound_holds_for_any_values(
+    spark, vals, bits, probs_seed
+):
+    """For ANY value multiset and grid: every estimated quantile is
+    within the documented bound of the exact order statistic — relative
+    2^-(bits+1) of |exact| plus the 2^-(scale_bits+1) quantization."""
+    import math
+
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+        quantile_estimate,
+    )
+
+    scale_bits = 20
+    probs = [[0.5], [0.0, 1.0], [0.25, 0.75], [0.99], [0.01, 0.5, 1.0]][
+        probs_seed
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    hist = quantile_buckets(df, "v", bits=bits, scale_bits=scale_bits)
+    est = {
+        r.p: r.approx_value for r in quantile_estimate(hist, probs).collect()
+    }
+    svals = sorted(vals)
+    for p in probs:
+        exact = svals[max(0, math.ceil(p * len(svals)) - 1)]
+        tol = abs(exact) * 2 ** -(bits + 1) + 2 ** -(scale_bits + 1)
+        # one float guard ulp on the decode arithmetic
+        tol += abs(exact) * 1e-12 + 1e-15
+        assert abs(est[p] - exact) <= tol, (p, exact, est[p], bits)
+
+
+@given(vals=QH_VALUES, split=st.integers(0, 39))
+@PROP_SETTINGS
+def test_quantile_sketch_merge_split_invariance(spark, vals, split):
+    """merge(hist(A), hist(B)) ≡ hist(A ∪ B) for ANY split point —
+    the additivity law sharded and streaming construction rely on."""
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+        quantile_histogram_merge,
+    )
+
+    split = min(split, len(vals))
+    a, b = vals[:split], vals[split:]
+    df_all = spark.createDataFrame([(v,) for v in vals], "v double")
+    full = sorted(map(tuple, quantile_buckets(df_all, "v").collect()))
+    parts = []
+    for chunk in (a, b):
+        df = (
+            spark.createDataFrame([(v,) for v in chunk], "v double")
+            if chunk
+            else spark.createDataFrame([], "v double")
+        )
+        parts.append(quantile_buckets(df, "v"))
+    merged = sorted(
+        map(tuple, quantile_histogram_merge(*parts).collect())
+    )
+    assert merged == full
