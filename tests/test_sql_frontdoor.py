@@ -599,3 +599,52 @@ def test_sql_frontdoor_hll_registers(spark):
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_df.collect())
     )
+
+
+def test_sql_frontdoor_quantile_histogram(spark):
+    """The portable quantile-histogram construction re-expressed as one
+    spark.sql statement (same fixed-point round, same exact
+    binary-string bit-length, same integer DIV bucketing) must equal
+    the operator — the E3 front door covers the sketch tier's newest
+    member like it covers count-min/SimHash/HLL."""
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+    )
+
+    register_views(spark, SF_SMALL)
+    bits, scale_bits = 6, 20
+    via_sql = spark.sql(
+        f"""
+        WITH q AS (
+          SELECT event_type,
+                 CASE WHEN value < 0 THEN -1 ELSE 1 END AS sign,
+                 CAST(round(abs(value) * {1 << scale_bits}) AS BIGINT) AS q
+          FROM events WHERE value IS NOT NULL
+        ), s AS (
+          SELECT event_type, sign, q,
+                 CAST(greatest(length(bin(q)) - {bits + 1}, 0) AS BIGINT)
+                   AS shift
+          FROM q
+        ), b AS (
+          SELECT event_type,
+                 CASE WHEN q = 0 THEN 0
+                      ELSE sign * ((q DIV CAST(pow(2, shift) AS BIGINT))
+                                   + shift * {1 << bits})
+                 END AS bucket
+          FROM s
+        )
+        SELECT event_type, bucket, count(*) AS cnt,
+               {bits} AS bits, {scale_bits} AS scale_bits
+        FROM b GROUP BY event_type, bucket
+        """
+    )
+    via_df = quantile_buckets(
+        spark.table("events"),
+        "value",
+        group_cols=["event_type"],
+        bits=bits,
+        scale_bits=scale_bits,
+    )
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
