@@ -4,7 +4,9 @@ beyond the reference surface, SURVEY.md §7 step 6).
 Everything here is built-in ``pyspark.sql.functions`` expressions — JVM-side,
 whole-stage-codegen, zero Python in the hot path — so a 100 TB documents
 table processes at scan speed. Each operator has an exact ANSI-SQL twin
-(plans/textdata.py) for the DuckDB oracle.
+(plans/textdata.py) for the DuckDB oracle. The ONE documented exception is
+:func:`unicode_normalize` (Arrow-batched pandas_udf — Spark has no Unicode
+normalizer; the form is still engine-checkable via DuckDB's nfc_normalize).
 """
 
 from __future__ import annotations
@@ -767,3 +769,41 @@ def langid_hashed_ngram(
             F.coalesce(F.col("pred_lang") == F.col("lang"), F.lit(False)),
         )
     return out
+
+
+def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    step real multilingual pipelines (CCNet-lineage) apply BEFORE
+    fingerprinting: 'école' composed and 'école' with a combining accent
+    are the same document to a human and to an NFC-normalized md5, but
+    different byte strings to :func:`fingerprint_md5` alone.
+
+    Spark has no built-in normalizer, so this is a legitimate
+    Python-path scalar (Arrow-batched ``pandas_udf``, the codec/BPE
+    discipline — never row-at-a-time): ``unicodedata.normalize`` is the
+    Unicode reference implementation, deterministic on any
+    executor/engine, and DuckDB's ``nfc_normalize`` reproduces the NFC
+    form exactly (twin-tested), so normalized fingerprints stay
+    oracle-checkable. NULLs pass through as NULLs.
+
+    Scale: embarrassingly parallel, no shuffle — pipelines behind the
+    scan like the media decodes; the hot ASCII path inside CPython's
+    normalizer is a no-op quick-check, so the cost concentrates on the
+    rows that actually need rewriting.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    def _norm_batch(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    # no type hints: the module's lazy annotations (PEP 563) would hand
+    # pyspark an unresolvable 'pd.Series' string — pass the eval type
+    # via the plain series-in/series-out signature instead
+    _norm = F.pandas_udf(_norm_batch, "string")
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)

@@ -1692,3 +1692,46 @@ def test_langid_scorer_rejects_non_dense_weights(spark):
     holey = model.where("bucket <> 7")
     with _pytest.raises(ValueError, match="dense 0..n-1"):
         langid_hashed_ngram(corpus, weights=holey)
+
+
+def test_unicode_normalize_nfc_matches_duckdb_and_unifies_fingerprints(spark):
+    """NFC normalization (round 13): composed and combining-accent forms
+    of the same text fingerprint identically AFTER normalization (and
+    differently before — the gap the operator closes), and the result
+    matches DuckDB's nfc_normalize byte-for-byte."""
+    import duckdb
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.text import (
+        fingerprint_md5,
+        unicode_normalize,
+    )
+
+    composed = "école déjà vu"                       # U+00E9 etc.
+    combining = "école déjà vu"    # e + U+0301 ...
+    df = spark.createDataFrame(
+        [(1, composed), (2, combining), (3, None), (4, "plain ascii")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        unicode_normalize("text").alias("norm"),
+        fingerprint_md5(unicode_normalize("text")).alias("fp_norm"),
+        fingerprint_md5("text").alias("fp_raw"),
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert rows[1].fp_raw != rows[2].fp_raw       # bytes differ pre-NFC
+    assert rows[1].fp_norm == rows[2].fp_norm     # same document post-NFC
+    assert rows[1].norm == rows[2].norm == composed
+    assert rows[3].norm is None and rows[3].fp_norm is None
+    assert rows[4].norm == "plain ascii"
+
+    con = duckdb.connect()
+    for doc_id, text in ((1, composed), (2, combining)):
+        twin = con.execute(
+            "SELECT nfc_normalize(?)", [text]
+        ).fetchone()[0]
+        assert rows[doc_id].norm == twin
+
+    with _pytest.raises(ValueError, match="normalization form"):
+        unicode_normalize("text", form="NFX")
