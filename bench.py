@@ -127,8 +127,9 @@ HEADLINE = [
     "stream_countmin_maintained",
     "dedup_incremental_phash",
     # round 12: portable HLL registers (md5-derived, DuckDB-rebuildable;
-    # <= groups x 1024-row shuffle at any key cardinality)
-    "sketch_portable_hll",
+    # <= groups x 1024-row shuffle at any key cardinality); round 14:
+    # fused with the quantile log-bucket histogram as tagged legs
+    "sketch_portable_suite",
     # round 12: TPC-H Q6/Q14/Q19 fused as tagged legs (scan/broadcast
     # single-row exact-money aggregates; per-leg medians on the JSON line)
     "tpch_scalar_agg_suite",

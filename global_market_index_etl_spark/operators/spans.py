@@ -37,13 +37,27 @@ AGGREGATE (round-12 verdict item 1):
   is the global min — both exact under any split);
 - a final ``groupBy(fingerprint)`` over the ≤ ``n_salts`` partial rows
   per fingerprint produces the verdict — bounded input per key by
-  construction;
-- verdicts are replicated to all ``n_salts`` salt values and joined back
-  on ``(fingerprint, salt)``, so the join-back ALSO spreads a hot
+  construction — and carries ``collect_list(salt)`` (≤ ``n_salts``
+  elements, bounded state) so each verdict knows which salt values its
+  occurrence rows actually landed on;
+- verdicts are replicated to exactly those OCCUPIED salts and joined
+  back on ``(fingerprint, salt)``, so the join-back ALSO spreads a hot
   fingerprint's occurrence rows instead of re-concentrating them.
 
+The occupancy-based replication is what makes the salt ADAPTIVE
+(round-13 verdict item 1): a flat ×``n_salts`` replication taxes every
+duplicated window — the dominant, cold case of a window shared by 2-5
+documents paid a 16× verdict fan-out it never used (measured ~4× on the
+whole span tier at sf1).  Occupancy replication emits 2 verdict rows for
+a 2-document window and all ``n_salts`` only for fingerprints hot enough
+to have touched every salt — the replication factor grows exactly with
+the skew it protects against, no threshold dial, no second pass (the
+occupied-salt list rides the partials the aggregate already shuffles).
+
 The result is value-identical to the window-function formulation (the
-DuckDB oracles still use plain windows) but no task ever holds more than
+DuckDB oracles still use plain windows — occurrence rows exist only at
+occupied (fingerprint, salt) pairs, so the occupancy join hits the same
+rows a full replication would) but no task ever holds more than
 ``occurrences / n_salts`` rows of any fingerprint.  Raw window strings
 would make the shuffles ~k× the text size; every window travels as its
 md5 fingerprint (32 hex chars, computed in-row before the explode) —
@@ -64,9 +78,11 @@ __all__ = [
 ]
 
 # Default salt fan-out for per-fingerprint statistics.  16 bounds the
-# hottest fingerprint's per-task rows to occurrences/16 while keeping the
-# replicated verdict table (duplicate windows × n_salts slim rows) small;
-# raise it for corpora with known mega-hot boilerplate.
+# hottest fingerprint's per-task rows to occurrences/16; because verdict
+# replication is occupancy-based (module docstring), raising it costs
+# extra verdict rows ONLY for fingerprints hot enough to occupy the
+# extra salts — cold duplicated windows are priced by their own
+# occurrence count regardless of this setting.
 N_SALTS = 16
 
 
@@ -90,14 +106,16 @@ def _with_salt(df: DataFrame, n_salts: int, *cols: str) -> DataFrame:
     )
 
 
-def _replicate_salts(df: DataFrame, n_salts: int) -> DataFrame:
-    """Cross per-fingerprint verdict rows with every salt value so the
-    join back to occurrence rows keys on ``(__w, __salt)`` and a hot
-    fingerprint spreads over ``n_salts`` tasks instead of one."""
-    return df.withColumn(
-        "__salt",
-        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
-    )
+def _explode_occupied_salts(df: DataFrame) -> DataFrame:
+    """Fan per-fingerprint verdict rows out to the salt values their
+    occurrence rows actually landed on (the ``__occ`` list collected by
+    the totals aggregate, ≤ n_salts elements), so the join back to
+    occurrence rows keys on ``(__w, __salt)`` and a hot fingerprint
+    spreads over its occupied salts instead of one task — while a cold
+    window shared by two documents emits two verdict rows, not
+    ``n_salts`` (adaptive replication, module docstring)."""
+    others = [c for c in df.columns if c != "__occ"]
+    return df.select(*others, F.explode("__occ").alias("__salt"))
 
 
 def _check_params(k: int, n_salts: int, name: str = "k") -> None:
@@ -152,17 +170,19 @@ def duplicate_window_profile(
         wins.groupBy(doc_id, "__w").agg(F.count(F.lit(1)).alias("__c")),
         n_salts,
         doc_id,
-    )
+    ).repartition(F.col("__w"), F.col("__salt"))
     # salted two-phase document frequency: rows are one-per-(doc, window),
     # so count per (__w, __salt) partials sum to the distinct-doc count.
-    dup_wins = _replicate_salts(
+    dup_wins = _explode_occupied_salts(
         per_doc_win.groupBy("__w", "__salt")
         .agg(F.count(F.lit(1)).alias("__pc"))
         .groupBy("__w")
-        .agg(F.sum("__pc").alias("__df"))
+        .agg(
+            F.sum("__pc").alias("__df"),
+            F.collect_list("__salt").alias("__occ"),
+        )
         .where(F.col("__df") > 1)
-        .select("__w", F.lit(True).alias("__dup")),
-        n_salts,
+        .select("__occ", "__w", F.lit(True).alias("__dup"))
     )
     flagged = per_doc_win.join(dup_wins, ["__w", "__salt"], "left")
     return flagged.groupBy(doc_id).agg(
@@ -238,21 +258,26 @@ def remove_duplicate_spans(
     # positions (exchange-free under the doc_id pre-partition), then the
     # salted two-phase distinct-doc frequency — no dup-set self-join, no
     # second tokenize+explode of the corpus.
+    # one explicit (__w, __salt) exchange serves both consumers of the
+    # (window, doc) reduction — verdict aggregate and join-back probe
+    # (ReuseExchange; see duplicate_span_suite / exact_substring_dedup)
     per_doc = _with_salt(
         winpos.groupBy("__w", doc_id).agg(
             F.collect_list("__i").alias("__pos")
         ),
         n_salts,
         doc_id,
-    )
-    dup_wins = _replicate_salts(
+    ).repartition(F.col("__w"), F.col("__salt"))
+    dup_wins = _explode_occupied_salts(
         per_doc.groupBy("__w", "__salt")
         .agg(F.count(F.lit(1)).alias("__pc"))
         .groupBy("__w")
-        .agg(F.sum("__pc").alias("__nd"))
+        .agg(
+            F.sum("__pc").alias("__nd"),
+            F.collect_list("__salt").alias("__occ"),
+        )
         .where(F.col("__nd") > 1)
-        .select("__w"),
-        n_salts,
+        .select("__occ", "__w")
     )
     covered = (
         per_doc.join(dup_wins, ["__w", "__salt"], "inner")
@@ -353,6 +378,11 @@ def duplicate_span_suite(
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
     _materialize = materialize_shared if share_cache else materialize
+    # cache the reduction ALREADY (__w, __salt)-partitioned: the cached
+    # table's outputPartitioning satisfies both downstream consumers —
+    # the verdict partial aggregate and the join-back probe — so neither
+    # re-shuffles it (the round-13 regression: two post-cache exchanges
+    # of the window-set table; one pre-cache exchange now serves both).
     per_doc = _materialize(
         _with_salt(
             winpos.groupBy("__w", doc_id).agg(
@@ -360,17 +390,19 @@ def duplicate_span_suite(
             ),
             n_salts,
             doc_id,
-        ),
+        ).repartition(F.col("__w"), F.col("__salt")),
         checkpoint_dir=checkpoint_dir,
     )
-    dup_wins = _replicate_salts(
+    dup_wins = _explode_occupied_salts(
         per_doc.groupBy("__w", "__salt")
         .agg(F.count(F.lit(1)).alias("__pc"))
         .groupBy("__w")
-        .agg(F.sum("__pc").alias("__nd"))
+        .agg(
+            F.sum("__pc").alias("__nd"),
+            F.collect_list("__salt").alias("__occ"),
+        )
         .where(F.col("__nd") > 1)
-        .select("__w", F.lit(True).alias("__dup")),
-        n_salts,
+        .select("__occ", "__w", F.lit(True).alias("__dup"))
     )
     flagged = per_doc.join(dup_wins, ["__w", "__salt"], "left")
 
@@ -516,8 +548,20 @@ def exact_substring_dedup(
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
-    salted = _with_salt(occ, n_salts, doc_id, "__i")
-    verdicts = _replicate_salts(
+    # ONE explicit (__w, __salt) exchange feeds BOTH consumers of the
+    # occurrence rows — the verdict partial aggregate (already clustered:
+    # no further exchange) and the join-back probe (already distributed
+    # for the sort-merge join) — and ReuseExchange dedupes the shared
+    # subtree, so the corpus-sized tokenize → window explode runs ONCE.
+    # Without it each consumer re-derived the explode behind its own
+    # exchange: two full passes + two shuffles of the largest table in
+    # the plan (the round-13 span-tier regression, verdict item 1 —
+    # measured ~1.9× on this kernel at sf1). pack_fixed_chunks is the
+    # in-repo precedent for the pattern (exchange reuse plan-asserted).
+    salted = _with_salt(occ, n_salts, doc_id, "__i").repartition(
+        F.col("__w"), F.col("__salt")
+    )
+    verdicts = _explode_occupied_salts(
         salted.groupBy("__w", "__salt")
         .agg(
             F.count(F.lit(1)).alias("__pc"),
@@ -527,10 +571,10 @@ def exact_substring_dedup(
         .agg(
             F.sum("__pc").alias("__cnt"),
             F.min("__ps").alias("__surv"),
+            F.collect_list("__salt").alias("__occ"),
         )
         .where(F.col("__cnt") >= 2)
-        .select("__w", "__surv"),
-        n_salts,
+        .select("__occ", "__w", "__surv")
     )
     # inner join: only occurrences of duplicated windows survive — unique
     # windows never travel through the verdict join-back.

@@ -336,7 +336,7 @@ def hll_registers(
     checked by another system. These registers are built from the
     md5-derived :func:`_hll_h60` hash — a pure function of the key any
     engine reproduces — so a DuckDB oracle rebuilds the IDENTICAL
-    register table bit-for-bit (the driver row ``sketch_portable_hll``
+    register table bit-for-bit (the driver row ``sketch_portable_suite``
     does exactly that): approximation lives in the data structure, not
     in any nondeterminism. Same portability move as
     :func:`count_min_cells` / SimHash / the LSH hyperplanes.
@@ -489,7 +489,11 @@ def quantile_buckets(
     ids; the id is monotone in the value, which is what lets
     :func:`quantile_estimate` walk a cumulative sum. NULLs are excluded
     (percentile semantics); |v| must stay below ``2^(62-scale_bits)``
-    (BIGINT lane) — far beyond any fixture or price domain.
+    (BIGINT lane) — far beyond any fixture or price domain, and ENFORCED:
+    an out-of-domain row raises instead of silently saturating the
+    non-ANSI double→bigint cast into a wrong bucket (where Spark's clamp
+    and DuckDB's erroring CAST would also diverge — the portability
+    contract fails loudly on both engines instead of quietly on one).
 
     One partial-aggregated shuffle of ≤ groups × buckets rows; counts
     are ADDITIVE across shards/ticks (:func:`quantile_histogram_merge`
@@ -503,12 +507,26 @@ def quantile_buckets(
         raise ValueError(f"need 0 <= scale_bits <= 30, got {scale_bits}")
     g = list(group_cols or [])
     v = F.col(value_col)
+    qd = F.round(F.abs(v) * F.lit(float(1 << scale_bits)))
+    # domain guard (advice): one codegen comparison per row; beyond
+    # 2^62 the bigint cast would clamp to Long.MAX_VALUE and bucket the
+    # row wrongly with no signal
+    q_checked = F.when(
+        qd >= F.lit(float(1 << 62)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "quantile_buckets: |value| exceeds the BIGINT lane "
+                    f"(2^{62 - scale_bits} at scale_bits={scale_bits}): "
+                ),
+                v.cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(qd.cast("bigint"))
     base = df.where(v.isNotNull()).select(
         *g,
         F.when(v < 0, F.lit(-1)).otherwise(F.lit(1)).alias("__sign"),
-        F.round(F.abs(v) * F.lit(float(1 << scale_bits)))
-        .cast("bigint")
-        .alias("__q"),
+        q_checked.alias("__q"),
     )
     octave = F.length(F.bin(F.col("__q")))
     shift = F.greatest(octave - F.lit(bits + 1), F.lit(0)).cast("bigint")
@@ -581,6 +599,10 @@ def quantile_estimate(
     """
     from pyspark.sql import Window
 
+    if not probs:
+        # the per-prob union below would silently return None — fail at
+        # the API boundary instead of at the caller's .collect() (advice)
+        raise ValueError("probs must be non-empty")
     for p in probs:
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"probs must be in [0, 1], got {p}")

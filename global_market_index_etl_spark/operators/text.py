@@ -609,6 +609,15 @@ def langid_train(
     is deterministic under any partitioning because the counts are exact
     integers. Labels outside ``langs`` (when given) are ignored;
     ``langs=None`` infers the sorted distinct label set.
+
+    The model stamps ``prefix_chars`` as a constant column (the
+    bits/scale_bits discipline of the quantile histograms): scoring with
+    a different prefix sample than training would silently extract a
+    different feature distribution, so :func:`langid_hashed_ngram`
+    validates the stamp against its own setting and refuses a mismatch
+    (advice fix). Cell weights round as ``floor(x + 0.5)`` — identical
+    on every engine, unlike banker's-vs-away-from-zero ``round()``
+    divergence — so a SQL oracle rebuilds the trained table exactly.
     """
     import math
 
@@ -643,22 +652,26 @@ def langid_train(
             b,
             *[
                 int(
-                    round(
+                    math.floor(
                         scale
                         * math.log(
                             (cell.get((lang, b), 0) + 1)
                             / (totals[lang] + buckets)
                         )
+                        + 0.5
                     )
                 )
                 for lang in langs
             ],
+            int(prefix_chars),
         )
         for b in range(buckets)
     ]
     return spark.createDataFrame(
         rows,
-        "bucket int, " + ", ".join(f"w_{lang} long" for lang in langs),
+        "bucket int, "
+        + ", ".join(f"w_{lang} long" for lang in langs)
+        + ", prefix_chars int",
     )
 
 
@@ -701,10 +714,29 @@ def langid_hashed_ngram(
     ``weights`` swaps in a TRAINED model (:func:`langid_train`, or any
     relation with the same ``bucket, w_<lang>…`` shape): ``langs`` and
     ``buckets`` are then read off the table itself, and the md5-derived
-    default is not built.
+    default is not built. A model carrying a ``prefix_chars`` stamp
+    (langid_train writes one) is validated against this call's
+    ``prefix_chars`` — scoring with a different prefix sample than the
+    model was trained on silently extracts a different feature
+    distribution, so a mismatch is refused, not degraded (advice fix).
+    An unstamped weights table is accepted for schema compatibility;
+    the caller then owns keeping ``prefix_chars`` equal to training.
     """
     spark = df.sparkSession
     if weights is not None:
+        if "prefix_chars" in weights.columns:
+            stamps = [
+                r[0]
+                for r in weights.select("prefix_chars").distinct().collect()
+            ]
+            if stamps != [int(prefix_chars)]:
+                raise ValueError(
+                    f"weights were trained with prefix_chars={stamps}, "
+                    f"scoring requested prefix_chars={prefix_chars} — a "
+                    "mismatched prefix sample silently degrades accuracy, "
+                    "so it is refused; pass the training value"
+                )
+            weights = weights.drop("prefix_chars")
         langs = sorted(
             c[len("w_"):] for c in weights.columns if c.startswith("w_")
         )

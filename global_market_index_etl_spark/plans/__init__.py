@@ -46,14 +46,16 @@ DRIVER_WINDOW = 50
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST = [
-    # round 13: exact_substring_dedup's plan changed MATERIALLY (the
-    # count/min-over-Window(__w) verdicts became the salted two-phase
-    # aggregate + join-back — round-12 verdict item 1); it was checked
-    # r12 under the old plan, so staleness alone would rotate it out.
-    # dedup_span_suite (same rewrite) is already in-window by staleness
-    # (last checked r11). The r12 pins (stream_interval_join,
-    # w_session_window_native) went hash-green and drain by staleness.
-    "dedup_exact_substring",
+    # round 14: the span tier's verdict replication became occupancy-
+    # adaptive (flat ×16 → occupied salts only — round-13 verdict item
+    # 1); dedup_span_suite was checked r13 under the flat-replication
+    # plan, so staleness alone would rotate it out this round.
+    # dedup_exact_substring shares the identical kernel change but the
+    # one free window slot (49 r12-stale must-checks + this pin = 50)
+    # only admits one pin; it re-enters by staleness in r15 and is
+    # oracle-verified locally at sf0.01 + the sf0.1 soak this round.
+    # The r13 pin (dedup_exact_substring) went hash-green and drains.
+    "dedup_span_suite",
 ]
 
 _ROOT = _os.path.dirname(

@@ -736,7 +736,7 @@ def sketch_event_profile(spark, sf):
 
 
 @query(
-    "sketch_portable_hll",
+    "sketch_portable_suite",
     """
     WITH h AS (
       SELECT event_type,
@@ -751,34 +751,87 @@ def sketch_event_profile(spark, sf):
       SELECT event_type, bucket,
              CASE WHEN rem = 0 THEN 51 ELSE 51 - length(bin(rem)) END AS rho
       FROM parts
+    ), qv AS (
+      SELECT event_type,
+             CASE WHEN value < 0 THEN -1 ELSE 1 END AS sign,
+             CAST(round(abs(value) * 1048576) AS BIGINT) AS q
+      FROM events WHERE value IS NOT NULL
+    ), qs AS (
+      SELECT event_type, sign, q,
+             greatest(length(bin(q)) - 7, 0) AS shift
+      FROM qv
+    ), qb AS (
+      SELECT event_type,
+             CASE WHEN q = 0 THEN 0
+                  ELSE sign * ((q >> shift) + shift * 64)
+             END AS bucket
+      FROM qs
     )
-    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
-           CAST(max(rho) AS INTEGER) AS max_rho, CAST(10 AS INTEGER) AS p
-    FROM rho GROUP BY 1, 2
+    SELECT 'hll' AS leg, event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(max(rho) AS INTEGER) AS max_rho, CAST(10 AS INTEGER) AS p,
+           CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS INTEGER) AS bits,
+           CAST(NULL AS INTEGER) AS scale_bits
+    FROM rho GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'quantile' AS leg, event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(NULL AS INTEGER) AS max_rho, CAST(NULL AS INTEGER) AS p,
+           CAST(count(*) AS BIGINT) AS cnt, CAST(6 AS INTEGER) AS bits,
+           CAST(20 AS INTEGER) AS scale_bits
+    FROM qb GROUP BY 1, 2, 3
     """,
-    doc="PORTABLE HyperLogLog registers per event_type (round 12): "
-    "distinct-user sketch whose state any engine can rebuild and check "
-    "— unlike approx_count_distinct's opaque engine-internal buffer "
-    "(sketch_event_profile, which stays the idiomatic-Spark row). The "
-    "60-bit key hash is md5-derived (operators/terms._hll_h60), bucket "
-    "= top 10 bits, rho = exact leading-zero count of the remaining 50 "
-    "bits + 1 via binary-string length (no float log2 at power-of-two "
+    doc="PORTABLE sketch suite per event_type, BOTH families as tagged "
+    "legs (round-14 fusion of the former sketch_portable_hll row with "
+    "the round-13 quantile histogram — registry headroom at 99/100, "
+    "the q_sort_limit_suite discipline; both plans execute unchanged "
+    "inside the union). 'hll' leg: HyperLogLog registers whose state "
+    "any engine can rebuild — md5-derived 60-bit hash (operators/"
+    "terms._hll_h60), bucket = top 10 bits, rho = exact leading-zero "
+    "count via binary-string length (no float log2 at power-of-two "
     "boundaries), register = max rho per bucket — ≤ 1024 rows per "
-    "group at ANY key cardinality, one partial-aggregated shuffle, no "
-    "distinct-explosion of the user space. Registers are max-mergeable "
-    "across shards/ticks (hll_merge; merge ≡ full pinned in tests) and "
-    "hll_estimate adds the Flajolet bias-corrected + linear-counting "
-    "estimator, accuracy-tested against exact distincts. FULL oracle: "
-    "DuckDB rebuilds the identical register table bit-for-bit — the "
-    "count-min/SimHash/LSH portability move applied to HLL; "
-    "approximation lives in the data structure, not in any "
-    "nondeterminism.",
+    "group at ANY key cardinality, one partial-aggregated shuffle; "
+    "max-mergeable across shards/ticks (hll_merge; merge ≡ full pinned "
+    "in tests), hll_estimate accuracy-tested against exact distincts. "
+    "'quantile' leg: the HDR/DDSketch log-bucket histogram (operators/"
+    "terms.quantile_buckets) in pure INTEGER arithmetic — fixed-point "
+    "q = round(|v|·2^20), small values exact, larger keep their top 7 "
+    "binary digits (bucket = q div 2^shift + shift·2^6, relative width "
+    "≤ 2^-6) — bounded state at any row count, counts ADDITIVE across "
+    "shards/ticks (quantile_histogram_merge), guaranteed error bound "
+    "on quantile_estimate (hypothesis-tested), streaming maintenance "
+    "in streaming/sketches.py. FULL oracle on both legs: DuckDB "
+    "rebuilds register and bucket tables bit-for-bit — the count-min/"
+    "SimHash/LSH portability move; approximation lives in the data "
+    "structure, not in any nondeterminism.",
 )
-def sketch_portable_hll(spark, sf):
-    from ..operators.terms import hll_registers
+def sketch_portable_suite(spark, sf):
+    from ..operators.terms import hll_registers, quantile_buckets
 
     events = load_table(spark, sf, "events")
-    return hll_registers(events, "user_id", p=10, group_cols=["event_type"])
+    hll = hll_registers(events, "user_id", p=10, group_cols=["event_type"])
+    qh = quantile_buckets(
+        events, "value", group_cols=["event_type"], bits=6, scale_bits=20
+    )
+    hll_leg = hll.select(
+        F.lit("hll").alias("leg"),
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        "max_rho",
+        "p",
+        F.lit(None).cast("long").alias("cnt"),
+        F.lit(None).cast("int").alias("bits"),
+        F.lit(None).cast("int").alias("scale_bits"),
+    )
+    q_leg = qh.select(
+        F.lit("quantile").alias("leg"),
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.lit(None).cast("int").alias("max_rho"),
+        F.lit(None).cast("int").alias("p"),
+        "cnt",
+        "bits",
+        "scale_bits",
+    )
+    return hll_leg.unionByName(q_leg)
 
 
 

@@ -1203,38 +1203,50 @@ def mm_decode_features(spark, sf):
     return extract_features(frame_media, decode_stub=True)
 
 
+def ann_ivf_prod_leg(spark, sf):
+    """The production IVF dial (32 lists, nprobe=4) — the tunable
+    recall/cost path of the similarity tier.  NOT a registry row since
+    round 14: centroid training (hash-ordered sample + farthest-first +
+    float cosine assignment, operators/similarity._ivf_train_centroids)
+    is engine-side and has no faithful SQL form, so this leg is
+    value-pinned instead — the full sf0.01 table must reproduce a sha256
+    fixture bit-for-bit (test_rows_only_queries_match_pinned_digest's
+    'ann_ivf_prod' entry; scripts/gen_digest_fixtures.py re-pins), with
+    recall vs the exact kernel measured in tests/test_extensions.py."""
+    from ..operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, probes, k=5, n_lists=32, nprobe=4)
+
+
 @query(
     "ann_ivf_topk",
-    None,  # centroid sampling is engine-side — recall/exactness in tests
-    doc="ANN top-k via IVF coarse quantization, BOTH dials as tagged legs "
-    "(the former standalone ann_ivf_exhaustive row fused in, round-10 "
-    "verdict item 3 — registry headroom; both plans execute unchanged "
-    "inside the union, samp_policy_suite discipline). 'prod' leg: 32 "
-    "lists, nprobe=4 — corpus vectors bucket into their nearest-centroid "
-    "list (one Arrow-batched matmul), probes scan only their nprobe "
-    "nearest lists, exact cosine re-rank inside; the tunable recall/cost "
-    "dial of the similarity tier. 'exhaustive' leg: nprobe == n_lists "
-    "degenerates to EXACT brute force (recall 1.0) — proving the index "
-    "path itself loses nothing; tuple-equality vs cosine_topk (whose "
-    "brute-force SQL oracle stays driver-checked via ann_probe_suite's "
-    "brute leg) is "
-    "asserted in tests. Value-pinned: the full sf0.01 table must "
-    "reproduce a sha256 fixture bit-for-bit "
-    "(test_rows_only_queries_match_pinned_digest; reproducibility across "
-    "disjoint parallelism verified before pinning).",
+    _SQL_ANN_BRUTE,
+    doc="ANN top-k via IVF coarse quantization at the EXHAUSTIVE dial "
+    "(nprobe == n_lists), now a FULL oracle (round-13 verdict item 3): "
+    "with every list probed the candidate union is the whole corpus, so "
+    "the result is exactly brute-force top-k REGARDLESS of the trained "
+    "centroids — the brute SQL oracle applies verbatim, and the driver "
+    "hash-match proves the index path (bucket → probe → exact cosine "
+    "re-rank with rounded-sim + id tie-break) loses nothing end to end. "
+    "The production dial (32 lists, nprobe=4 — corpus vectors bucket "
+    "into their nearest-centroid list via one Arrow-batched matmul, "
+    "probes scan only nprobe lists) runs the identical code path with "
+    "engine-side trained centroids that have no SQL form; it moved to a "
+    "dedicated digest pin (ann_ivf_prod_leg above, "
+    "test_rows_only_queries_match_pinned_digest) with recall vs the "
+    "exact kernel asserted in tests. At cluster scale lists are the "
+    "partitioning key — each probe task reads only its lists' "
+    "partitions; cost drops |probes|·|corpus| → "
+    "|probes|·(nprobe/n_lists)·|corpus|.",
 )
 def ann_ivf_topk(spark, sf):
     from ..operators.similarity import ivf_cosine_topk
 
     emb = load_table(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    prod = ivf_cosine_topk(emb, probes, k=5, n_lists=32, nprobe=4)
-    exhaustive = ivf_cosine_topk(emb, probes, k=5, n_lists=8, nprobe=8)
-    return prod.select(F.lit("prod").alias("leg"), *prod.columns).unionByName(
-        exhaustive.select(
-            F.lit("exhaustive").alias("leg"), *exhaustive.columns
-        )
-    )
+    return ivf_cosine_topk(emb, probes, k=5, n_lists=8, nprobe=8)
 
 
 @query(
@@ -3019,10 +3031,18 @@ def mm_phash_near_pairs(spark, sf):
 
 
 def _langid_oracle() -> str:
-    """DuckDB twin of operators.text.langid_hashed_ngram: the md5-derived
-    per-(language, bucket) integer weights are inlined as VALUES from the
-    same pure-python generator, trigrams/buckets rebuilt with the portable
-    md5-hex→int idiom, integer score sums exact on both engines."""
+    """DuckDB twin of operators.text.langid_hashed_ngram, BOTH weight
+    sources as tagged legs. 'default' leg: the md5-derived per-(language,
+    bucket) integer weights are inlined as VALUES from the same
+    pure-python generator. 'trained' leg (round 14, verdict item 6): the
+    oracle REBUILDS langid_train in SQL — per-(lang, bucket) trigram
+    occurrence counts over the labeled corpus, add-one-smoothed
+    multinomial naive Bayes cells floor(scale·ln((c+1)/(N+buckets))+0.5)
+    (floor(x+0.5) rounding is engine-identical, unlike banker's-vs-away
+    round()), pivoted to the dense bucket grid — then scores with the
+    identical integer-sum/argmax pipeline. Trigrams/buckets rebuilt with
+    the portable md5-hex→int idiom; integer score sums exact on both
+    engines."""
     langs = sorted(T.LANGID_LANGS)
     rows = ",\n      ".join(
         "({}, {})".format(
@@ -3030,9 +3050,13 @@ def _langid_oracle() -> str:
         )
         for b in range(T.LANGID_BUCKETS)
     )
+    nb = T.LANGID_BUCKETS
     w_cols = ", ".join(f"w_{lang}" for lang in langs)
     sums = ",\n             ".join(
         f"CAST(SUM(w.w_{lang}) AS BIGINT) AS s_{lang}" for lang in langs
+    )
+    tsums = ",\n             ".join(
+        f"CAST(SUM(tw.w_{lang}) AS BIGINT) AS s_{lang}" for lang in langs
     )
     best = "greatest({})".format(
         ", ".join(f"s_{lang}" for lang in langs)
@@ -3040,6 +3064,12 @@ def _langid_oracle() -> str:
     pred = "CASE " + " ".join(
         f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
     ) + " END"
+    lang_vals = ", ".join(f"('{lang}')" for lang in langs)
+    cells = ", ".join(
+        f"MAX(CASE WHEN lang = '{lang}' THEN w END) AS w_{lang}"
+        for lang in langs
+    )
+    sel = ", ".join(f"s_{lang}" for lang in langs)
     return f"""
     WITH w(bucket, {w_cols}) AS (
       VALUES {rows}
@@ -3054,45 +3084,85 @@ def _langid_oracle() -> str:
     ), b AS (
       SELECT doc_id, lang,
              CAST(('0x' || substr(md5(substr(p, CAST(i AS INT), 3)), 1, 4))
-                  AS BIGINT) % {T.LANGID_BUCKETS} AS bucket
+                  AS BIGINT) % {nb} AS bucket
       FROM tri
+    ), cnt AS (
+      SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM b WHERE lang IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+    ), grid AS (
+      SELECT l.lang, g.range AS bucket
+      FROM (VALUES {lang_vals}) l(lang), range({nb}) g
+    ), cell AS (
+      SELECT grid.lang, grid.bucket,
+             CAST(floor(1000000.0 * ln(
+                 (coalesce(cnt.c, 0) + 1.0)
+                 / (coalesce(tot.n, 0) + {nb})) + 0.5) AS BIGINT) AS w
+      FROM grid
+      LEFT JOIN tot ON tot.lang = grid.lang
+      LEFT JOIN cnt ON cnt.lang = grid.lang AND cnt.bucket = grid.bucket
+    ), tw AS (
+      SELECT bucket, {cells} FROM cell GROUP BY bucket
     ), s AS (
       SELECT doc_id, any_value(b.lang) AS lang,
              {sums}
       FROM b JOIN w USING (bucket)
       GROUP BY doc_id
+    ), st AS (
+      SELECT doc_id, any_value(b.lang) AS lang,
+             {tsums}
+      FROM b JOIN tw USING (bucket)
+      GROUP BY doc_id
     )
-    SELECT doc_id, lang, {", ".join(f"s_{lang}" for lang in langs)},
+    SELECT 'default' AS leg, doc_id, lang, {sel},
            {pred} AS pred_lang,
            coalesce({pred} = lang, false) AS label_match
     FROM s
+    UNION ALL
+    SELECT 'trained' AS leg, doc_id, lang, {sel},
+           {pred} AS pred_lang,
+           coalesce({pred} = lang, false) AS label_match
+    FROM st
     """
 
 
 @query(
     "text_langid",
     _langid_oracle(),
-    doc="Model-based language identification (round-12 verdict item 7 — "
-    "the acknowledged second-order gap: CCNet tertiles assume a lang "
-    "column exists; this is the component that would produce it). The "
-    "fastText/CLD ARCHITECTURE — prefix sample → stride-1 hashed char "
-    "trigrams → per-language weight sums → argmax — with the learned "
-    "weights replaced by md5-derived integers (operators/text.py "
-    "langid_weight) so the entire model is engine-portable and the "
-    "DuckDB oracle rebuilds scores integer-exactly; a trained table "
-    "drops in as a like-for-like replacement of the broadcast weights "
-    "relation. Plan: 256-char prefix cap bounds per-doc work (what "
-    "production langid samples), codegen trigram explode, 64-row "
-    "broadcast weights join, ONE map-side-combined shuffle for the "
-    "per-doc integer sums. Ties broken by ascending language code, "
-    "identically on both engines (integer equality — no float "
-    "boundary). label_match audits against the fixture's lang column.",
+    doc="Model-based language identification, BOTH weight sources as "
+    "tagged legs (round-12 verdict item 7; round 14 wires the TRAINED "
+    "path into the oracled surface — verdict item 6). The fastText/CLD "
+    "ARCHITECTURE — prefix sample → stride-1 hashed char trigrams → "
+    "per-language weight sums → argmax. 'default' leg: md5-derived "
+    "integer weights (operators/text.py langid_weight) — the entire "
+    "model engine-portable. 'trained' leg: langid_train's multinomial "
+    "naive Bayes fitted IN-PLAN on the fixture's labeled corpus (one "
+    "map-side-combined (lang, bucket) integer-count shuffle, bounded "
+    "model-sized collect, floor(x+0.5) cell rounding — engine-"
+    "identical), dropped into the same scorer via the weights relation; "
+    "the oracle REBUILDS the training in SQL and reproduces both legs' "
+    "scores integer-exactly. Plan per leg: 256-char prefix cap bounds "
+    "per-doc work (what production langid samples), codegen trigram "
+    "explode, 64-row broadcast weights join, ONE map-side-combined "
+    "shuffle for the per-doc integer sums. Ties broken by ascending "
+    "language code, identically on both engines (integer equality — no "
+    "float boundary). label_match audits against the fixture's lang "
+    "column; the prefix_chars stamp on the trained model is validated "
+    "by the scorer (advice fix).",
 )
 def text_langid(spark, sf):
     from ..operators.util import parallelize_small
 
     docs = parallelize_small(load_table(spark, sf, "documents"))
-    return T.langid_hashed_ngram(docs)
+    default = T.langid_hashed_ngram(docs)
+    model = T.langid_train(docs, langs=sorted(T.LANGID_LANGS))
+    trained = T.langid_hashed_ngram(docs, weights=model)
+    return default.select(
+        F.lit("default").alias("leg"), *default.columns
+    ).unionByName(
+        trained.select(F.lit("trained").alias("leg"), *trained.columns)
+    )
 
 
 @query(

@@ -37,7 +37,10 @@ SF_DIR = "/root/testdata/sf0.01"
 QUERIES = [
     "ann_pq_rerank",
     "mm_real_decode_stats",
-    "ann_ivf_topk",
+    # round 14: ann_ivf_topk graduated to a FULL oracle (exhaustive dial
+    # ≡ brute force — the brute SQL applies verbatim); the engine-side
+    # production dial keeps its value pin as a named builder
+    "ann_ivf_prod",
     "dedup_semantic",
     # dedup_simhash graduated to a full DuckDB oracle in round 11;
     # ann_lsh_topk followed in round 12 (md5-derived Rademacher planes)
@@ -68,6 +71,14 @@ def table_digest(df) -> tuple[int, str]:
     return len(rows), hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
 
+def _builders():
+    """Pinned callables that are NOT registry rows (the registry row
+    covers a fully-oracled dial; the engine-side dial pins here)."""
+    from global_market_index_etl_spark.plans.textdata import ann_ivf_prod_leg
+
+    return {"ann_ivf_prod": ann_ivf_prod_leg}
+
+
 def main() -> None:
     from global_market_index_etl_spark.plans import REGISTRY
     from global_market_index_etl_spark.session import get_spark
@@ -80,8 +91,10 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"not in the pin set {unknown}; add to QUERIES first")
     spark = get_spark(app_name="gmie-digest-fixtures")
+    builders = _builders()
     for name in names:
-        df = REGISTRY[name].spark(spark, SF_DIR)
+        build = builders.get(name) or REGISTRY[name].spark
+        df = build(spark, SF_DIR)
         n, digest = table_digest(df)
         out = os.path.join(
             ROOT, "tests", "fixtures", f"{name}_digest_sf0.01.json"

@@ -1428,7 +1428,9 @@ def test_langid_train_weights_classify_heldout(spark):
 
     train = _langid_corpus(spark, n_per_lang=12, start=0)
     model = langid_train(train)
-    assert model.columns == ["bucket", "w_de", "w_en", "w_fr"]
+    assert model.columns == [
+        "bucket", "w_de", "w_en", "w_fr", "prefix_chars"
+    ]
 
     heldout = _langid_corpus(spark, n_per_lang=5, start=1000)
     scored = langid_hashed_ngram(heldout, weights=model).collect()
@@ -1468,10 +1470,15 @@ def test_langid_train_validation_and_label_scoping(spark):
 
     corpus = _langid_corpus(spark)
     model = langid_train(corpus, langs=["en", "fr"])
-    assert model.columns == ["bucket", "w_en", "w_fr"]
+    assert model.columns == ["bucket", "w_en", "w_fr", "prefix_chars"]
 
     with _pytest.raises(ValueError, match="no labels"):
         langid_train(corpus.where("lang IS NULL"))
+
+    # the prefix_chars stamp (advice fix): scoring with a different
+    # prefix sample than training is refused, not silently degraded
+    with _pytest.raises(ValueError, match="prefix_chars"):
+        langid_hashed_ngram(corpus, weights=model, prefix_chars=64)
 
     bad = corpus.sparkSession.createDataFrame([(0, 1)], "bucket int, x long")
     with _pytest.raises(ValueError, match="w_<lang>"):
@@ -1561,6 +1568,36 @@ def test_quantile_histogram_refuses_mixed_grids(spark):
         quantile_histogram_merge(a, b).collect()
     with _pytest.raises(ValueError, match="mixed grids"):
         quantile_estimate(a.unionByName(b), [0.5])
+
+
+def test_quantile_histogram_domain_guards(spark):
+    """Advice fixes: an empty probs list fails at the API boundary
+    instead of returning a silent None, and a value past the BIGINT
+    fixed-point lane RAISES instead of saturating into a wrong bucket
+    (where Spark's non-ANSI clamp and DuckDB's erroring CAST would
+    silently diverge)."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.terms import (
+        quantile_buckets,
+        quantile_estimate,
+    )
+
+    df = _qh_values(spark)
+    hist = quantile_buckets(df, "v")
+    with _pytest.raises(ValueError, match="non-empty"):
+        quantile_estimate(hist, [])
+
+    scale_bits = 20
+    over = float(2 ** (63 - scale_bits))  # q = |v|*2^20 = 2^63 > 2^62
+    bad = spark.createDataFrame([(1.0,), (over,)], "v double")
+    with _pytest.raises(Exception, match="BIGINT lane"):
+        quantile_buckets(bad, "v", scale_bits=scale_bits).collect()
+    # in-domain values near the boundary still bucket fine
+    ok = spark.createDataFrame(
+        [(float(2 ** (61 - scale_bits)),)], "v double"
+    )
+    assert quantile_buckets(ok, "v", scale_bits=scale_bits).count() == 1
 
 
 def test_quantile_histogram_portable_duckdb_twin(spark):

@@ -2854,11 +2854,11 @@ def test_fuzzy_contamination_shuffle_fallback_matches_broadcast(spark, docs):
     assert bcast, "fixture slice must contain at least one true pair"
 
 
-def test_ann_ivf_suite_exhaustive_leg_equals_brute_force(spark):
-    """Registry-level lock on the fused ann_ivf_topk row (round 11): the
-    'exhaustive' leg (nprobe == n_lists) must equal the brute-force
-    cosine_topk tuples exactly — the property that justified retiring the
-    standalone oracled ann_ivf_exhaustive row."""
+def test_ann_ivf_topk_row_equals_brute_force(spark):
+    """Registry-level lock on the ann_ivf_topk row (round 11; round 14:
+    the row IS the exhaustive dial, now fully oracled): nprobe == n_lists
+    must equal the brute-force cosine_topk tuples exactly — the property
+    that makes the brute SQL oracle apply verbatim to the IVF plan."""
     from global_market_index_etl_spark.operators.similarity import (
         cosine_topk,
     )
@@ -2870,7 +2870,7 @@ def test_ann_ivf_suite_exhaustive_leg_equals_brute_force(spark):
     suite = REGISTRY["ann_ivf_topk"].spark(spark, SF_SMALL)
     leg = {
         (r.query_id, r.neighbor_id, r.cos_sim, r.rn)
-        for r in suite.filter(F.col("leg") == "exhaustive").collect()
+        for r in suite.collect()
     }
     emb = load_table(spark, SF_SMALL, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)

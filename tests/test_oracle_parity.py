@@ -65,8 +65,11 @@ def test_oracle_type_lint_catches_seeded_hugeint():
         # round 10: every remaining rows-only row whose output reproduced
         # bit-identically across disjoint parallelism settings before
         # pinning (scripts/gen_digest_fixtures.py has the verification
-        # note) — the BPE rows keep their dedicated fixture pins
-        "ann_ivf_topk",
+        # note) — the BPE rows keep their dedicated fixture pins.
+        # round 14: ann_ivf_topk graduated to a FULL oracle (exhaustive
+        # dial ≡ brute force); the engine-side production dial keeps its
+        # value pin as the non-registry builder ann_ivf_prod
+        "ann_ivf_prod",
         "dedup_semantic",
         # dedup_simhash graduated to a FULL DuckDB oracle in round 11
         # (md5-derived word hashes made the signatures portable);
@@ -102,7 +105,13 @@ def test_rows_only_queries_match_pinned_digest(spark, name):
             / f"{name}_digest_sf0.01.json"
         ).read_text()
     )
-    df = REGISTRY[name].spark(spark, fixture["sf_dir"])
+    if name == "ann_ivf_prod":
+        from global_market_index_etl_spark.plans.textdata import (
+            ann_ivf_prod_leg as build,
+        )
+    else:
+        build = REGISTRY[name].spark
+    df = build(spark, fixture["sf_dir"])
     assert sorted(df.columns) == fixture["columns"]
     cols = fixture["columns"]
 
