@@ -548,19 +548,20 @@ def exact_substring_dedup(
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
-    # ONE explicit (__w, __salt) exchange feeds BOTH consumers of the
-    # occurrence rows — the verdict partial aggregate (already clustered:
-    # no further exchange) and the join-back probe (already distributed
-    # for the sort-merge join) — and ReuseExchange dedupes the shared
-    # subtree, so the corpus-sized tokenize → window explode runs ONCE.
-    # Without it each consumer re-derived the explode behind its own
-    # exchange: two full passes + two shuffles of the largest table in
-    # the plan (the round-13 span-tier regression, verdict item 1 —
-    # measured ~1.9× on this kernel at sf1). pack_fixed_chunks is the
-    # in-repo precedent for the pattern (exchange reuse plan-asserted).
-    salted = _with_salt(occ, n_salts, doc_id, "__i").repartition(
-        F.col("__w"), F.col("__salt")
-    )
+    # NO explicit (__w, __salt) repartition here, unlike the k=8 tier:
+    # there the repartitioned table is the one-row-per-(window, doc)
+    # REDUCTION (small, and cached in the suite), so pre-distributing it
+    # for both consumers wins at every tier. Here the equivalent table
+    # is the RAW corpus-position occurrence rows — pre-shuffling those
+    # forces a sort-merge join-back where the planner's broadcast of the
+    # (occupancy-slim) verdict table costs no probe shuffle at all;
+    # measured on the 30× and planted-hot corpora the forced shuffle
+    # regressed growth 4.4×→6.1× and hot/plain 2.7×→4.6× while buying
+    # nothing at sf1. When the verdict table outgrows the broadcast
+    # threshold at cluster scale the planner falls back to a hash join
+    # on (__w, __salt) — salt-spread keys, bounded per task, skew-safe
+    # without the bake-in.
+    salted = _with_salt(occ, n_salts, doc_id, "__i")
     verdicts = _explode_occupied_salts(
         salted.groupBy("__w", "__salt")
         .agg(

@@ -287,12 +287,31 @@ def test_exact_substring_salted_skew_proof_plan(spark):
         f"expected exactly one __w-alone exchange (the bounded "
         f"partials→totals reduction), found {n_w_alone}:\n" + plan[:1500]
     )
+    _assert_adaptive_replication(plan)
+
+
+def _assert_adaptive_replication(plan: str) -> None:
+    """Round 14 (verdict item 1): verdict replication must be OCCUPANCY-
+    based — exploding the collected occupied-salt list — never the flat
+    ×n_salts ``explode(sequence(0, n_salts-1))`` cross that taxed every
+    cold duplicated window with a 16× verdict fan-out it never used
+    (the measured ~4× sf1 span-tier constant factor)."""
+    assert not re.search(r"explode\(sequence\(0,\s*\d+", plan), (
+        "flat x n_salts verdict replication crept back — replicate to "
+        "the occupied salts (collect_list in the totals aggregate), not "
+        "the full salt range:\n" + plan[:1500]
+    )
+    assert re.search(r"explode\(__occ#\d+", plan), (
+        "expected the occupied-salt explode (__occ) in the verdict "
+        "subtree:\n" + plan[:1500]
+    )
 
 
 def test_span_suite_salted_skew_proof_plan(spark):
     """The k=8 boilerplate tier shares ExactSubstr's salted discipline
     (round 13): no Window operator in the fused suite's plan, and the
-    document-frequency verdicts reduce through the salted partials."""
+    document-frequency verdicts reduce through the salted partials;
+    round 14 adds the occupancy-adaptive replication contract."""
     from global_market_index_etl_spark.operators.spans import (
         duplicate_span_suite,
     )
@@ -307,3 +326,4 @@ def test_span_suite_salted_skew_proof_plan(spark):
     assert len(
         re.findall(r"hashpartitioning\(__w#\d+, __salt#\d+", plan)
     ) >= 1
+    _assert_adaptive_replication(plan)
