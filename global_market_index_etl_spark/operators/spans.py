@@ -125,6 +125,39 @@ def _check_params(k: int, n_salts: int, name: str = "k") -> None:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
 
 
+def _rebuild_from_covered(
+    toks: DataFrame, covered: DataFrame, doc_id: str
+) -> DataFrame:
+    """Rebuild each document IN-ROW from its covered-position set:
+    surviving positions = ``array_except(sequence(1, n), covered)``
+    (order-preserving), token lookup via a higher-order ``transform`` —
+    no per-token explode, no (doc, position) anti-join shuffle, no
+    collect/sort re-aggregation (round 14; the exploded-token anti-join
+    this replaces shuffled corpus-token-sized rows and dominated the
+    30× span tier).  ``covered`` is one row per document that has any
+    covered position (``__cov`` array<int>, bounded by doc length);
+    documents without one keep every token."""
+    pre = toks.join(covered, doc_id, "left").select(
+        doc_id,
+        "__t",
+        F.array_except(
+            F.sequence(F.lit(1), F.size("__t")),
+            F.coalesce(F.col("__cov"), F.expr("CAST(array() AS array<int>)")),
+        ).alias("__keep"),
+    )
+    return pre.select(
+        doc_id,
+        F.array_join(
+            F.transform("__keep", lambda j: F.element_at(F.col("__t"), j)),
+            " ",
+        ).alias("cleaned_text"),
+        F.size("__t").cast("long").alias("n_tokens"),
+        (F.size("__t") - F.size("__keep")).cast("long").alias(
+            "n_removed_tokens"
+        ),
+    )
+
+
 def duplicate_window_profile(
     docs: DataFrame,
     *,
@@ -217,16 +250,21 @@ def remove_duplicate_spans(
        skew-proof;
     3. covered token indexes = the dup verdicts joined back on
        ``(__w, __salt)`` (inner join — only duplicated windows survive it)
-       exploded to their k positions, de-duplicated — fan-out exactly k,
-       merging of overlapping spans falls out of the DISTINCT;
-    4. surviving tokens = left-anti join of token positions against the
-       covered set; reconstruction = sort_array over (position, token)
-       structs + array_join, giving deterministic order without a
-       per-doc window sort.
+       exploded to their k positions, reduced to ONE sorted-set array per
+       document (``collect_set`` — bounded by document length, the same
+       per-doc state bound as the token array itself);
+    4. reconstruction is IN-ROW (round 14): surviving positions =
+       ``array_except(sequence(1, n), covered)`` (order-preserving,
+       hash-based), tokens looked up by position with a higher-order
+       ``transform`` + ``array_join``.  The previous shape posexploded
+       every corpus token and anti-joined on (doc, position) — a shuffle
+       of corpus-token-sized rows that dominated the 30× tier; the
+       array form shuffles only the covered positions (duplicated-window
+       fan-out, typically ≪ corpus tokens) and rebuilds at scan speed.
 
-    All shuffles are keyed by (window, salt) or (doc, position) — linear
-    in corpus size with bounded per-task rows; the per-doc state (one
-    array of that doc's tokens) is bounded by document length, same as
+    All shuffles are keyed by (window, salt) or doc — linear in corpus
+    size with bounded per-task rows; the per-doc state (the token array
+    and the covered-position set) is bounded by document length, same as
     every other text operator.
     """
     _check_params(k, n_salts)
@@ -290,38 +328,10 @@ def remove_duplicate_spans(
                 )
             ).alias("__j"),
         )
-        .distinct()
+        .groupBy(doc_id)
+        .agg(F.collect_set("__j").alias("__cov"))
     )
-    tokens = toks.select(
-        doc_id,
-        F.size("__t").alias("__n"),
-        F.posexplode("__t").alias("__j0", "__tok"),
-    ).select(doc_id, "__n", (F.col("__j0") + 1).alias("__j"), "__tok")
-    kept = tokens.join(covered, [doc_id, "__j"], "left_anti")
-    kept_agg = kept.groupBy(doc_id).agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("__j"), F.col("__tok")))
-                ),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("__cleaned"),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    base = toks.select(doc_id, F.size("__t").alias("n_tokens"))
-    return (
-        base.join(kept_agg, doc_id, "left")
-        .select(
-            doc_id,
-            F.coalesce(F.col("__cleaned"), F.lit("")).alias("cleaned_text"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (
-                F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0))
-            ).cast("long").alias("n_removed_tokens"),
-        )
-    )
+    return _rebuild_from_covered(toks, covered, doc_id)
 
 
 def duplicate_span_suite(
@@ -436,39 +446,17 @@ def duplicate_span_suite(
                 )
             ).alias("__j"),
         )
-        .distinct()
+        .groupBy(doc_id)
+        .agg(F.collect_set("__j").alias("__cov"))
     )
-    tokens = toks.select(
-        doc_id,
-        F.posexplode("__t").alias("__j0", "__tok"),
-    ).select(doc_id, (F.col("__j0") + 1).alias("__j"), "__tok")
-    kept = tokens.join(covered, [doc_id, "__j"], "left_anti")
-    kept_agg = kept.groupBy(doc_id).agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("__j"), F.col("__tok")))
-                ),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("__cleaned"),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    removal = (
-        toks.select(doc_id, F.size("__t").alias("__n"))
-        .join(kept_agg, doc_id, "left")
-        .select(
-            F.lit("removal").alias("leg"),
-            F.col(doc_id),
-            F.coalesce(F.col("__cleaned"), F.lit("")).alias("cleaned_text"),
-            F.col("__n").cast("long").alias("n_tokens"),
-            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed_tokens"),
-            F.lit(None).cast("long").alias("n_windows"),
-            F.lit(None).cast("long").alias("n_dup_windows"),
-        )
+    removal = _rebuild_from_covered(toks, covered, doc_id).select(
+        F.lit("removal").alias("leg"),
+        F.col(doc_id),
+        "cleaned_text",
+        "n_tokens",
+        "n_removed_tokens",
+        F.lit(None).cast("long").alias("n_windows"),
+        F.lit(None).cast("long").alias("n_dup_windows"),
     )
     return removal.unionByName(profile)
 
@@ -524,10 +512,11 @@ def exact_substring_dedup(
     10^8-occurrence boilerplate window spreads over ``n_salts`` tasks.
     Unique windows (the vast majority of the corpus) drop out BEFORE the
     join-back — the inner join moves only duplicated-window occurrences.
-    Then the covered-position explode (fan-out min_len, deduplicated) and
-    the per-document anti-join + ordered reassembly — the same (doc,
-    position) idiom as remove_duplicate_spans, exchange-free under the
-    doc_id pre-partition.
+    Then the covered-position explode (fan-out min_len) reduces to one
+    position-set array per document and the rebuild is in-row
+    (array_except + transform — :func:`_rebuild_from_covered`), the same
+    idiom as remove_duplicate_spans: no per-token explode or (doc,
+    position) shuffle anywhere in the tail.
 
     Returns one row per non-empty document:
     ``(doc_id, cleaned_text, n_tokens, n_removed_tokens)``.
@@ -594,30 +583,7 @@ def exact_substring_dedup(
                 F.expr(f"sequence(__i, __i + {L - 1})")
             ).alias("__j"),
         )
-        .distinct()
+        .groupBy(doc_id)
+        .agg(F.collect_set("__j").alias("__cov"))
     )
-    tokens = toks.select(
-        doc_id, F.posexplode("__t").alias("__j0", "__tok")
-    ).select(doc_id, (F.col("__j0") + 1).alias("__j"), "__tok")
-    kept = tokens.join(covered, [doc_id, "__j"], "left_anti")
-    kept_agg = kept.groupBy(doc_id).agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("__j"), F.col("__tok")))
-                ),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("__cleaned"),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    base = toks.select(doc_id, F.size("__t").alias("n_tokens"))
-    return base.join(kept_agg, doc_id, "left").select(
-        doc_id,
-        F.coalesce(F.col("__cleaned"), F.lit("")).alias("cleaned_text"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (
-            F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0))
-        ).cast("long").alias("n_removed_tokens"),
-    )
+    return _rebuild_from_covered(toks, covered, doc_id)

@@ -2107,12 +2107,14 @@ def dedup_containment_clusters(spark, sf):
     "boilerplate scrubber (dedup_span_suite), occurrences are counted "
     "GLOBALLY (within-document paste-twice repeats count) and the first "
     "occurrence (min (doc, position)) survives intact. Plan: one "
-    "stride-1 window explode (rows = corpus tokens), ONE shuffle keyed "
-    "by window md5 (count + min-survivor as window functions — no "
-    "self-join), covered-position explode, (doc, position) anti-join + "
-    "ordered reassembly under the doc_id pre-partition. The oracle "
-    "rebuilds the identical md5 windows and survivor ranking in SQL — "
-    "exact, value for value.",
+    "stride-1 window explode (rows = corpus tokens), the salted "
+    "two-phase verdict aggregate with occupancy-adaptive join-back "
+    "(operators/spans.py module docstring), covered positions reduced "
+    "to one set-array per document, and an IN-ROW rebuild "
+    "(array_except + higher-order transform — round 14; no per-token "
+    "explode or (doc, position) shuffle). The oracle rebuilds the "
+    "identical md5 windows and survivor ranking in SQL — exact, value "
+    "for value.",
 )
 def dedup_exact_substring(spark, sf):
     from ..operators.spans import exact_substring_dedup
@@ -2154,10 +2156,11 @@ def dedup_exact_substring(spark, sf):
     "aggregate. 'removal' leg (operators/spans.remove_duplicate_spans): "
     "tokens covered by any cross-document duplicate window are dropped "
     "and each document is reconstructed in order, entirely JVM-side "
-    "(posexplode windows → dup-set aggregate → k-fanout covered indexes "
-    "→ anti-join survivors → sort_array/array_join rebuild); every "
-    "shuffle is keyed by window string or (doc, position) — linear in "
-    "corpus size. The fused operator (spans.duplicate_span_suite) "
+    "(posexplode windows → salted dup-set aggregate → k-fanout covered "
+    "indexes reduced to one set-array per doc → in-row array_except + "
+    "transform rebuild, round 14); every shuffle is keyed by (window, "
+    "salt) or doc — linear in corpus size. The fused operator "
+    "(spans.duplicate_span_suite) "
     "computes the shared window-explode → (window, doc) shuffle → "
     "doc-frequency subtree ONCE and persists it instead of once per leg "
     "(2.6 → 1.4 s at sf0.1; leg-equivalence to the standalone operators "
