@@ -489,8 +489,10 @@ def quantile_buckets(
     ids; the id is monotone in the value, which is what lets
     :func:`quantile_estimate` walk a cumulative sum. NULLs are excluded
     (percentile semantics); |v| must stay below ``2^(62-scale_bits)``
-    (BIGINT lane) — far beyond any fixture or price domain, and ENFORCED:
-    an out-of-domain row raises instead of silently saturating the
+    (BIGINT lane) and be a real number — far beyond any fixture or price
+    domain, and ENFORCED: an out-of-domain row (including NaN, which no
+    ordering-based bucket can represent) raises instead of silently
+    saturating the
     non-ANSI double→bigint cast into a wrong bucket (where Spark's clamp
     and DuckDB's erroring CAST would also diverge — the portability
     contract fails loudly on both engines instead of quietly on one).
@@ -510,14 +512,20 @@ def quantile_buckets(
     qd = F.round(F.abs(v) * F.lit(float(1 << scale_bits)))
     # domain guard (advice): one codegen comparison per row; beyond
     # 2^62 the bigint cast would clamp to Long.MAX_VALUE and bucket the
-    # row wrongly with no signal
+    # row wrongly with no signal. NaN must be caught explicitly (r14
+    # advice item 2): NaN >= 2^62 is false, so without the isnan arm a
+    # NaN would fall to the otherwise branch where Spark's non-ANSI
+    # double→bigint cast yields 0 (silently bucketed at 0) while
+    # DuckDB's CAST errors — the exact quiet-on-one-engine divergence
+    # this guard exists to eliminate.
     q_checked = F.when(
-        qd >= F.lit(float(1 << 62)),
+        (qd >= F.lit(float(1 << 62))) | F.isnan(v.cast("double")),
         F.raise_error(
             F.concat(
                 F.lit(
-                    "quantile_buckets: |value| exceeds the BIGINT lane "
-                    f"(2^{62 - scale_bits} at scale_bits={scale_bits}): "
+                    "quantile_buckets: value is NaN or |value| exceeds the "
+                    f"BIGINT lane (2^{62 - scale_bits} at "
+                    f"scale_bits={scale_bits}): "
                 ),
                 v.cast("string"),
             )

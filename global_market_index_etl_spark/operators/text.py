@@ -615,9 +615,18 @@ def langid_train(
     a different prefix sample than training would silently extract a
     different feature distribution, so :func:`langid_hashed_ngram`
     validates the stamp against its own setting and refuses a mismatch
-    (advice fix). Cell weights round as ``floor(x + 0.5)`` — identical
-    on every engine, unlike banker's-vs-away-from-zero ``round()``
-    divergence — so a SQL oracle rebuilds the trained table exactly.
+    (advice fix). Cell weights round as ``floor(x + 0.5)``, which
+    removes the banker's-vs-away-from-zero ``round()`` divergence class
+    entirely; the residual cross-engine dependence is libm's ``ln``
+    (r14 advice item 3): ``floor(scale·ln(...) + 0.5)`` agrees only
+    when both engines' ``ln`` match to the last ulp near ``.5``
+    boundaries. That margin is comfortable here — the smoothed ratios
+    are rationals with |ln| ≤ ~15, scale=1000 puts the nearest ``.5``
+    boundary ≥ hundreds of ulps away for the fixture vocabularies, and
+    this host's shared libm makes the driver comparison exact — but a
+    heterogeneous-libm deployment should treat the trained-table
+    oracle as sound-not-bitwise-guaranteed (the LSH oracle documents
+    its float-divergence soundness the same way).
     """
     import math
 

@@ -45,17 +45,13 @@ DRIVER_WINDOW = 50
 # sorts at staleness 0, ahead of everything, and lands in-window by itself.
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
-PRIORITY_FIRST = [
-    # round 14: the span tier's verdict replication became occupancy-
-    # adaptive (flat ×16 → occupied salts only — round-13 verdict item
-    # 1); dedup_span_suite was checked r13 under the flat-replication
-    # plan, so staleness alone would rotate it out this round.
-    # dedup_exact_substring shares the identical kernel change but the
-    # one free window slot (49 r12-stale must-checks + this pin = 50)
-    # only admits one pin; it re-enters by staleness in r15 and is
-    # oracle-verified locally at sf0.01 + the sf0.1 soak this round.
-    # The r13 pin (dedup_exact_substring) went hash-green and drains.
-    "dedup_span_suite",
+PRIORITY_FIRST: list[str] = [
+    # round 15: empty. The r14 pin (dedup_span_suite) went hash-green
+    # under the occupancy-adaptive plan and drains. The three rows whose
+    # plans/oracles materially changed in r14 (dedup_exact_substring,
+    # ann_ivf_topk, text_langid) are r13-stale, so they re-enter the r15
+    # window as MUST-CHECK rows by staleness alone — pinning anything
+    # else would displace one of them (round-14 verdict item 2).
 ]
 
 _ROOT = _os.path.dirname(

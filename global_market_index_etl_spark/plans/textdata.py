@@ -2481,44 +2481,61 @@ def ann_sq8_rerank(spark, sf):
     )
 
 
-@query(
-    "ann_pq_rerank",
-    None,  # PQ codebooks are DATA-DEPENDENT (trained k-means per
-    # subspace), so unlike SQ8's per-vector arithmetic no portable SQL
-    # can reproduce the codes. The exact twins live in pytest
-    # (tests/test_extensions.py): encode and ADC-score parity against a
-    # pure-numpy PQ reference, rerank >= |corpus| with nprobe = n_lists
-    # provably EQUAL to cosine_topk (tuple equality), recall at
-    # production dials, and partitioning determinism.
-    doc="IVF + PRODUCT QUANTIZATION + asymmetric distance + full-precision "
-    "re-rank (operators/similarity.ivf_pq_topk) — the Faiss IVFx,PQm "
-    "compression tier past SQ8: dim 64 at m=8 stores 8 code bytes + one "
-    "norm per vector, a 32x candidate-scan reduction vs floats (SQ8's is "
-    "4x), which at 100 TB of embeddings is the difference between "
-    "scanning everything and ~3 TB. Codebooks train driver-side on a "
-    "bounded hash-ordered sample (deterministic farthest-first seeds + "
-    "Lloyd, as Faiss trains on samples); corpus encoding is one "
-    "Arrow-batched pass; each probe carries its flattened ADC table "
-    "(m*ksub doubles) so the candidate scan's quantized inner product "
-    "is a pure JVM indexed-lookup fold — fixed evaluation order, "
-    "deterministic on any partitioning; the shared "
-    "_candidate_exact_rerank tail restores full precision for the "
-    "winners. This row runs the production dials (nprobe=n_lists on 8 "
-    "lists, rerank=20) — approximation live in the output, twins pinned "
-    "in pytest. VALUE-PINNED at fixture strength (round-9 verdict item "
-    "4): tests/test_oracle_parity.py::"
-    "test_rows_only_queries_match_pinned_digest[ann_pq_rerank] asserts "
-    "the full sf0.01 table's sha256 against "
-    "tests/fixtures/ann_pq_rerank_digest_sf0.01.json "
-    "(scripts/gen_digest_fixtures.py).",
-)
-def ann_pq_rerank(spark, sf):
+def ann_pq_prod_leg(spark, sf):
+    """The production IVF,PQ dial (8 lists, nprobe=n_lists, rerank=20) —
+    the compression tier's tunable recall/cost path.  NOT a registry row
+    since round 15 (the same move that graduated IVF in r14): the
+    registry row now runs the exhaustive dial under the brute SQL
+    oracle, while this leg keeps the bounded-rerank approximation LIVE
+    in its output, so it is value-pinned instead — the full sf0.01
+    table must reproduce a sha256 fixture bit-for-bit
+    (test_rows_only_queries_match_pinned_digest's 'ann_pq_prod' entry;
+    scripts/gen_digest_fixtures.py re-pins), with encode/ADC parity vs
+    a pure-numpy PQ reference and recall at production dials asserted
+    in tests/test_extensions.py."""
     from ..operators.similarity import ivf_pq_topk
 
     emb = load_table(spark, sf, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return ivf_pq_topk(
         emb, probes, k=5, n_lists=8, nprobe=8, m=8, ksub=16, rerank=20
+    )
+
+
+@query(
+    "ann_pq_rerank",
+    _SQL_ANN_BRUTE,
+    doc="ANN top-k via IVF + PRODUCT QUANTIZATION + asymmetric distance + "
+    "full-precision re-rank (operators/similarity.ivf_pq_topk) at the "
+    "EXHAUSTIVE dial, a FULL oracle since round 15 (round-14 verdict "
+    "item 4 — the same move that graduated IVF): with nprobe == n_lists "
+    "every list is probed and with rerank >= |corpus| the quantized "
+    "R-cut keeps EVERY candidate, so the exact re-rank tail returns "
+    "precisely brute-force top-k REGARDLESS of the trained codebooks — "
+    "the brute SQL oracle applies verbatim (the pytest twin "
+    "test_pq_rerank_full_envelope_equals_brute_force pins exactly this "
+    "equality), and the driver hash-match proves the full PQ path "
+    "(codebook train → Arrow-batched encode → ADC indexed-lookup fold → "
+    "R-cut → exact rerank, rounded-sim + id tie-break) loses nothing "
+    "end to end. Why the tier exists at scale: dim 64 at m=8 stores 8 "
+    "code bytes + one norm per vector, a 32x candidate-scan reduction "
+    "vs floats (SQ8's is 4x) — at 100 TB of embeddings the difference "
+    "between scanning everything and ~3 TB. The production dial "
+    "(rerank=20 — approximation live in the output) moved to a "
+    "dedicated digest pin (ann_pq_prod_leg above, "
+    "test_rows_only_queries_match_pinned_digest) with recall vs the "
+    "exhaustive kernel asserted in tests.",
+)
+def ann_pq_rerank(spark, sf):
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    # rerank bound: any value >= |corpus| is exhaustive; 1<<30 dominates
+    # every test/bench SF (sf1 embeddings ~ 6e4 rows) without collecting
+    # a count first — the R-cut filter is a literal comparison.
+    return ivf_pq_topk(
+        emb, probes, k=5, n_lists=8, nprobe=8, m=8, ksub=16, rerank=1 << 30
     )
 
 

@@ -35,12 +35,14 @@ SF_DIR = "/root/testdata/sf0.01"
 # of the input multiset. text_bpe_tokens/text_bpe_train keep their own
 # dedicated fixture pins (tests/test_bpe_tokenize.py).
 QUERIES = [
-    "ann_pq_rerank",
     "mm_real_decode_stats",
     # round 14: ann_ivf_topk graduated to a FULL oracle (exhaustive dial
     # ≡ brute force — the brute SQL applies verbatim); the engine-side
-    # production dial keeps its value pin as a named builder
+    # production dial keeps its value pin as a named builder. Round 15:
+    # ann_pq_rerank graduated the same way; its production dial
+    # (rerank=20) pins here as ann_pq_prod.
     "ann_ivf_prod",
+    "ann_pq_prod",
     "dedup_semantic",
     # dedup_simhash graduated to a full DuckDB oracle in round 11;
     # ann_lsh_topk followed in round 12 (md5-derived Rademacher planes)
@@ -74,9 +76,12 @@ def table_digest(df) -> tuple[int, str]:
 def _builders():
     """Pinned callables that are NOT registry rows (the registry row
     covers a fully-oracled dial; the engine-side dial pins here)."""
-    from global_market_index_etl_spark.plans.textdata import ann_ivf_prod_leg
+    from global_market_index_etl_spark.plans.textdata import (
+        ann_ivf_prod_leg,
+        ann_pq_prod_leg,
+    )
 
-    return {"ann_ivf_prod": ann_ivf_prod_leg}
+    return {"ann_ivf_prod": ann_ivf_prod_leg, "ann_pq_prod": ann_pq_prod_leg}
 
 
 def main() -> None:

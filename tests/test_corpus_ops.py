@@ -1593,6 +1593,14 @@ def test_quantile_histogram_domain_guards(spark):
     bad = spark.createDataFrame([(1.0,), (over,)], "v double")
     with _pytest.raises(Exception, match="BIGINT lane"):
         quantile_buckets(bad, "v", scale_bits=scale_bits).collect()
+    # NaN raises too (r14 advice item 2): NaN >= 2^62 is FALSE, so
+    # without a dedicated isnan arm it would fall through to Spark's
+    # non-ANSI double→bigint cast (0 — silently bucketed) while
+    # DuckDB's CAST errors — the quiet-on-one-engine divergence the
+    # guard exists to eliminate.
+    nan_df = spark.createDataFrame([(1.0,), (float("nan"),)], "v double")
+    with _pytest.raises(Exception, match="NaN"):
+        quantile_buckets(nan_df, "v", scale_bits=scale_bits).collect()
     # in-domain values near the boundary still bucket fine
     ok = spark.createDataFrame(
         [(float(2 ** (61 - scale_bits)),)], "v double"

@@ -60,7 +60,6 @@ def test_oracle_type_lint_catches_seeded_hugeint():
 @pytest.mark.parametrize(
     "name",
     [
-        "ann_pq_rerank",
         "mm_real_decode_stats",
         # round 10: every remaining rows-only row whose output reproduced
         # bit-identically across disjoint parallelism settings before
@@ -68,8 +67,12 @@ def test_oracle_type_lint_catches_seeded_hugeint():
         # note) — the BPE rows keep their dedicated fixture pins.
         # round 14: ann_ivf_topk graduated to a FULL oracle (exhaustive
         # dial ≡ brute force); the engine-side production dial keeps its
-        # value pin as the non-registry builder ann_ivf_prod
+        # value pin as the non-registry builder ann_ivf_prod. Round 15:
+        # ann_pq_rerank graduated the same way; its production dial
+        # (rerank=20, identical params to the retired registry dial, so
+        # the frozen digest carries over) pins as ann_pq_prod.
         "ann_ivf_prod",
+        "ann_pq_prod",
         "dedup_semantic",
         # dedup_simhash graduated to a FULL DuckDB oracle in round 11
         # (md5-derived word hashes made the signatures portable);
@@ -105,10 +108,10 @@ def test_rows_only_queries_match_pinned_digest(spark, name):
             / f"{name}_digest_sf0.01.json"
         ).read_text()
     )
-    if name == "ann_ivf_prod":
-        from global_market_index_etl_spark.plans.textdata import (
-            ann_ivf_prod_leg as build,
-        )
+    if name in ("ann_ivf_prod", "ann_pq_prod"):
+        from global_market_index_etl_spark.plans import textdata
+
+        build = getattr(textdata, f"{name}_leg")
     else:
         build = REGISTRY[name].spark
     df = build(spark, fixture["sf_dir"])
