@@ -395,6 +395,189 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     )
 
 
+def _bloom_pos(key_col: str, j: int, m_bits: int):
+    """``j``-th Bloom bit position of a key: the :func:`_hll_h60`-style
+    md5-derived 60-bit integer of ``'<j>:' || key``, mod ``m_bits`` —
+    engine-portable (DuckDB: ``CAST(('0x' || substr(md5(j || ':' || k),
+    1, 15)) AS BIGINT) % m_bits`` yields the identical position; 15 hex
+    chars keep the lane positive so ``%`` agrees across engines)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % F.lit(int(m_bits))
+
+
+def bloom_registers(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Portable Bloom-filter registers for set membership of ``key_col``:
+    ``(*group_cols, word_idx, bits, m_bits, k_hashes)`` — at most
+    ``m_bits/32`` rows per group (only OCCUPIED 32-bit words are
+    emitted), regardless of key cardinality.
+
+    The missing member of the portable-sketch family (count-min counts,
+    HLL distinct-counts, quantile histogram ranks — this one answers
+    MEMBERSHIP): at 100 TB the shape is a decontamination / revisit
+    pre-filter — broadcast a fixed-size filter of the eval-set (or
+    already-ingested) fingerprints instead of shipping the fingerprints
+    themselves, and pay the exact check only for probes the filter
+    cannot rule out. No false negatives ever; false-positive rate
+    ``(1 - e^(-k·n/m))^k``, so size ``m_bits ∝ n`` (~10 bits/key for
+    ~1%). Same portability discipline as :func:`hll_registers`: bit
+    positions derive from md5 (:func:`_bloom_pos`), a pure function of
+    the key every engine reproduces, so a DuckDB oracle rebuilds the
+    IDENTICAL packed-word table bit-for-bit — approximation lives in
+    the data structure, never in nondeterminism.
+
+    Packing: position ``pos`` sets bit ``pos % 32`` of word ``pos DIV
+    32`` — 32-bit words in a BIGINT lane stay positive, so ``bit_or``
+    / ``<<`` / ``>>`` agree across engines with no sign edge cases.
+    One partial-aggregated ``bit_or`` shuffle; registers are
+    OR-mergeable across corpus shards / streaming ticks
+    (:func:`bloom_merge` — ``registers(a ∪ b) ≡ merge(registers(a),
+    registers(b))``). ``m_bits``/``k_hashes`` ride on every row so
+    persisted filters are never dimensionless; :func:`bloom_contains`
+    validates them IN-PLAN and refuses a mismatch (the count-min /
+    quantile-histogram discipline)."""
+    if not 64 <= m_bits <= 1 << 30 or m_bits % 32:
+        raise ValueError(
+            f"need 64 <= m_bits <= 2^30 and m_bits % 32 == 0, got {m_bits}"
+        )
+    if not 1 <= k_hashes <= 16:
+        raise ValueError(f"need 1 <= k_hashes <= 16, got {k_hashes}")
+    g = list(group_cols or [])
+    # NULL keys are not members of any set (the hll_registers rule);
+    # without the filter NULL would md5 to NULL and mint phantom rows
+    df = df.filter(F.col(key_col).isNotNull())
+    pos = F.explode(
+        F.array(*[_bloom_pos(key_col, j, m_bits) for j in range(k_hashes)])
+    )
+    return (
+        df.select(*g, pos.alias("__pos"))
+        .select(
+            *g,
+            F.expr("__pos DIV 32").alias("word_idx"),
+            # SQL form: shiftleft's Python wrapper takes only a literal
+            # shift, the expression form takes a column
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(__pos % 32 as int))"
+            ).alias("__bit"),
+        )
+        .groupBy(*g, "word_idx")
+        .agg(F.bit_or("__bit").alias("bits"))
+        .withColumn("m_bits", F.lit(int(m_bits)))
+        .withColumn("k_hashes", F.lit(int(k_hashes)))
+    )
+
+
+def bloom_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge Bloom registers from disjoint corpus shards / ticks:
+    elementwise ``bit_or`` per (group, word). Mismatched dimensions
+    (``m_bits``/``k_hashes`` are grouping keys) can never silently mix
+    — and :func:`bloom_contains` refuses a table carrying more than
+    one dimension pair in-plan."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    keys = [c for c in merged.columns if c != "bits"]
+    return merged.groupBy(*keys).agg(F.bit_or("bits").alias("bits")).select(
+        *merged.columns
+    )
+
+
+def bloom_contains(
+    filters: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    id_cols: list[str],
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Probe a Bloom register table: ``probes`` + a ``bloom_hit``
+    boolean — true iff EVERY one of the key's ``k_hashes`` bit
+    positions is set (possibly-present; false ⇒ definitely absent).
+
+    Plan shape for 100-TB probes: the probe side explodes to its ≤
+    ``k_hashes`` DISTINCT positions, the filter side is the bounded
+    packed-word table (≤ ``m_bits/32`` rows — broadcastable by stats),
+    so the probe is one equi-join on ``word_idx`` + an all-bits-set
+    aggregate: never a fingerprint-set shuffle. The caller's declared
+    ``m_bits``/``k_hashes`` are validated IN-PLAN against the stamped
+    columns — probing with the wrong dimensions would silently compute
+    wrong positions, so a mismatched row raises instead (the langid
+    ``prefix_chars`` / count-min discipline)."""
+    if not id_cols:
+        raise ValueError("id_cols must name the probe identity columns")
+    guard_ok = (F.col("m_bits") == F.lit(int(m_bits))) & (
+        F.col("k_hashes") == F.lit(int(k_hashes))
+    )
+    checked = filters.select(
+        F.when(
+            guard_ok, F.col("word_idx")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bloom_contains: filter dimensions do not match "
+                        f"the declared (m_bits={m_bits}, "
+                        f"k_hashes={k_hashes}): got ("
+                    ),
+                    F.col("m_bits").cast("string"),
+                    F.lit(", "),
+                    F.col("k_hashes").cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("bigint")
+        ).alias("word_idx"),
+        "bits",
+    )
+    pos = F.explode(
+        F.array_distinct(
+            F.array(
+                *[_bloom_pos(key_col, j, m_bits) for j in range(k_hashes)]
+            )
+        )
+    )
+    probe_pos = probes.filter(F.col(key_col).isNotNull()).select(
+        *id_cols, pos.alias("__pos")
+    )
+    hit_per_pos = probe_pos.join(
+        checked,
+        F.expr("__pos DIV 32") == checked["word_idx"],
+        "left",
+    ).select(
+        *id_cols,
+        (
+            F.col("bits").isNotNull()
+            & (
+                F.expr(
+                    "shiftright(bits, cast(__pos % 32 as int)) & 1"
+                )
+                == 1
+            )
+        ).alias("__set"),
+    )
+    return hit_per_pos.groupBy(*id_cols).agg(
+        F.bool_and("__set").alias("bloom_hit")
+    )
+
+
 def hll_estimate(
     registers: DataFrame,
     *,

@@ -241,6 +241,30 @@ def materialize_shared(
         return mat
 
 
+def clear_shared_cache() -> int:
+    """Unpersist and drop every COMPLETED :func:`materialize_shared`
+    entry; returns how many were released.
+
+    For long-lived processes that switch datasets mid-flight (bench.py's
+    sf0.1 → sf1 → 30× smoke sequence in one 8g JVM — round-14 verdict
+    finding 2: by the smoke block, leftover cached reductions from three
+    datasets were squeezing execution memory and a 2.8 s query read
+    16.4 s). Safe at any point: the next identical call simply
+    re-materializes and re-caches — semantics are unchanged, only the
+    one-time persist cost is paid again (a median-of-3 absorbs it).
+    In-flight placeholders are left for their owners to complete."""
+    with _SHARED_CACHE_LOCK:
+        done = [k for k, e in _SHARED_CACHE.items() if e.event.is_set()]
+        entries = [_SHARED_CACHE.pop(k) for k in done]
+    for ent in entries:
+        if ent.mat is not None:
+            try:
+                ent.mat.unpersist(blocking=True)
+            except Exception:
+                pass  # checkpointed or dead-session entry
+    return len(entries)
+
+
 def truncate_lineage(
     df: DataFrame,
     checkpoint_dir: str | None = None,

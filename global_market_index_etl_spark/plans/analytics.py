@@ -834,6 +834,128 @@ def sketch_portable_suite(spark, sf):
     return hll_leg.unionByName(q_leg)
 
 
+@query(
+    "sketch_bloom_filter",
+    """
+    WITH fps AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT fp FROM fps WHERE doc_id % 17 <> 0
+    ), ev AS (
+      SELECT doc_id, fp FROM fps
+      WHERE doc_id % 17 = 0
+         OR (doc_id % 17 <> 0 AND doc_id % 97 = 0)
+    ), js AS (
+      SELECT unnest(range(3)) AS j
+    ), cpos AS (
+      SELECT CAST(('0x' || substr(md5(j::VARCHAR || ':' || fp), 1, 15))
+                  AS BIGINT) % 1048576 AS pos
+      FROM corpus, js
+    ), regs AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+      FROM cpos GROUP BY 1
+    ), epos AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(j::VARCHAR || ':' || fp), 1, 15))
+                  AS BIGINT) % 1048576 AS pos
+      FROM ev, js
+    ), echk AS (
+      SELECT e.doc_id,
+             bool_and(r.bits IS NOT NULL
+                      AND ((r.bits >> CAST(e.pos % 32 AS INTEGER)) & 1) = 1)
+               AS bloom_hit
+      FROM epos e LEFT JOIN regs r ON r.word_idx = e.pos // 32
+      GROUP BY 1
+    )
+    SELECT 'registers' AS leg, CAST(word_idx AS BIGINT) AS word_idx,
+           CAST(bits AS BIGINT) AS bits, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS INTEGER) AS bloom_hit,
+           CAST(NULL AS INTEGER) AS actual
+    FROM regs
+    UNION ALL
+    SELECT 'probe' AS leg, CAST(NULL AS BIGINT) AS word_idx,
+           CAST(NULL AS BIGINT) AS bits, CAST(ev.doc_id AS BIGINT) AS doc_id,
+           CAST(echk.bloom_hit AS INTEGER) AS bloom_hit,
+           CAST(ev.fp IN (SELECT fp FROM corpus) AS INTEGER) AS actual
+    FROM ev JOIN echk ON echk.doc_id = ev.doc_id
+    """,
+    doc="PORTABLE Bloom filter, build + probe as tagged legs (new round "
+    "15 — the membership member of the sketch family next to count-min/"
+    "HLL/quantile; operators/terms.bloom_registers / bloom_contains). "
+    "The 100-TB shape: a decontamination pre-filter — instead of "
+    "shipping the eval corpus's fingerprint SET to every probe task, "
+    "broadcast a fixed-size filter (m=2^20 bits packed into ≤ 32k "
+    "bigint words, only occupied words materialized) and pay the exact "
+    "check just for probes the filter cannot rule out; no false "
+    "negatives ever, FP rate (1-e^(-kn/m))^k so m sizes ∝ corpus "
+    "(~10 bits/key for ~1%). 'registers' leg: the packed-word table "
+    "over the training slice's (doc_id % 17 <> 0) whole-doc md5 "
+    "fingerprints — bit positions are md5-derived (terms._bloom_pos, "
+    "the _hll_h60 discipline), ONE partial-aggregated bit_or shuffle, "
+    "OR-mergeable across shards/ticks (bloom_merge; merge ≡ full "
+    "pinned in tests). 'probe' leg: the eval slice (doc_id % 17 = 0) "
+    "probed via k distinct positions → equi-join on word_idx → "
+    "all-bits-set aggregate (never a fingerprint-set shuffle), with "
+    "the EXACT membership verdict alongside so the no-false-negative "
+    "contract is live in the driver hash (actual ⇒ bloom_hit on every "
+    "row; a deterministic corpus sample (doc_id % 97) rides in the "
+    "probe set so guaranteed-member rows exist at every SF). m_bits/k_hashes ride on the register rows and "
+    "bloom_contains refuses a dimension mismatch in-plan. FULL oracle: "
+    "DuckDB rebuilds the identical packed words and verdicts "
+    "bit-for-bit — approximation lives in the data structure, not in "
+    "nondeterminism.",
+)
+def sketch_bloom_filter(spark, sf):
+    from ..operators.terms import bloom_contains, bloom_registers
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    # probe set = the eval slice PLUS a deterministic sample of corpus
+    # members re-probed (doc_id % 97): guaranteed actual=1 rows keep the
+    # all-bits-set TRUE path and the no-false-negative contract LIVE in
+    # the driver hash (the eval slice alone may have zero members)
+    eval_df = docs.filter(
+        (F.col("doc_id") % 17 == 0)
+        | ((F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 97 == 0))
+    )
+    filt = bloom_registers(corpus, "fp", m_bits=1 << 20, k_hashes=3)
+    probed = bloom_contains(
+        filt,
+        eval_df,
+        "fp",
+        id_cols=["doc_id"],
+        m_bits=1 << 20,
+        k_hashes=3,
+    )
+    member = corpus.select("fp").distinct().withColumn(
+        "actual", F.lit(True)
+    )
+    probe_leg = (
+        eval_df.join(probed, "doc_id")
+        .join(member, "fp", "left")
+        .select(
+            F.lit("probe").alias("leg"),
+            F.lit(None).cast("long").alias("word_idx"),
+            F.lit(None).cast("long").alias("bits"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("bloom_hit").cast("int").alias("bloom_hit"),
+            F.coalesce(F.col("actual"), F.lit(False))
+            .cast("int")
+            .alias("actual"),
+        )
+    )
+    reg_leg = filt.select(
+        F.lit("registers").alias("leg"),
+        F.col("word_idx").cast("long").alias("word_idx"),
+        F.col("bits").cast("long").alias("bits"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("int").alias("bloom_hit"),
+        F.lit(None).cast("int").alias("actual"),
+    )
+    return reg_leg.unionByName(probe_leg)
 
 
 @query(

@@ -2782,26 +2782,10 @@ def text_ppl_buckets(spark, sf):
     )
 
 
-@query(
-    "text_bpe_tokens",
-    None,  # iterative greedy merges have no SQL form — reference-encoder
-    # parity is asserted per-word and per-document in pytest, and the FULL
-    # sf0.01 table must reproduce the pure-python reference's sha256 digest
-    # (hash-strength despite rows-only status):
-    # tests/test_bpe_tokenize.py::test_bpe_stats_sf001_match_reference_digest
-    # against tests/fixtures/bpe_stats_sf0.01.json (generated by
-    # scripts/gen_bpe_fixture.py with NO Spark involved).
-    doc="REAL byte-pair encoding (operators/tokenize.py): the iterative "
-    "greedy merge procedure whose output length is what token budgets "
-    "and packing actually measure — not the regex approximation. "
-    "Arrow-batched pandas_udf with per-batch word memoization (Zipf "
-    "makes the memo hit-rate the dominant term); embarrassingly "
-    "parallel, no shuffle. n_bpe_singletons is the OOV-pressure signal. "
-    "Value-checked at hash strength: "
-    "test_bpe_stats_sf001_match_reference_digest pins the full-table "
-    "sha256 precomputed by the pure-python reference encoder.",
-)
 def text_bpe_tokens(spark, sf):
+    """'tokens' leg of :func:`text_bpe_suite` (a standalone registry row
+    until round 15 — fused for registry headroom, round-14 verdict item
+    6; both plans execute unchanged)."""
     from ..operators.tokenize import bpe_token_stats
     from ..operators.util import parallelize_small
 
@@ -2811,37 +2795,68 @@ def text_bpe_tokens(spark, sf):
     )
 
 
-@query(
-    "text_bpe_train",
-    None,  # iterative corpus-scale training has no SQL form — both engine
-    # paths are asserted equal to an independent naive pure-python trainer
-    # in tests/test_bpe_tokenize.py (parity, determinism under
-    # partitioning, overlapping-pair semantics, early stop)
-    doc="Distributed BPE vocabulary TRAINING (round-7 verdict item 3, "
-    "operators/tokenize.py:bpe_train_merges): learns the merge table the "
-    "encoder applies — Sennrich et al. ACL 2016, Spark-first. ONE "
-    "corpus-scale pass builds the word-frequency table (partial-agg "
-    "shuffle, vocabulary-sized output); the k-iteration merge loop is "
-    "then cost-based like operators/dedup.py — driver-side incremental "
-    "trainer under the vocab threshold, else a fully distributed loop: "
-    "zip_with adjacent-pair explode → weighted groupBy → ONE-ROW top-1 "
-    "collect → built-in aggregate-fold re-encode (greedy left-to-right), "
-    "localCheckpoint truncating lineage per merge. No Python UDF "
-    "anywhere; per-merge cost ∝ vocabulary, not corpus. This driver row "
-    "FORCES the distributed path (threshold=0) so the genuinely "
-    "distributed loop is what executes; pytest pins both paths equal to "
-    "an independent naive reference trainer, and the FULL sf0.01 row is "
-    "value-checked at fixture strength: tests/test_bpe_tokenize.py::"
-    "test_bpe_train_sf001_matches_pinned_fixture reproduces the exact "
-    "16-merge list precomputed by scripts/gen_bpe_train_fixture.py "
-    "(pure python, no Spark). Returns the learned "
-    "(rank, left, right, merged) table.",
-)
 def text_bpe_train(spark, sf):
+    """'train' leg of :func:`text_bpe_suite` (standalone row until round
+    15). FORCES the distributed trainer path (threshold=0)."""
     from ..operators.tokenize import bpe_merge_table
 
     docs = load_table(spark, sf, "documents")
     return bpe_merge_table(docs, k=16, driver_vocab_threshold=0)
+
+
+@query(
+    "text_bpe_suite",
+    None,  # iterative greedy merges / corpus-scale training have no SQL
+    # form — the value checks are at FIXTURE strength in pytest
+    # (tests/test_bpe_tokenize.py): the 'tokens' leg's full sf0.01 table
+    # must reproduce the sha256 digest precomputed by the pure-python
+    # reference encoder (tests/fixtures/bpe_stats_sf0.01.json,
+    # scripts/gen_bpe_fixture.py — NO Spark involved), and the 'train'
+    # leg must reproduce the exact 16-merge list precomputed by the
+    # independent pure-python trainer (bpe_train_merges_sf0.01.json,
+    # scripts/gen_bpe_train_fixture.py). Encoder parity is additionally
+    # asserted per-word and per-document.
+    doc="REAL byte-pair encoding, both halves as tagged legs (fused round "
+    "15 from the standalone text_bpe_tokens / text_bpe_train rows — "
+    "registry headroom, both plans execute unchanged). 'tokens': the "
+    "iterative greedy merge ENCODER whose output length is what token "
+    "budgets and packing actually measure — Arrow-batched pandas_udf "
+    "with per-batch word memoization (Zipf makes the memo hit-rate the "
+    "dominant term), embarrassingly parallel, no shuffle; "
+    "n_bpe_singletons is the OOV-pressure signal. 'train': distributed "
+    "BPE vocabulary TRAINING (Sennrich et al. ACL 2016, "
+    "operators/tokenize.py:bpe_merge_table) — ONE corpus-scale "
+    "partial-agg pass builds the word-frequency table, then the "
+    "k-iteration merge loop runs fully distributed here (threshold=0 "
+    "forces it): zip_with adjacent-pair explode → weighted groupBy → "
+    "ONE-ROW top-1 collect → built-in aggregate-fold re-encode, "
+    "localCheckpoint truncating lineage per merge; no Python UDF, "
+    "per-merge cost ∝ vocabulary, not corpus. Both legs value-checked "
+    "at fixture strength against pure-python references (see oracle "
+    "comment).",
+)
+def text_bpe_suite(spark, sf):
+    tok = text_bpe_tokens(spark, sf).select(
+        F.lit("tokens").alias("leg"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_bpe_singletons").cast("long").alias("n_bpe_singletons"),
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("string").alias("left"),
+        F.lit(None).cast("string").alias("right"),
+        F.lit(None).cast("string").alias("merged"),
+    )
+    tr = text_bpe_train(spark, sf).select(
+        F.lit("train").alias("leg"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_bpe_tokens"),
+        F.lit(None).cast("long").alias("n_bpe_singletons"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("left").cast("string").alias("left"),
+        F.col("right").cast("string").alias("right"),
+        F.col("merged").cast("string").alias("merged"),
+    )
+    return tok.unionByName(tr)
 
 
 @query(

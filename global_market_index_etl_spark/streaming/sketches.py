@@ -32,7 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.terms import count_min_cells, hll_registers
+from ..operators.terms import bloom_registers, count_min_cells, hll_registers
 
 __all__ = [
     "streaming_count_min",
@@ -41,6 +41,8 @@ __all__ = [
     "read_hll_state",
     "streaming_quantile_histogram",
     "read_quantile_state",
+    "streaming_bloom",
+    "read_bloom_state",
 ]
 
 
@@ -244,6 +246,104 @@ def read_hll_state(
     return (
         deltas.groupBy(*keys)
         .agg(F.max("max_rho").alias("max_rho"))
+        .select(*deltas.columns)
+    )
+
+
+def streaming_bloom(
+    keys_stream: DataFrame,
+    *,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    group_cols: list[str] | None = None,
+):
+    """Maintain portable Bloom-filter registers
+    (operators/terms.bloom_registers) from a streaming key source; one
+    ``availableNow`` tick. Returns the started StreamingQuery.
+
+    The packed-word table is OR-mergeable (registers of two disjoint
+    corpora ``bit_or`` to the registers of their union, exactly), so the
+    maintenance is the same easy case of the incremental-index pattern
+    as count-min/HLL — with ``bit_or`` in place of sum/max. Each tick
+    writes its batch's ≤ m_bits/32 occupied words as a ``batch=<id>``
+    delta; a replayed batch OVERWRITES its own directory with
+    byte-identical content (bloom_registers is a pure function of the
+    batch) and OR-merge is insensitive to the rewrite. The 100-TB
+    shape: an ingestion-time "seen before?" / decontamination filter
+    maintained per tick at fixed size — probes via bloom_contains never
+    touch the ingested fingerprint history itself."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        regs = bloom_registers(
+            batch,
+            key_col,
+            m_bits=m_bits,
+            k_hashes=k_hashes,
+            group_cols=group_cols,
+        )
+        regs.write.mode("overwrite").parquet(f"{state_path}/batch={batch_id}")
+
+    return (
+        keys_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .start()
+    )
+
+
+def read_bloom_state(
+    spark: SparkSession, state_path: str, *, empty_schema: str | None = None
+) -> DataFrame:
+    """Merged packed-word view over every COMMITTED tick delta — usable
+    directly with :func:`operators.terms.bloom_contains`.
+
+    The HLL read discipline applies verbatim: uncommitted (marker-less)
+    partial deltas are excluded — partial bits would under-read
+    membership, i.e. a transient FALSE NEGATIVE, the one direction the
+    Bloom contract forbids. Per-delta schemas are compared and
+    group-column drift fails loud; ``m_bits``/``k_hashes`` ride through
+    the merge as grouping keys so mixed-dimension deltas survive as
+    distinct rows for bloom_contains' in-plan guard to REJECT;
+    ``empty_schema`` covers grouped consumers reading before the first
+    commit."""
+    committed = _committed_batch_dirs(spark, state_path)
+    if not committed:
+        return spark.createDataFrame(
+            [],
+            empty_schema
+            or "word_idx bigint, bits bigint, m_bits int, k_hashes int",
+        )
+    per_delta = {}
+    for d in sorted(committed):
+        cols = tuple(
+            sorted(c for c in spark.read.parquet(d).columns if c != "batch")
+        )
+        per_delta.setdefault(cols, os.path.basename(d.rstrip("/")))
+    if len(per_delta) > 1:
+        raise ValueError(
+            f"bloom state at {state_path} mixes register schemas across "
+            f"deltas ({ {v: list(k) for k, v in per_delta.items()} }) — "
+            "the stream was reconfigured with different group_cols "
+            "against one state_path; use a fresh state directory per "
+            "configuration"
+        )
+    deltas = spark.read.option("basePath", state_path).parquet(
+        *sorted(committed)
+    )
+    if "batch" in deltas.columns:
+        deltas = deltas.drop("batch")
+    if "m_bits" not in deltas.columns or "k_hashes" not in deltas.columns:
+        raise ValueError(
+            f"bloom state at {state_path} lacks m_bits/k_hashes columns "
+            "— not a bloom_registers delta directory"
+        )
+    keys = [c for c in deltas.columns if c != "bits"]
+    return (
+        deltas.groupBy(*keys)
+        .agg(F.bit_or("bits").alias("bits"))
         .select(*deltas.columns)
     )
 

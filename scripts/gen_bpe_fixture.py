@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Generate the hash-strength expectation for the rows-only driver query
-``text_bpe_tokens`` (round-7 verdict item 6).
+``text_bpe_suite`` 'tokens' leg (round-7 verdict item 6; fused round 15).
 
 Uses ONLY the pure-python reference encoder (`bpe_encode_word`) over the
 sf0.01 documents parquet — no Spark, no pandas_udf — so the pinned digest

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Generate the pinned merge-list expectation for the rows-only driver
-query ``text_bpe_train`` (round-8 verdict item 3).
+query ``text_bpe_suite`` 'train' leg (round-8 verdict item 3; fused round 15).
 
 Like gen_bpe_fixture.py this uses ONLY pure python — an independent
 from-scratch BPE trainer that recounts every pair each iteration (no
@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 REPO = Path(__file__).resolve().parent.parent
 
 SF_DIR = "/root/testdata/sf0.01"
-K = 16  # must match the text_bpe_train registry row
+K = 16  # must match the text_bpe_suite 'train' leg
 OUT = REPO / "tests" / "fixtures" / "bpe_train_merges_sf0.01.json"
 
 

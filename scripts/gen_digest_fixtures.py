@@ -32,7 +32,7 @@ SF_DIR = "/root/testdata/sf0.01"
 # pinning): seeded LSH hyperplanes, bounded hash-ordered IVF training,
 # xxhash64 SimHash, the deterministic market-source walk, the stub codec
 # features, and the HLL++/quantile sketch profile are all pure functions
-# of the input multiset. text_bpe_tokens/text_bpe_train keep their own
+# of the input multiset. text_bpe_suite's legs keep their own
 # dedicated fixture pins (tests/test_bpe_tokenize.py).
 QUERIES = [
     "mm_real_decode_stats",

@@ -91,6 +91,23 @@ def main() -> None:
         "shape that concentrates on one reducer under an unsalted "
         "fingerprint reduction. 0 (default) disables.",
     )
+    ap.add_argument(
+        "--unique-every",
+        type=int,
+        default=0,
+        help="mostly-unique-window variant (round-14 verdict item 5): "
+        "insert a replica+position-unique marker token before every "
+        "N-th word of each i>0 replica's documents (AFTER the standard "
+        "perturbation). With N < k every k-token window contains a "
+        "marker no other replica shares, so cross-replica window "
+        "fingerprints are singletons — the corpus grows 30x in SIZE "
+        "while per-window occupancy stays at the 1x corpus's level, "
+        "the shape where occupancy-adaptive salting should show "
+        "near-linear span-tier growth (the plain replicate corpus "
+        "makes every window ~30-doc hot by construction, so it "
+        "structurally cannot). Within-replica exact-dup structure is "
+        "preserved (pure function of the text). 0 (default) disables.",
+    )
     args = ap.parse_args()
     subset = set(args.tables.split(",")) if args.tables else None
     out = Path(args.out)
@@ -160,6 +177,26 @@ def main() -> None:
                     )
                 else:
                     proj.append(c)
+            if t == "documents" and args.unique_every > 0 and i > 0:
+                # wrap the (already-perturbed) text with a marker token
+                # 'u<i>p<block>' before every N-th word: replica- AND
+                # position-unique, so no k>N window fingerprint can
+                # repeat across replicas; applied BEFORE any hot plant
+                # so a planted block would stay intact.
+                for idx, p in enumerate(proj):
+                    if p == "text" or p.endswith(" AS text"):
+                        base = (
+                            "text" if p == "text"
+                            else p[: -len(" AS text")]
+                        )
+                        proj[idx] = (
+                            "array_to_string(list_transform("
+                            f"string_split({base}, ' '), (w, j) -> "
+                            f"CASE WHEN j % {args.unique_every} = 0 "
+                            f"THEN 'u{i}p' || (j // {args.unique_every})"
+                            "::VARCHAR || ' ' || w "
+                            "ELSE w END), ' ') AS text"
+                        )
             if t == "documents" and args.hot_every > 0:
                 # append the hot block AFTER perturbation so every planted
                 # copy carries the intact 50-token window; key off the

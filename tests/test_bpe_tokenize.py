@@ -203,8 +203,8 @@ def test_bpe_trained_merges_feed_the_encoder(spark):
 
 
 def test_bpe_stats_sf001_match_reference_digest(spark):
-    """Round-7 verdict item 6: the rows-only driver row ``text_bpe_tokens``
-    is backed by a hash-strength check — the FULL sf0.01 table's stats must
+    """Round-7 verdict item 6: the rows-only 'tokens' leg of the
+    ``text_bpe_suite`` driver row is backed by a hash-strength check — the FULL sf0.01 table's stats must
     reproduce, bit-for-bit, the digest precomputed by the pure-python
     reference encoder (scripts/gen_bpe_fixture.py, no Spark involved)."""
     import hashlib
@@ -219,8 +219,9 @@ def test_bpe_stats_sf001_match_reference_digest(spark):
     )
     rows = sorted(
         (r.doc_id, r.n_bpe_tokens, r.n_bpe_singletons)
-        for r in REGISTRY["text_bpe_tokens"]
+        for r in REGISTRY["text_bpe_suite"]
         .spark(spark, fixture["sf_dir"])
+        .filter("leg = 'tokens'")
         .collect()
     )
     assert len(rows) == fixture["n_docs"]
@@ -233,9 +234,10 @@ def test_bpe_stats_sf001_match_reference_digest(spark):
 
 
 def test_bpe_train_sf001_matches_pinned_fixture(spark):
-    """Round-8 verdict item 3: the rows-only driver row ``text_bpe_train``
-    is value-checked, not just count-checked — the engine's FORCED
-    DISTRIBUTED trainer (the exact configuration of the registry row) must
+    """Round-8 verdict item 3: the rows-only 'train' leg of the
+    ``text_bpe_suite`` driver row is value-checked, not just
+    count-checked — the engine's FORCED DISTRIBUTED trainer (the exact
+    configuration of the registry leg) must
     reproduce the 16-merge list precomputed by the independent pure-python
     trainer (scripts/gen_bpe_train_fixture.py, no Spark involved)."""
     import json
@@ -249,8 +251,9 @@ def test_bpe_train_sf001_matches_pinned_fixture(spark):
     )
     got = sorted(
         (r.rank, r.left, r.right, r.merged)
-        for r in REGISTRY["text_bpe_train"]
+        for r in REGISTRY["text_bpe_suite"]
         .spark(spark, fixture["sf_dir"])
+        .filter("leg = 'train'")
         .collect()
     )
     want = sorted(

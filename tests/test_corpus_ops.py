@@ -1392,6 +1392,137 @@ def test_hll_ignores_null_keys(spark):
 
 
 # --------------------------------------------------------------------- #
+# Bloom filter (round 15 — the membership member of the sketch family)
+# --------------------------------------------------------------------- #
+
+
+def _bloom_python_bits(keys, m_bits, k_hashes):
+    """Pure-python twin of bloom_registers' packed-word table."""
+    import hashlib
+
+    words: dict[int, int] = {}
+    for key in keys:
+        for j in range(k_hashes):
+            h = int(
+                hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:15], 16
+            )
+            pos = h % m_bits
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+    return words
+
+
+def test_bloom_registers_match_python_reference(spark):
+    """The packed-word table is a pure function of the key multiset —
+    a pure-python md5 twin must reproduce it exactly (the portability
+    contract the DuckDB oracle also checks, here with no SQL engine
+    involved)."""
+    from global_market_index_etl_spark.operators.terms import (
+        bloom_registers,
+    )
+
+    keys = [f"key-{i}" for i in range(97)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r.word_idx: r.bits
+        for r in bloom_registers(df, "k", m_bits=1024, k_hashes=4).collect()
+    }
+    assert got == _bloom_python_bits(keys, 1024, 4)
+
+
+def test_bloom_merge_equals_full_and_no_false_negatives(spark):
+    """registers(a ∪ b) ≡ merge(registers(a), registers(b)) — the
+    OR-additivity that makes the filter shard/stream-maintainable — and
+    every inserted key must probe TRUE (no false negatives, the Bloom
+    contract), while a disjoint probe set at 10 bits/key stays mostly
+    FALSE (sanity that the filter isn't saturated)."""
+    from global_market_index_etl_spark.operators.terms import (
+        bloom_contains,
+        bloom_merge,
+        bloom_registers,
+    )
+
+    a = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(60)], "k string"
+    )
+    b = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(60, 120)], "k string"
+    )
+    full = bloom_registers(a.unionByName(b), "k", m_bits=1280, k_hashes=3)
+    merged = bloom_merge(
+        bloom_registers(a, "k", m_bits=1280, k_hashes=3),
+        bloom_registers(b, "k", m_bits=1280, k_hashes=3),
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    probes = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(120)]
+        + [(1000 + i, f"absent-{i}") for i in range(120)],
+        "pid long, k string",
+    )
+    got = {
+        r.pid: r.bloom_hit
+        for r in bloom_contains(
+            full, probes, "k", id_cols=["pid"], m_bits=1280, k_hashes=3
+        ).collect()
+    }
+    assert all(got[i] for i in range(120)), "false negative — impossible"
+    fp = sum(1 for i in range(120) if got[1000 + i])
+    assert fp < 30, f"implausible false-positive count {fp} at ~10 bits/key"
+
+
+def test_bloom_contains_refuses_dimension_mismatch(spark):
+    """Probing with the wrong declared (m_bits, k_hashes) would silently
+    compute wrong positions — the stamped columns are validated in-plan
+    and a mismatch raises (the count-min / langid prefix_chars
+    discipline). Constructor bounds are enforced too."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.terms import (
+        bloom_contains,
+        bloom_registers,
+    )
+
+    df = spark.createDataFrame([("x",), ("y",)], "k string")
+    filt = bloom_registers(df, "k", m_bits=1024, k_hashes=4)
+    probes = spark.createDataFrame([(1, "x")], "pid long, k string")
+    with _pytest.raises(Exception, match="dimensions do not match"):
+        bloom_contains(
+            filt, probes, "k", id_cols=["pid"], m_bits=2048, k_hashes=4
+        ).collect()
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_registers(df, "k", m_bits=100, k_hashes=4)
+    with _pytest.raises(ValueError, match="k_hashes"):
+        bloom_registers(df, "k", m_bits=1024, k_hashes=0)
+
+
+def test_bloom_ignores_null_keys_and_bounds_rows(spark):
+    """NULL keys are not members (the hll_registers rule), and the
+    register table is bounded by m_bits/32 occupied words regardless of
+    key count."""
+    from global_market_index_etl_spark.operators.terms import (
+        bloom_registers,
+    )
+
+    with_nulls = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "k string"
+    )
+    without = with_nulls.filter("k IS NOT NULL")
+    a = sorted(
+        map(tuple, bloom_registers(with_nulls, "k", m_bits=256).collect())
+    )
+    b = sorted(
+        map(tuple, bloom_registers(without, "k", m_bits=256).collect())
+    )
+    assert a == b
+    many = spark.createDataFrame(
+        [(f"k{i}",) for i in range(5000)], "k string"
+    )
+    n = bloom_registers(many, "k", m_bits=256, k_hashes=3).count()
+    assert n <= 256 // 32
+
+
+# --------------------------------------------------------------------- #
 # langid training (round 13 — the 'trained table drops in' contract)
 # --------------------------------------------------------------------- #
 

@@ -458,3 +458,94 @@ def test_quantile_state_rejects_drift_and_reads_empty(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="mixes histogram schemas"):
         read_quantile_state(spark, state)
+
+
+def test_streamed_bloom_state_equals_batch_registers(spark, tmp_path):
+    """Two availableNow ticks of streaming_bloom must leave exactly the
+    packed words bloom_registers computes over the full corpus (bit_or
+    additivity), a replay with the same checkpoint is a no-op, and the
+    merged state feeds bloom_contains directly with the no-false-negative
+    contract intact — the ingestion-time "seen before?" filter."""
+    from global_market_index_etl_spark.operators.terms import (
+        bloom_contains,
+        bloom_registers,
+    )
+    from global_market_index_etl_spark.streaming.sketches import (
+        read_bloom_state,
+        streaming_bloom,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", F.md5("text").alias("fp"))
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    schema = "doc_id long, fp string"
+
+    def tick():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_bloom(
+            stream,
+            state_path=state,
+            checkpoint=ckpt,
+            key_col="fp",
+            m_bits=4096,
+            k_hashes=3,
+        )
+        q.awaitTermination(120)
+
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    tick()
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    tick()
+
+    streamed = sorted(map(tuple, read_bloom_state(spark, state).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            bloom_registers(docs, "fp", m_bits=4096, k_hashes=3).collect(),
+        )
+    )
+    assert streamed == batch
+
+    tick()  # no new files: replay is a no-op
+    again = sorted(map(tuple, read_bloom_state(spark, state).collect()))
+    assert again == batch
+
+    # every ingested fingerprint probes TRUE against the maintained state
+    probed = bloom_contains(
+        read_bloom_state(spark, state),
+        docs,
+        "fp",
+        id_cols=["doc_id"],
+        m_bits=4096,
+        k_hashes=3,
+    )
+    assert probed.filter("NOT bloom_hit").count() == 0
+
+
+def test_bloom_state_rejects_foreign_layout_and_empty_reads_empty(
+    spark, tmp_path
+):
+    """read_bloom_state on a directory without register deltas returns
+    the empty canonical schema; a committed delta lacking
+    m_bits/k_hashes raises with the layout story instead of merging
+    garbage (the HLL read discipline verbatim)."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.streaming.sketches import (
+        read_bloom_state,
+    )
+
+    state = str(tmp_path / "state")
+    empty = read_bloom_state(spark, state)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"word_idx", "bits", "m_bits", "k_hashes"}
+
+    spark.createDataFrame([(1, 2)], "a int, b int").write.parquet(
+        f"{state}/batch=0"
+    )
+    with _pytest.raises(ValueError, match="lacks m_bits/k_hashes"):
+        read_bloom_state(spark, state)
