@@ -109,6 +109,51 @@ def contamination_hits(
     )
 
 
+def contamination_hits_bloom(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """:func:`contamination_hits` for eval sets TOO LARGE to broadcast
+    as a gram set — the Bloom pre-filter composition.
+
+    ``broadcast_eval=False`` exists for that case but pays a full
+    corpus-gram shuffle into the join. Here the eval grams build a
+    FIXED-SIZE Bloom filter (``terms.bloom_registers`` — ≤ m_bits/32
+    packed words regardless of eval size), :func:`terms.bloom_prefilter`
+    drops definitely-absent corpus grams at scan speed (k broadcast
+    word-lookups, no shuffle), and only the surviving candidates — true
+    hits plus an FP-rate-sized excess — enter the exact shuffling join.
+    At 100 TB that turns "shuffle every corpus gram" into "shuffle
+    ≈ the benchmark-overlap volume".
+
+    Result-IDENTICAL to :func:`contamination_hits` by the
+    no-false-negative contract: the pre-filter can only drop grams the
+    exact join would drop anyway (asserted in tests, including with a
+    deliberately saturated tiny filter)."""
+    from .terms import bloom_prefilter, bloom_registers
+
+    grams = doc_gram_table(corpus, id_col, text_col, n)
+    eval_grams = eval_gram_set(eval_df, text_col, n)
+    filt = bloom_registers(
+        eval_grams, "gram", m_bits=m_bits, k_hashes=k_hashes
+    )
+    candidates = bloom_prefilter(
+        filt, grams, "gram", m_bits=m_bits, k_hashes=k_hashes
+    )
+    return (
+        candidates.join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

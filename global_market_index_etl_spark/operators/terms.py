@@ -578,6 +578,88 @@ def bloom_contains(
     )
 
 
+def bloom_prefilter(
+    filters: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Scan-speed possibly-present pre-filter: ``df`` minus the rows
+    whose key the Bloom filter can RULE OUT.
+
+    Unlike :func:`bloom_contains` (which explodes each probe to its
+    positions and aggregates an all-bits-set verdict — one shuffle on
+    the probe identity), this NEVER shuffles ``df``: each of the
+    ``k_hashes`` positions is checked by its own broadcast equi-join
+    against the packed-word table (≤ ``m_bits/32`` rows — broadcastable
+    by stats at any corpus size), so the filter composes with
+    corpus-scale probe sides at scan speed — the decontamination /
+    revisit pre-filter shape (see
+    ``decontaminate.contamination_hits_bloom``). Rows with a NULL key
+    pass through (a pre-filter must not invent a verdict for keys the
+    build side ignored).
+
+    Guarantee: drops ONLY definitely-absent rows (no false negatives),
+    so ``exact(bloom_prefilter(df)) ≡ exact(df)`` for any downstream
+    exact membership check — result identity, not approximation
+    (asserted in tests). The same in-plan dimension guard as
+    bloom_contains refuses a mismatched filter."""
+    guard_ok = (F.col("m_bits") == F.lit(int(m_bits))) & (
+        F.col("k_hashes") == F.lit(int(k_hashes))
+    )
+    checked = filters.select(
+        F.when(guard_ok, F.col("word_idx"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bloom_prefilter: filter dimensions do not match "
+                        f"the declared (m_bits={m_bits}, "
+                        f"k_hashes={k_hashes}): got ("
+                    ),
+                    F.col("m_bits").cast("string"),
+                    F.lit(", "),
+                    F.col("k_hashes").cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("bigint")
+        )
+        .alias("word_idx"),
+        "bits",
+    )
+    out = df
+    for j in range(k_hashes):
+        fj = checked.select(
+            F.col("word_idx").alias(f"__w{j}"), F.col("bits").alias(f"__b{j}")
+        )
+        pos = _bloom_pos(key_col, j, m_bits)
+        out = (
+            out.withColumn(f"__p{j}", pos)
+            .join(
+                F.broadcast(fj),
+                F.expr(f"__p{j} DIV 32") == F.col(f"__w{j}"),
+                "left",
+            )
+            .filter(
+                F.col(key_col).isNull()
+                | (
+                    F.col(f"__b{j}").isNotNull()
+                    & (
+                        F.expr(
+                            f"shiftright(__b{j},"
+                            f" cast(__p{j} % 32 as int)) & 1"
+                        )
+                        == 1
+                    )
+                )
+            )
+            .drop(f"__p{j}", f"__w{j}", f"__b{j}")
+        )
+    return out
+
+
 def hll_estimate(
     registers: DataFrame,
     *,

@@ -1496,6 +1496,97 @@ def test_bloom_contains_refuses_dimension_mismatch(spark):
         bloom_registers(df, "k", m_bits=1024, k_hashes=0)
 
 
+def test_bloom_prefilter_scan_speed_and_result_identity(spark):
+    """bloom_prefilter must (a) never shuffle the probe side — k
+    broadcast word-lookups only, no hash-partitioning exchange, no
+    sort-merge join — and (b) drop ONLY definitely-absent rows, so an
+    exact membership check composed after it returns the IDENTICAL
+    result, even under a deliberately saturated tiny filter (every
+    probe passes) and with NULL keys passing through."""
+    import pytest as _pytest
+
+    from global_market_index_etl_spark.operators.terms import (
+        bloom_prefilter,
+        bloom_registers,
+    )
+
+    members = spark.createDataFrame(
+        [(f"m-{i}",) for i in range(40)], "k string"
+    )
+    probes = spark.createDataFrame(
+        [(i, f"m-{i}") for i in range(40)]
+        + [(100 + i, f"x-{i}") for i in range(200)]
+        + [(999, None)],
+        "pid long, k string",
+    )
+    filt = bloom_registers(members, "k", m_bits=2048, k_hashes=3)
+    pre = bloom_prefilter(filt, probes, "k", m_bits=2048, k_hashes=3)
+
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    # probe side unshuffled: every one of the k word-lookups is a
+    # broadcast join (the only hashpartitioning exchanges in the plan
+    # belong to the filter BUILD side — bloom_registers' bit_or
+    # aggregate, bounded at m_bits/32 rows)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+
+    exact_direct = sorted(
+        r.pid
+        for r in probes.join(members, "k", "left_semi").collect()
+    )
+    exact_composed = sorted(
+        r.pid for r in pre.join(members, "k", "left_semi").collect()
+    )
+    assert exact_composed == exact_direct
+    kept = {r.pid for r in pre.collect()}
+    assert set(range(40)) <= kept  # no false negatives
+    assert 999 in kept  # NULL key passes through
+    # saturated filter (64 bits for 40 keys x 3 hashes): everything
+    # passes, composition still exact
+    sat = bloom_registers(members, "k", m_bits=64, k_hashes=3)
+    pre_sat = bloom_prefilter(sat, probes, "k", m_bits=64, k_hashes=3)
+    assert sorted(
+        r.pid for r in pre_sat.join(members, "k", "left_semi").collect()
+    ) == exact_direct
+    # dimension guard (the bloom_contains discipline)
+    with _pytest.raises(Exception, match="dimensions do not match"):
+        bloom_prefilter(filt, probes, "k", m_bits=64, k_hashes=3).collect()
+
+
+def test_contamination_hits_bloom_equals_exact(spark):
+    """The Bloom-prefiltered decontamination path must return the
+    IDENTICAL (doc_id, n_hits) report as the broadcast-exact path — on
+    the fixture corpus and under a saturated 256-bit filter (FP-heavy:
+    the exact join behind the prefilter is what guarantees identity)."""
+    from global_market_index_etl_spark.operators.decontaminate import (
+        contamination_hits,
+        contamination_hits_bloom,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    corpus = docs.filter("doc_id % 17 <> 0")
+    eval_df = docs.filter("doc_id % 17 = 0")
+    want = sorted(
+        map(tuple, contamination_hits(corpus, eval_df, min_hits=1).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            contamination_hits_bloom(corpus, eval_df, min_hits=1).collect(),
+        )
+    )
+    assert got == want
+    got_sat = sorted(
+        map(
+            tuple,
+            contamination_hits_bloom(
+                corpus, eval_df, min_hits=1, m_bits=256, k_hashes=2
+            ).collect(),
+        )
+    )
+    assert got_sat == want
+
+
 def test_bloom_ignores_null_keys_and_bounds_rows(spark):
     """NULL keys are not members (the hll_registers rule), and the
     register table is bounded by m_bits/32 occupied words regardless of
