@@ -648,3 +648,43 @@ def test_sql_frontdoor_quantile_histogram(spark):
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_df.collect())
     )
+
+
+def test_sql_frontdoor_bloom_registers(spark):
+    """The portable Bloom-filter construction re-expressed as one
+    spark.sql statement (same md5-derived positions via conv(), same
+    32-bit word packing, same bit_or) must equal the operator — the E3
+    front door covers the sketch family's membership member like it
+    covers count-min/SimHash/HLL/quantile."""
+    from global_market_index_etl_spark.operators.terms import (
+        bloom_registers,
+    )
+
+    register_views(spark, SF_SMALL)
+    m_bits, k = 4096, 3
+    via_sql = spark.sql(
+        f"""
+        WITH keys AS (
+          SELECT md5(text) AS fp FROM documents WHERE text IS NOT NULL
+        ), pos AS (
+          SELECT CAST(conv(substring(md5(concat(j, ':', fp)), 1, 15),
+                           16, 10) AS BIGINT) % {m_bits} AS pos
+          FROM keys
+          LATERAL VIEW explode(sequence(0, {k - 1})) t AS j
+        )
+        SELECT pos DIV 32 AS word_idx,
+               bit_or(shiftleft(CAST(1 AS BIGINT),
+                                CAST(pos % 32 AS INT))) AS bits,
+               {m_bits} AS m_bits, {k} AS k_hashes
+        FROM pos GROUP BY pos DIV 32
+        """
+    )
+    via_df = bloom_registers(
+        spark.table("documents").selectExpr("md5(text) AS fp"),
+        "fp",
+        m_bits=m_bits,
+        k_hashes=k,
+    )
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
