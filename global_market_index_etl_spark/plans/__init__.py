@@ -46,12 +46,15 @@ DRIVER_WINDOW = 50
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST: list[str] = [
-    # round 15: empty. The r14 pin (dedup_span_suite) went hash-green
-    # under the occupancy-adaptive plan and drains. The three rows whose
-    # plans/oracles materially changed in r14 (dedup_exact_substring,
-    # ann_ivf_topk, text_langid) are r13-stale, so they re-enter the r15
-    # window as MUST-CHECK rows by staleness alone — pinning anything
-    # else would displace one of them (round-14 verdict item 2).
+    # round 15: the three rows whose plans/oracles materially changed in
+    # r14 (dedup_exact_substring, ann_ivf_topk, text_langid) re-enter the
+    # r15 window as r13-stale MUST-CHECK rows by staleness alone — no pin
+    # needed (round-14 verdict item 2). skew_salted_pipeline's plan AND
+    # oracle changed this round (adaptive hot-key salting, planted-skew
+    # leg) but it was checked in r14, so staleness alone would rotate it
+    # out; the pin displaces exactly one 1-stale slack row (safe: it
+    # becomes a must-check next round).
+    "skew_salted_pipeline",
 ]
 
 _ROOT = _os.path.dirname(

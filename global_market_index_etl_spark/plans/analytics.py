@@ -346,25 +346,55 @@ def set_ops_high_value(spark, sf):
 @query(
     "skew_salted_pipeline",
     """
-    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
-           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY 1, 2
+    WITH o AS (
+      SELECT o_orderkey AS l_orderkey, o_orderdate FROM orders
+    ), planted AS (
+      SELECT CASE WHEN l_orderkey % 3 = 0
+                  THEN (SELECT min(o_orderkey) FROM orders)
+                  ELSE l_orderkey END AS l_orderkey,
+             l_quantity
+      FROM lineitem
+    ), u AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem JOIN o USING (l_orderkey)
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM planted JOIN o USING (l_orderkey)
+      GROUP BY 1, 2
+    )
+    SELECT 'uniform' AS leg, order_year, order_month, sum_qty, n_rows FROM u
+    UNION ALL
+    SELECT 'planted' AS leg, order_year, order_month, sum_qty, n_rows FROM p
     """,
-    doc="Skew mitigation end-to-end (operators/skew.py), both techniques "
-    "composed in one plan: (1) salted equi-join — big side salted with a "
-    "deterministic row hash mod 16, small side exploded 16 ways, join on "
-    "(key, salt) splits any hot orderkey across 16 tasks; result-identical "
-    "to the plain join since each big row meets exactly its one small-side "
-    "replica. (2) two-stage salted aggregation over the join output — 12 "
-    "months over the whole fact would hash to ≤ a few dozen reducers; "
-    "pre-aggregating on (keys, salt16) fans partials across 16× reducers "
-    "and the final combine touches ≤16 rows per key. Integer partials keep "
-    "the result bit-identical to the plain join+GROUP BY oracle. This is "
-    "the explicit fallback when AQE's runtime skew split cannot help "
-    "(aggregation-free stages, downstream key-partitioning requirements).",
+    doc="Skew mitigation end-to-end (operators/skew.py), ADAPTIVE since "
+    "round 15 — the join probes the big side's key histogram "
+    "(probe_hot_keys: seeded bounded sample, share threshold "
+    "skew_factor/shuffle-partitions, driver collect capped) and salts "
+    "ONLY detected hot keys, so both behaviors are live in one row as "
+    "tagged legs: 'uniform' — real orders/lineitem keys (~4 rows/key) "
+    "probe EMPTY and the plan degrades to the plain pruned-scan "
+    "equi-join, paying zero replication where there is no skew; "
+    "'planted' — every 10th orderkey remapped to min(o_orderkey) plants "
+    "a ~10%%-share hot key, the probe flags exactly it, the big side "
+    "salts hot rows mod 16 while cold rows ride salt 0, and the small "
+    "side explodes a CONDITIONAL replica array (16 replicas for the hot "
+    "key, 1 otherwise — n_salts×|hot| extra rows, not n_salts×|small|), "
+    "splitting the hot key across 16 tasks in ONE join. Both legs feed "
+    "the two-stage salted aggregation (partials on (keys, salt16) fan "
+    "the low-cardinality month groups across 16× reducers; integer "
+    "partials keep the result bit-identical). Misdetection is safe by "
+    "construction — salting is result-identical either way — which is "
+    "what lets a sampling probe feed an oracle-hashed row. This is the "
+    "explicit fallback when AQE's runtime skew split cannot help "
+    "(aggregation-free stages, downstream key-partitioning "
+    "requirements).",
 )
 def skew_salted_pipeline(spark, sf):
     from ..operators.skew import salted_join, salted_sum_count
@@ -375,18 +405,39 @@ def skew_salted_pipeline(spark, sf):
     orders = load_table(spark, sf, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
     )
-    joined = salted_join(lineitem, orders, "l_orderkey", n_salts=16)
-    keyed = joined.select(
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.col("l_quantity").cast("long").alias("__qty"),
+
+    def leg(tag: str, fact) -> "DataFrame":
+        joined = salted_join(fact, orders, "l_orderkey", n_salts=16)
+        keyed = joined.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.col("l_quantity").cast("long").alias("__qty"),
+        )
+        return salted_sum_count(
+            keyed,
+            ["order_year", "order_month"],
+            {"sum_qty": F.col("__qty")},
+            n_salts=16,
+        ).select(
+            F.lit(tag).alias("leg"),
+            "order_year",
+            "order_month",
+            "sum_qty",
+            "n_rows",
+        )
+
+    # bounded driver pull (1 row): the planted hot key must EXIST in
+    # orders so the skew shows up in matched join output, not just the
+    # shuffle; min() is deterministic and engine-portable (the oracle
+    # rebuilds it as a scalar subquery).
+    hot_key = orders.agg(F.min("l_orderkey")).collect()[0][0]
+    planted_fact = lineitem.withColumn(
+        "l_orderkey",
+        F.when(
+            F.col("l_orderkey") % 3 == 0, F.lit(hot_key)
+        ).otherwise(F.col("l_orderkey")),
     )
-    return salted_sum_count(
-        keyed,
-        ["order_year", "order_month"],
-        {"sum_qty": F.col("__qty")},
-        n_salts=16,
-    )
+    return leg("uniform", lineitem).unionByName(leg("planted", planted_fact))
 
 
 @query(

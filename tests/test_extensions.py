@@ -328,6 +328,81 @@ def test_salted_join_matches_plain(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def _skew_fixtures(spark):
+    """(uniform fact, planted-hot fact, dim, hot key) on the sf0.001 data."""
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    hot_key = orders.agg(F.min("l_orderkey")).collect()[0][0]
+    planted = lineitem.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(hot_key)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    return lineitem, planted, orders, hot_key
+
+
+def test_probe_hot_keys_detects_planted_skew_only(spark):
+    """The histogram probe flags exactly the ~33%-share planted key on the
+    skewed fact and NOTHING on the real (~4 rows/key) fact — the two
+    decisions that make adaptive salting free on uniform data and engaged
+    on skew."""
+    from global_market_index_etl_spark.operators.skew import probe_hot_keys
+
+    uniform, planted, _, hot_key = _skew_fixtures(spark)
+    assert probe_hot_keys(uniform, "l_orderkey") == []
+    assert probe_hot_keys(planted, "l_orderkey") == [hot_key]
+
+
+def test_adaptive_salted_join_modes_match_plain(spark):
+    """All three hot_keys dials (probe / explicit / SALT_ALL) are
+    result-identical to the plain join on the planted-skew fact."""
+    from global_market_index_etl_spark.operators.skew import (
+        SALT_ALL,
+        salted_join,
+    )
+
+    _, planted, orders, hot_key = _skew_fixtures(spark)
+    plain = planted.join(orders, "l_orderkey")
+    for hk in (None, [hot_key], SALT_ALL):
+        got = salted_join(planted, orders, "l_orderkey", n_salts=8, hot_keys=hk)
+        assert got.count() == plain.count()
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+
+
+def test_adaptive_salted_join_left_preserves_null_keys(spark):
+    """NULL big-side keys ride salt 0: a left join keeps them unmatched
+    exactly like the plain join (isin(NULL) is NULL, not an error or a
+    drop)."""
+    from global_market_index_etl_spark.operators.skew import salted_join
+
+    _, planted, orders, hot_key = _skew_fixtures(spark)
+    with_nulls = planted.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_quantity") > 45, F.lit(None)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    a = salted_join(with_nulls, orders, "l_orderkey", how="left",
+                    hot_keys=[hot_key])
+    b = with_nulls.join(orders, "l_orderkey", "left")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_salted_join_rejects_unknown_sentinel(spark):
+    from global_market_index_etl_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="SALT_ALL"):
+        salted_join(df, df.select("k"), "k", hot_keys="everything")
+
+
 def test_ivf_topk_exact_when_probing_all_lists(spark):
     from global_market_index_etl_spark.operators.similarity import (
         cosine_topk,

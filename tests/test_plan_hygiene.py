@@ -40,7 +40,8 @@ _BNLJ_FACT_RE = (
 FULL_WIDTH_OK = {
     "e1_pipeline_market_bars",
     "mm_decode_features",
-    "skew_salted_pipeline",  # whole-row hash salt
+    # skew_salted_pipeline left this list in round 15: the adaptive join
+    # salts the ALREADY-PRUNED 2-column fact, so its scans prune normally.
     "k2_upsert_roundtrip",  # reads back its own 3-column table
 }
 
@@ -327,3 +328,33 @@ def test_span_suite_salted_skew_proof_plan(spark):
         re.findall(r"hashpartitioning\(__w#\d+, __salt#\d+", plan)
     ) >= 1
     _assert_adaptive_replication(plan)
+
+
+def test_skew_salted_pipeline_adaptive_join_plan(spark):
+    """Round 15: salted_join is histogram-adaptive, and the registry row
+    must PROVE both dispositions in its executed plan:
+
+    - the 'uniform' leg's probe comes back empty, so its join is the
+      PLAIN equi-join — exactly one Generate/explode in the whole fused
+      plan (the planted leg's), not two;
+    - the planted leg's small-side replication is CONDITIONAL (explode of
+      a CASE WHEN hot THEN n_salts-array ELSE [salt-0] array) — the flat
+      unconditional ``explode(sequence(0, n_salts-1))`` that replicated
+      every dimension row ×16 is forbidden (the round-14 span-tier
+      lesson applied to the generic join);
+    - no nested-loop/cartesian anywhere."""
+    plan = REGISTRY["skew_salted_pipeline"].spark(
+        spark, SF_SMALL
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not re.search(r"explode\(sequence\(0,\s*\d+", plan), (
+        "flat x n_salts small-side replication crept back — the salted "
+        "join must replicate hot keys only:\n" + plan[:1500]
+    )
+    engaged = re.findall(r"Generate explode\(CASE WHEN", plan)
+    assert len(engaged) == 1, (
+        f"expected exactly ONE conditional-replication explode (the "
+        f"planted leg; the uniform leg must degrade to the plain join), "
+        f"found {len(engaged)}:\n" + plan[:1500]
+    )
