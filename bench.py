@@ -147,6 +147,9 @@ HEADLINE = [
     # round 12: TPC-H Q6/Q14/Q19 fused as tagged legs (scan/broadcast
     # single-row exact-money aggregates; per-leg medians on the JSON line)
     "tpch_scalar_agg_suite",
+    # round 15: BM25 top-k retrieval — one corpus-sized TF shuffle, DF
+    # semi-joined to the query vocabulary, broadcast scoring relation
+    "text_bm25_topk",
 ]
 
 

@@ -943,3 +943,142 @@ def quantile_estimate(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.25,
+    b: float = 0.75,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: for each query row, the ``k``
+    best-scoring documents (reference parity: the reference exposes no
+    retrieval operator — this is part of the training-data tier, e.g.
+    retrieval-based decontamination and curation audits).
+
+    Scoring is the Lucene-style always-positive variant over DISTINCT
+    query terms::
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score   = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Plan shape for a 100-TB corpus — NO corpus-sized shuffle at all:
+
+    - the exploded token stream is semi-joined against the broadcast
+      query vocabulary BEFORE the TF aggregate. Scoring only ever
+      consumes TF rows for query terms (the scoring join is inner on
+      word), and the doc length is captured at explode time (``dl =
+      size(words)``, carried as a constant-per-doc ``min``), so the
+      filter loses nothing — and the (doc, term) TF shuffle carries
+      only CANDIDATE tokens, not the corpus. The full-corpus work is
+      one scan+explode+broadcast-filter pass at scan speed.
+    - per-term DF aggregates the already-filtered, already-unique
+      (doc, term) pairs — the full vocabulary table is never built.
+    - corpus stats (N, Σdl) are a second column-pruned scan reduced to
+      ONE row (no shuffle), broadcast into the scoring relation.
+    - the scoring join is TF ⋈ broadcast(query terms × per-term df ×
+      corpus stats); only candidate rows reach the (query, doc) score
+      aggregation, and top-k is a per-query ranking window over
+      per-query candidate sets.
+
+    Determinism (the lm.py integer-scaling discipline): every per-term
+    contribution is computed in IEEE doubles from exact integer inputs
+    with a fixed operation order, scaled to ``floor(x*scale + 0.5)``
+    BIGINT, and summed as integers — associative, so partition order
+    cannot reorder a float sum; ties rank by ``doc_id`` ascending. The
+    DEFAULT constants (k1=1.25, b=0.75, and the derived 2.25/0.25) are
+    exactly representable binary fractions, so both engines evaluate
+    them bit-identically from their decimal literals; the residual
+    cross-engine surface is libm's ``ln`` (same caveat class as the
+    trained-langid oracle, documented there).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    prepared = _parallelize_small(docs.select(id_col, text_col)).select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("__words")
+    )
+    qterms = (
+        queries.select(
+            query_id_col,
+            F.explode(words(F.lower(F.col(query_col)))).alias("word"),
+        )
+        .distinct()
+    )
+    # candidate tokens only: dl is captured BEFORE the vocabulary filter
+    # (so it stays the full doc length), then the broadcast semi-join
+    # drops every non-query token before anything shuffles — the (doc,
+    # term) TF aggregate is candidate-sized, not corpus-sized
+    tf = (
+        prepared.select(
+            id_col,
+            F.size("__words").cast("long").alias("dl"),
+            F.explode("__words").alias("word"),
+        )
+        .join(F.broadcast(qterms.select("word").distinct()), "word",
+              "left_semi")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+    # per-term df over the filtered, already-unique (doc, term) pairs
+    qdf = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = prepared.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__words").cast("long")).alias("sum_dl"),
+    )
+    qrel = (
+        qterms.join(qdf, "word")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    contrib = (
+        idf
+        * (tf_d * F.lit(k1 + 1.0))
+        / (
+            tf_d
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+            )
+        )
+    )
+    cand = tf.join(F.broadcast(qrel), "word").select(
+        query_id_col,
+        id_col,
+        F.floor(contrib * F.lit(float(scale)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__contrib"),
+    )
+    scores = cand.groupBy(query_id_col, id_col).agg(
+        F.sum("__contrib").alias("score_scaled")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_scaled"), F.asc(id_col)
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col,
+            "rnk",
+            id_col,
+            "score_scaled",
+            (F.col("score_scaled").cast("double") / F.lit(float(scale)))
+            .alias("score"),
+        )
+    )

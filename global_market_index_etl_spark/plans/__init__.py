@@ -46,15 +46,19 @@ DRIVER_WINDOW = 50
 # Keeping this list to genuinely-changed queries maximizes the staleness
 # slots per round (window − len(PRIORITY_FIRST)) that drain the backlog.
 PRIORITY_FIRST: list[str] = [
-    # round 15: the three rows whose plans/oracles materially changed in
-    # r14 (dedup_exact_substring, ann_ivf_topk, text_langid) re-enter the
-    # r15 window as r13-stale MUST-CHECK rows by staleness alone — no pin
-    # needed (round-14 verdict item 2). skew_salted_pipeline's plan AND
-    # oracle changed this round (adaptive hot-key salting, planted-skew
-    # leg) but it was checked in r14, so staleness alone would rotate it
-    # out; the pin displaces exactly one 1-stale slack row (safe: it
-    # becomes a must-check next round).
-    "skew_salted_pipeline",
+    # round 15: empty — the registry reached the 100-row rotation cap
+    # (2 x window), so there is no slack slot left to pin with. The three
+    # rows whose plans/oracles materially changed in r14
+    # (dedup_exact_substring, ann_ivf_topk, text_langid) re-enter the r15
+    # window as r13-stale MUST-CHECK rows by staleness alone (round-14
+    # verdict item 2). The r15 material changes themselves split the one
+    # remaining slot: text_bm25_topk is NEVER-checked and must be
+    # in-window (the harder invariant), so it takes it;
+    # skew_salted_pipeline (adaptive hot-key salting + planted-skew leg;
+    # checked r14 under the old oracle) re-enters r16 as a 2-stale
+    # must-check — both are locally oracle-verified at sf0.001/0.01 and
+    # in the sf0.1 soak. From here on the registry is CLOSED: additions
+    # require fusing existing rows, and changed rows ride staleness.
 ]
 
 _ROOT = _os.path.dirname(

@@ -3284,3 +3284,101 @@ def chunk_pack_training_prep(spark, sf):
             F.col("pos").cast("int").alias("pos"),
         )
     )
+
+
+# BM25 retrieval query set: fixed literals (user queries ARE literals),
+# drawn from the synthetic fixture vocabulary so every term has matches
+# at every SF. The oracle rebuilds the same relation as a VALUES list.
+_BM25_QUERIES = [
+    (1, "key hash join"),
+    (2, "fast scan filter"),
+    (3, "customer order line"),
+    (4, "window group agg"),
+    (5, "vector batch merge"),
+]
+
+_SQL_BM25_VALUES = ", ".join(
+    f"({qid}, '{qtext}')" for qid, qtext in _BM25_QUERIES
+)
+
+
+@query(
+    "text_bm25_topk",
+    """
+    WITH q(query_id, query_text) AS (
+      VALUES {values}
+    ), tok AS (
+      SELECT doc_id, {words_doc} AS arr FROM documents
+    ), tf AS (
+      SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf,
+             CAST(min(dl) AS BIGINT) AS dl
+      FROM (SELECT doc_id, len(arr) AS dl, unnest(arr) AS w FROM tok) u
+      GROUP BY 1, 2
+    ), qt AS (
+      SELECT DISTINCT query_id, qw AS word
+      FROM (SELECT query_id, unnest({words_query}) AS qw FROM q) x
+    ), dfreq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(arr)) AS BIGINT) AS sum_dl
+      FROM tok
+    ), cand AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.25)
+               / (CAST(tf AS DOUBLE)
+                  + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+               * 1000000000.0 + 0.5) AS BIGINT) AS contrib
+      FROM tf JOIN qt USING (word) JOIN dfreq USING (word) CROSS JOIN stats
+    ), scores AS (
+      SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_scaled
+      FROM cand GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score_scaled,
+           CAST(score_scaled AS DOUBLE) / 1000000000.0 AS score
+    FROM (
+      SELECT query_id, doc_id, score_scaled,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_scaled DESC, doc_id) AS rnk
+      FROM scores
+    ) r
+    WHERE rnk <= 10
+    """.format(
+        values=_SQL_BM25_VALUES,
+        words_doc=_SQL_WORDS.format(col="lower(text)"),
+        words_query=_SQL_WORDS.format(col="lower(query_text)"),
+    ),
+    doc="Okapi BM25 top-10 retrieval over the documents corpus for a "
+    "fixed 5-query set (operators/terms.py bm25_topk; training-data "
+    "tier — retrieval-based decontamination / curation audits; the "
+    "reference has no retrieval operator). Scale shape: NO "
+    "corpus-sized shuffle — the exploded token stream is semi-joined "
+    "against the broadcast query vocabulary BEFORE the TF aggregate "
+    "(scoring is inner on word, so non-query tokens can never reach "
+    "the output; doc length is captured at explode time so the filter "
+    "loses nothing), leaving a candidate-sized (doc, term) shuffle; "
+    "per-term DF aggregates the filtered pairs (the full vocabulary "
+    "table is never built); corpus stats reduce a second pruned scan "
+    "to ONE broadcast row; scoring is TF joined against a BROADCAST "
+    "relation of (query term, df, corpus stats), and only candidate "
+    "rows reach the (query, doc) score shuffle; top-k is a per-query "
+    "ranking window. Determinism: Lucene-style always-positive idf; "
+    "k1=1.25 / b=0.75 chosen exactly representable in binary so both "
+    "engines evaluate every constant bit-identically; each per-term "
+    "contribution is floor(x*1e9 + 0.5)-scaled to BIGINT and summed "
+    "as integers (the lm.py discipline — float sums never depend on "
+    "partition order); ties rank by doc_id. Residual cross-engine "
+    "surface: libm ln (trained-langid caveat class).",
+)
+def text_bm25_topk(spark, sf):
+    from ..operators.terms import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    queries_df = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    return bm25_topk(docs, queries_df, k=10)

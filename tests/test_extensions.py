@@ -2970,3 +2970,91 @@ def test_pack_fixed_chunks_rejects_bad_n_buckets(spark, docs):
     chunks = chunk_documents(docs, chunk_tokens=8)
     with _pytest.raises(ValueError, match="n_buckets"):
         pack_fixed_chunks(chunks, chunks_per_pack=4, n_buckets=0)
+
+
+def _bm25_reference(docs_rows, query_rows, k=10, k1=1.25, b=0.75,
+                    scale=1_000_000_000):
+    """Pure-python BM25 twin of operators/terms.py bm25_topk — same
+    tokenization, same Lucene-style idf, same floor(x*scale+0.5) integer
+    contributions, same (score desc, doc_id asc) ranking."""
+    import math
+    from collections import Counter
+
+    toks = {
+        d: (t or "").strip().lower().split() if (t or "").strip() else []
+        for d, t in docs_rows
+    }
+    n_docs = len(toks)
+    sum_dl = sum(len(v) for v in toks.values())
+    avgdl = sum_dl / n_docs
+    tf = {d: Counter(v) for d, v in toks.items()}
+    dfreq = Counter()
+    for d, c in tf.items():
+        for w in c:
+            dfreq[w] += 1
+    out = []
+    for qid, qtext in query_rows:
+        qwords = sorted(set(qtext.strip().lower().split()))
+        scores = {}
+        for d, c in tf.items():
+            s = 0
+            for w in qwords:
+                if w not in c:
+                    continue
+                idf = math.log(
+                    1.0 + ((n_docs - dfreq[w]) + 0.5) / (dfreq[w] + 0.5)
+                )
+                contrib = (
+                    idf * (c[w] * (k1 + 1.0))
+                    / (c[w] + k1 * ((1.0 - b) + b * (len(toks[d]) / avgdl)))
+                )
+                s += math.floor(contrib * scale + 0.5)
+            if s:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend(
+            (qid, r + 1, d, s) for r, (d, s) in enumerate(ranked)
+        )
+    return sorted(out)
+
+
+def test_bm25_topk_matches_pure_python_twin(spark):
+    """bm25_topk's integer-scaled scores and ranking are bit-identical to
+    an independent per-document python implementation on the fixture
+    corpus — pins the distributed plan (carried-dl TF, query-vocab DF,
+    broadcast scoring relation) to the textbook per-document formula."""
+    from global_market_index_etl_spark.operators.terms import bm25_topk
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    queries = [(1, "key hash join"), (2, "fast scan filter"),
+               (3, "the a value")]
+    qdf = spark.createDataFrame(queries, "query_id int, query_text string")
+    got = sorted(
+        (r.query_id, r.rnk, r.doc_id, r.score_scaled)
+        for r in bm25_topk(docs, qdf, k=7).collect()
+    )
+    docs_rows = [(r.doc_id, r.text) for r in
+                 docs.select("doc_id", "text").collect()]
+    want = _bm25_reference(docs_rows, queries, k=7)
+    assert got == want
+
+
+def test_bm25_topk_distinct_query_terms_and_validation(spark):
+    """Repeated query terms score once (DISTINCT query vocabulary), and
+    bad dials raise instead of silently degrading."""
+    from global_market_index_etl_spark.operators.terms import bm25_topk
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    once = spark.createDataFrame(
+        [(1, "key join")], "query_id int, query_text string"
+    )
+    twice = spark.createDataFrame(
+        [(1, "key join key key join")], "query_id int, query_text string"
+    )
+    a = sorted(map(tuple, bm25_topk(docs, once, k=5).collect()))
+    b = sorted(map(tuple, bm25_topk(docs, twice, k=5).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(docs, once, k=0)
+    with pytest.raises(ValueError, match="scale must be"):
+        bm25_topk(docs, once, scale=0)
