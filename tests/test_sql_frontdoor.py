@@ -688,3 +688,75 @@ def test_sql_frontdoor_bloom_registers(spark):
     assert sorted(map(tuple, via_sql.collect())) == sorted(
         map(tuple, via_df.collect())
     )
+
+
+def test_sql_frontdoor_bm25_topk(spark):
+    """The BM25 registry row is reproducible verbatim through spark.sql —
+    same tokenization, query-vocabulary pre-filter, idf, integer-scaled
+    contributions and ranking as operators/terms.py bm25_topk (double
+    literals written with the D suffix so Spark SQL doesn't parse them
+    as decimals)."""
+    register_views(spark, SF_SMALL)
+    via_sql = spark.sql(
+        """
+        WITH q AS (
+          SELECT * FROM VALUES
+            (1, 'key hash join'), (2, 'fast scan filter'),
+            (3, 'customer order line'), (4, 'window group agg'),
+            (5, 'vector batch merge') AS q(query_id, query_text)
+        ), tok AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(lower(text))) = 0
+                      THEN CAST(array() AS ARRAY<STRING>)
+                      ELSE split(trim(lower(text)), '\\\\s+') END AS arr
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, size(arr) AS dl, explode(arr) AS word FROM tok
+        ), qt AS (
+          SELECT DISTINCT query_id, word FROM (
+            SELECT query_id,
+                   explode(split(trim(lower(query_text)), '\\\\s+')) AS word
+            FROM q
+          )
+        ), tf AS (
+          SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf,
+                 CAST(min(dl) AS BIGINT) AS dl
+          FROM ex WHERE word IN (SELECT word FROM qt)
+          GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(size(arr)) AS BIGINT) AS sum_dl
+          FROM tok
+        ), cand AS (
+          SELECT qt.query_id, tf.doc_id,
+                 CAST(floor(
+                   ln(1.0D + (CAST(n_docs - df AS DOUBLE) + 0.5D)
+                            / (CAST(df AS DOUBLE) + 0.5D))
+                   * (CAST(tf AS DOUBLE) * 2.25D)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.25D * (0.25D + 0.75D * (CAST(dl AS DOUBLE)
+                          / (CAST(sum_dl AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE)))))
+                   * 1000000000.0D + 0.5D) AS BIGINT) AS contrib
+          FROM tf JOIN qt USING (word) JOIN dfreq USING (word)
+               CROSS JOIN stats
+        ), scores AS (
+          SELECT query_id, doc_id,
+                 CAST(sum(contrib) AS BIGINT) AS score_scaled
+          FROM cand GROUP BY 1, 2
+        )
+        SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score_scaled,
+               CAST(score_scaled AS DOUBLE) / 1000000000.0D AS score
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_scaled DESC, doc_id) AS rnk
+          FROM scores
+        ) WHERE rnk <= 10
+        """
+    )
+    via_df = REGISTRY["text_bm25_topk"].spark(spark, SF_SMALL)
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
