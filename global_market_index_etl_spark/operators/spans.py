@@ -70,6 +70,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .util import spread_for_explode as _spread_for_explode
+
 __all__ = [
     "duplicate_window_profile",
     "remove_duplicate_spans",
@@ -186,7 +188,7 @@ def duplicate_window_profile(
     # of one row per window occurrence (same rewrite as
     # sampling.dsir_ngram_features; measured 6.3 s → 2.3 s at sf1).
     toks = (
-        docs.repartition(F.col(doc_id))
+        _spread_for_explode(docs, F.col(doc_id))
         .select(doc_id, _norm_tokens(text_col).alias("__t"))
         .where(F.size("__t") >= k)
     )
@@ -279,7 +281,7 @@ def remove_duplicate_spans(
     # tokenize subtrees all inherit it). Measured 19.8 s → 7.5 s at sf1
     # under full materialization.
     toks = (
-        docs.repartition(F.col(doc_id))
+        _spread_for_explode(docs, F.col(doc_id))
         .select(doc_id, _norm_tokens(text_col).alias("__t"))
         .where(F.length(F.trim(F.col(text_col))) > 0)
     )
@@ -374,7 +376,7 @@ def duplicate_span_suite(
     from .util import materialize, materialize_shared
 
     toks = (
-        docs.repartition(F.col(doc_id))
+        _spread_for_explode(docs, F.col(doc_id))
         .select(doc_id, _norm_tokens(text_col).alias("__t"))
         .where(F.length(F.trim(F.col(text_col))) > 0)
     )
@@ -524,7 +526,7 @@ def exact_substring_dedup(
     _check_params(min_len, n_salts, name="min_len")
     L = int(min_len)
     toks = (
-        docs.repartition(F.col(doc_id))
+        _spread_for_explode(docs, F.col(doc_id))
         .select(doc_id, _norm_tokens(text_col).alias("__t"))
         .where(F.length(F.trim(F.col(text_col))) > 0)
     )

@@ -95,6 +95,63 @@ def parallelize_small(df: DataFrame) -> DataFrame:
     return df
 
 
+def _parse_bytes_conf(v: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ("64MB", "64m", "67108864b")."""
+    try:
+        s = v.strip().lower().removesuffix("b")
+        mult = 1
+        for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if s.endswith(suffix):
+                s = s[: -1]
+                mult = m
+                break
+        return int(float(s) * mult)
+    except Exception:
+        return default
+
+
+def spread_for_explode(df: DataFrame, *cols, expansion: int = 8) -> DataFrame:
+    """Keyed repartition sized for a downstream explode (guide §2).
+
+    AQE sizes a plain ``repartition(col)`` by the bytes ENTERING the
+    exchange; a generator downstream multiplies those bytes by the
+    window/shingle fan-out, which AQE cannot see — with the coalescer's
+    1 MB min-partition floor, the explode stage ends up on a handful of
+    tasks (measured: curation_pipeline_v2's window explode at sf1 ran 6
+    tasks on 32 cores, writing 106 MB from a 7.8 MB exchange, 5.8 s of
+    the row's wall). An EXPLICIT partition count pins the exchange
+    against coalescing; the count derives from the plan's size
+    statistics — ceil(est_bytes × expansion / advisoryPartitionSize),
+    floored at defaultParallelism and capped at 131072 — so it grows
+    with the input (a 100 TB corpus gets thousands of post-explode-sized
+    partitions; the advisory conf stays the cluster dial) instead of
+    being a local[32] constant. Plans without statistics fall back to
+    the plain keyed repartition, i.e. exactly the previous behavior.
+    """
+    spark = df.sparkSession
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = None
+    if est_bytes is None or est_bytes >= _STATS_UNAVAILABLE_BYTES:
+        return df.repartition(*cols)
+    try:
+        advisory = _parse_bytes_conf(
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+            64 << 20,
+        )
+    except Exception:
+        advisory = 64 << 20
+    parallelism = spark.sparkContext.defaultParallelism
+    n = max(
+        parallelism,
+        min(-(-est_bytes * expansion // max(advisory, 1)), 131072),
+    )
+    return df.repartition(int(n), *cols)
+
+
 def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Eagerly compute a subtree that several downstream branches reuse.
 
