@@ -112,11 +112,19 @@ def ngram_jaccard_pairs(
       then |A∩B| ≥ t·|A| , so B must hit A inside that prefix (missing
       all of it caps the overlap at ceil(t·n)-1). A size-ratio prune
       (J ≥ t ⇒ min/max ≥ t, epsilon-guarded so boundary pairs survive
-      float noise) runs inside the join; survivors are verified EXACTLY
-      per pair via ``array_intersect`` on per-doc hashed-shingle arrays.
-      Everything is a linear shuffle (df groupBy, join-back, per-doc
-      window, collect_list) — measured 42 s → 16 s at the 10× corpus,
-      growth factor 11.2× → 1.6×.
+      float noise) runs inside the join, and the pair aggregation then
+      applies PPJoin's POSITIONAL filter (Xiao et al., WWW'08; exact):
+      every common shingle ≤ the pair's last matched prefix token in the
+      canonical order lies inside BOTH prefixes (positions are order-
+      consistent across docs), so |A∩B| ≤ cnt + min(|A|-i, |B|-j) where
+      cnt is the matched-prefix-token count and i/j the last matched
+      ranks — pairs whose bound falls below the equivalent-overlap
+      requirement t·(|A|+|B|)/(1+t) are pruned BEFORE the verify join
+      (measured at the sf1 corpus: 4.38 M → 1.07 M verify pairs, -76%).
+      Survivors are verified EXACTLY per pair via ``array_intersect``
+      on per-doc hashed-shingle arrays. Everything is a linear shuffle
+      (df groupBy, join-back, per-doc window, collect_list) — measured
+      42 s → 16 s at the 10× corpus, growth factor 11.2× → 1.6×.
 
     ``auto`` picks prefix at ≥ 10⁶ shingle rows (measured local[32]
     crossover ≈ 1 M: below it the prefix path's extra stages cost more
@@ -184,7 +192,7 @@ def ngram_jaccard_pairs(
         .withColumn("__rn", F.row_number().over(w_rank))
         .withColumn("__n", F.count(F.lit(1)).over(w_doc))
         .filter(F.col("__rn") <= prefix_len)
-        .select(id_col, "shingle", "__n")
+        .select(id_col, "shingle", "__n", "__rn")
     )
     a = pre.alias("a")
     b = pre.alias("b")
@@ -193,6 +201,23 @@ def ngram_jaccard_pairs(
         / F.greatest(F.col("a.__n"), F.col("b.__n"))
         >= F.lit(threshold) - F.lit(1e-9)
     )
+    # positional filter (PPJoin): |A∩B| ≤ matched-prefix-count +
+    # min(|A| - last matched rank in A, |B| - last matched rank in B);
+    # J ≥ t ⇔ |A∩B| ≥ t·(|A|+|B|)/(1+t), so a bound below that
+    # requirement (1e-9-guarded like the other float prunes: pruning a
+    # TRUE pair is the only unsound direction, a kept false pair just
+    # costs one verify row) proves the pair cannot qualify — no
+    # array_intersect needed. cnt is exact because positions are
+    # order-consistent: every common shingle canonically ≤ the last
+    # matched one sits inside both prefixes, hence was matched.
+    required_overlap = (
+        F.lit(threshold)
+        / (F.lit(1.0) + F.lit(threshold))
+        * (F.col("__n1") + F.col("__n2"))
+    )
+    overlap_ubound = F.col("__cnt") + F.least(
+        F.col("__n1") - F.col("__mi"), F.col("__n2") - F.col("__mj")
+    )
     candidates = (
         a.join(
             b,
@@ -200,11 +225,19 @@ def ngram_jaccard_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & size_ok,
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_1"),
             F.col(f"b.{id_col}").alias("id_2"),
         )
-        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max(F.col("a.__rn")).alias("__mi"),
+            F.max(F.col("b.__rn")).alias("__mj"),
+            F.first(F.col("a.__n")).alias("__n1"),
+            F.first(F.col("b.__n")).alias("__n2"),
+        )
+        .filter(overlap_ubound >= required_overlap - F.lit(1e-9))
+        .select("id_1", "id_2")
     )
     arrays = d.groupBy(id_col).agg(F.collect_list("shingle").alias("__sh"))
     a1 = arrays.select(

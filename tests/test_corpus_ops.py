@@ -455,6 +455,66 @@ def test_ngram_jaccard_prefix_strategy_matches_naive(spark, docs):
     assert prefix == naive and len(naive) > 0
 
 
+def test_positional_filter_keeps_exact_boundary_pair(spark):
+    """Round-15 positional filter (PPJoin): a pair at EXACTLY the
+    threshold must survive the overlap-upper-bound prune. A = 11 words
+    (9 shingles), B = A minus its first word plus one new word (also 9
+    shingles, sharing 8) ⇒ J = 8/(9+9-8) = 0.8 exactly, and the
+    positional bound lands exactly on the required overlap (8) — the
+    one place an epsilon mistake would silently drop a true pair."""
+    from global_market_index_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    words = "a b c d e f g h i j k".split()
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[1:] + ["x"]))],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.8, strategy="prefix")
+    rows = out.collect()
+    assert [(r.id_1, r.id_2, r.n_common) for r in rows] == [(1, 2, 8)]
+    assert rows[0].jaccard >= 0.8
+
+
+def test_positional_filter_prunes_without_changing_pairs(spark):
+    """Round-15 positional filter: on a seeded word-soup corpus dense in
+    near-miss pairs (docs share rare shingles but few of them), the
+    prefix path must still emit exactly the naive pair set — the prune
+    is an upper-bound proof, never a heuristic."""
+    import random
+
+    from global_market_index_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(15)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        base = [rng.choice(vocab) for _ in range(rng.randint(6, 24))]
+        docs.append((i, " ".join(base)))
+        # planted near-dups and supersets around the 0.8 boundary
+        if i % 7 == 0:
+            mut = list(base)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(mut)))
+        if i % 11 == 0:
+            docs.append((2000 + i, " ".join(base + [rng.choice(vocab)])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def run(strategy):
+        return {
+            (r.id_1, r.id_2, r.n_common, round(r.jaccard, 12))
+            for r in ngram_jaccard_pairs(
+                df, n=3, threshold=0.8, strategy=strategy
+            ).collect()
+        }
+
+    naive = run("naive")
+    assert run("prefix") == naive and len(naive) > 0
+
+
 def test_star_connected_components_on_deep_chain(spark):
     """A 400-link chain has diameter 400: min-label propagation would need
     400 rounds (far past its budget); large-star/small-star must collapse
