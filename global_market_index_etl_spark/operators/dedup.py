@@ -233,8 +233,12 @@ def ngram_jaccard_pairs(
             F.count(F.lit(1)).alias("__cnt"),
             F.max(F.col("a.__rn")).alias("__mi"),
             F.max(F.col("b.__rn")).alias("__mj"),
-            F.first(F.col("a.__n")).alias("__n1"),
-            F.first(F.col("b.__n")).alias("__n2"),
+            # __n is constant per doc within each (id_1, id_2) group, so
+            # max == every value — max (order-insensitive) keeps the
+            # determinism explicit where first() only happened to be
+            # (r15 advice item 2)
+            F.max(F.col("a.__n")).alias("__n1"),
+            F.max(F.col("b.__n")).alias("__n2"),
         )
         .filter(overlap_ubound >= required_overlap - F.lit(1e-9))
         .select("id_1", "id_2")

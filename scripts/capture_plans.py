@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for headline queries into plans/r15/.
+"""Dump .explain('formatted') for headline queries into plans/<round>/
+(round defaults to r16; override with SPARK_GRAFT_PLANS_ROUND).
 
 Usage:
     python scripts/capture_plans.py before [query ...]
@@ -20,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
 )
 
 
