@@ -515,8 +515,13 @@ def dsir_ngram_features(
     # featurize pass dropped ~18 s → ~7 s.
     from .util import spread_for_explode
 
+    # per-site expansion (r15 verdict item 5): the n-gram explode emits
+    # ~2 feature rows per token (unigram + bigram), each ≈ (id 8 B +
+    # feature string ~10 chars + 8 B offset + ~16 B row overhead) ≈ 42 B,
+    # against ~6.4 B of input text per token ⇒ ~13× post-explode bytes
+    # per input byte.
     return (
-        spread_for_explode(df, F.col(id_col))
+        spread_for_explode(df, F.col(id_col), expansion=13)
         .select(*cols)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("cnt"))

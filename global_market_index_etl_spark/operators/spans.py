@@ -60,9 +60,21 @@ occupied (fingerprint, salt) pairs, so the occupancy join hits the same
 rows a full replication would) but no task ever holds more than
 ``occurrences / n_salts`` rows of any fingerprint.  Raw window strings
 would make the shuffles ~k× the text size; every window travels as its
-md5 fingerprint (32 hex chars, computed in-row before the explode) —
-md5 is engine-portable, so the DuckDB oracles hash the identical strings
-and the comparison stays exact, unlike Spark-internal xxhash64.
+``xxhash64`` fingerprint over the k-token array slice (8-byte long,
+computed in-row before the explode).  Round 16 (guide §2.3/§4.1):
+previously this was ``md5(concat_ws(...))`` — a 32-hex-char string that
+(a) materialized a ~6×k-byte window string per corpus position just to
+hash it, (b) ran a cryptographic digest per position, and (c) shuffled
+4-5× the bytes of an 8-byte key; the window-hash stages were the span
+tier's dominant executor cost (measured at sf1: 39-45 s exec per
+window-hash stage, 83-108 MB exchanges).  ``xxhash64(slice(__t, i, k))``
+hashes the token slice directly — no intermediate string, non-crypto
+hash, fixed 8-byte key.  Fingerprint semantics are unchanged up to
+64-bit collisions (P ≈ 2⁻⁶⁴ per distinct window pair — the same
+accepted equivalence as the hashed shingle keys in operators/dedup.py,
+whose queries carry full SQL oracles).  The DuckDB oracles keep their
+md5-over-string formulation: the fingerprint never appears in any
+output, so the comparison stays exact on the values that do.
 """
 
 from __future__ import annotations
@@ -86,6 +98,18 @@ __all__ = [
 # extra salts — cold duplicated windows are priced by their own
 # occurrence count regardless of this setting.
 N_SALTS = 16
+
+# Per-site explode expansion for the doc_id pre-distribution (r15 verdict
+# item 5: derive from the kernel's own shape, not the util default).
+# The stride-1 window generator emits ONE occurrence row per token
+# position regardless of k/min_len: (doc_id long 8B, __i int 4B, __w
+# long 8B, ~16B UnsafeRow overhead) ≈ 36 B/position against ~6.4 B of
+# input text per token (avg word + separator) ⇒ ~6× post-explode bytes
+# per input byte. (Before the xxhash64 switch the md5-string key made
+# this 8-50× depending on shuffle compressibility — the r15 constant 8
+# under-sized the top end; with an 8-byte key the fan-out is shape-
+# stable.)
+_SPAN_EXPANSION = 6
 
 
 def _norm_tokens(text_col: str):
@@ -188,7 +212,10 @@ def duplicate_window_profile(
     # of one row per window occurrence (same rewrite as
     # sampling.dsir_ngram_features; measured 6.3 s → 2.3 s at sf1).
     toks = (
-        _spread_for_explode(docs, F.col(doc_id))
+        _spread_for_explode(
+            docs.select(doc_id, text_col), F.col(doc_id),
+            expansion=_SPAN_EXPANSION,
+        )
         .select(doc_id, _norm_tokens(text_col).alias("__t"))
         .where(F.size("__t") >= k)
     )
@@ -197,7 +224,7 @@ def duplicate_window_profile(
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(__t) - {k - 1}),"
-                f" i -> md5(concat_ws(' ', slice(__t, i, {k}))))"
+                f" i -> xxhash64(slice(__t, i, {k})))"
             )
         ).alias("__w"),
     )
@@ -235,6 +262,8 @@ def remove_duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     n_salts: int = N_SALTS,
+    checkpoint_dir: str | None = None,
+    share_cache: bool = True,
 ) -> DataFrame:
     """Rewrite each document with cross-document duplicate spans REMOVED.
 
@@ -268,20 +297,34 @@ def remove_duplicate_spans(
     size with bounded per-task rows; the per-doc state (the token array
     and the covered-position set) is bounded by document length, same as
     every other text operator.
+
+    ``share_cache`` / ``checkpoint_dir`` carry duplicate_span_suite's
+    contract for the materialized (window, doc) reduction (round 16 —
+    see the inline comment): ``share_cache=True`` (default) memoizes the
+    persisted reduction per (process, plan), which REQUIRES the input to
+    be immutable between calls (the fixture parquet tables qualify); a
+    caller reading mutated source data must pass ``share_cache=False``;
+    ``checkpoint_dir`` switches to a reliable checkpoint for
+    executor-loss-safe cluster runs.
     """
     _check_params(k, n_salts)
-    # three consumers re-derive the tokenized corpus; a util.materialize
-    # persist here measured SLOWER at sf0.1 and sf1 (3.8 s vs 2.4 s — the
-    # eager count + cache write outweigh the recomputed codegen tokenize,
-    # which runs at scan speed), so the subtree is deliberately recomputed.
-    # On a 100 TB corpus the same trade holds as long as tokenization stays
-    # codegen; persist only if a Python tokenizer ever replaces it.
-    # The doc_id pre-partition makes every per-document aggregation and the
-    # (doc, position) anti-join downstream exchange-free (the recomputed
+    from .util import materialize, materialize_shared
+
+    # the tokenized corpus is deliberately recomputed per consumer (a
+    # util.materialize persist of TOKS measured SLOWER at sf0.1 and sf1 —
+    # the eager count + cache write outweigh the recomputed codegen
+    # tokenize, which runs at scan speed). On a 100 TB corpus the same
+    # trade holds as long as tokenization stays codegen; persist only if
+    # a Python tokenizer ever replaces it.
+    # The doc_id pre-partition makes every per-document aggregation and
+    # the covered-set join downstream exchange-free (the recomputed
     # tokenize subtrees all inherit it). Measured 19.8 s → 7.5 s at sf1
     # under full materialization.
     toks = (
-        _spread_for_explode(docs, F.col(doc_id))
+        _spread_for_explode(
+            docs.select(doc_id, text_col), F.col(doc_id),
+            expansion=_SPAN_EXPANSION,
+        )
         .select(doc_id, _norm_tokens(text_col).alias("__t"))
         .where(F.length(F.trim(F.col(text_col))) > 0)
     )
@@ -290,7 +333,7 @@ def remove_duplicate_spans(
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(__t) - {k - 1}),"
-                f" i -> md5(concat_ws(' ', slice(__t, i, {k}))))"
+                f" i -> xxhash64(slice(__t, i, {k})))"
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
@@ -298,16 +341,26 @@ def remove_duplicate_spans(
     # positions (exchange-free under the doc_id pre-partition), then the
     # salted two-phase distinct-doc frequency — no dup-set self-join, no
     # second tokenize+explode of the corpus.
-    # one explicit (__w, __salt) exchange serves both consumers of the
-    # (window, doc) reduction — verdict aggregate and join-back probe
-    # (ReuseExchange; see duplicate_span_suite / exact_substring_dedup)
-    per_doc = _with_salt(
-        winpos.groupBy("__w", doc_id).agg(
-            F.collect_list("__i").alias("__pos")
-        ),
-        n_salts,
-        doc_id,
-    ).repartition(F.col("__w"), F.col("__salt"))
+    # The (window, doc) reduction is MATERIALIZED for its two consumers
+    # (verdict aggregate + join-back probe) exactly as in
+    # duplicate_span_suite: ReuseExchange does NOT fire across them —
+    # column pruning gives the verdict side a narrower exchange schema
+    # (no __pos) than the probe side, so without the persist the whole
+    # window explode + fingerprint pass runs TWICE (r16 profile at sf1:
+    # 39 s + 45 s executor time for the two copies, the query's dominant
+    # cost). The cached table is the post-shuffle reduction —
+    # corpus-window-set sized, bounded at scale like the suite's.
+    _mat = materialize_shared if share_cache else materialize
+    per_doc = _mat(
+        _with_salt(
+            winpos.groupBy("__w", doc_id).agg(
+                F.collect_list("__i").alias("__pos")
+            ),
+            n_salts,
+            doc_id,
+        ).repartition(F.col("__w"), F.col("__salt")),
+        checkpoint_dir=checkpoint_dir,
+    )
     dup_wins = _explode_occupied_salts(
         per_doc.groupBy("__w", "__salt")
         .agg(F.count(F.lit(1)).alias("__pc"))
@@ -376,7 +429,10 @@ def duplicate_span_suite(
     from .util import materialize, materialize_shared
 
     toks = (
-        _spread_for_explode(docs, F.col(doc_id))
+        _spread_for_explode(
+            docs.select(doc_id, text_col), F.col(doc_id),
+            expansion=_SPAN_EXPANSION,
+        )
         .select(doc_id, _norm_tokens(text_col).alias("__t"))
         .where(F.length(F.trim(F.col(text_col))) > 0)
     )
@@ -385,7 +441,7 @@ def duplicate_span_suite(
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(__t) - {k - 1}),"
-                f" i -> md5(concat_ws(' ', slice(__t, i, {k}))))"
+                f" i -> xxhash64(slice(__t, i, {k})))"
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")
@@ -416,7 +472,17 @@ def duplicate_span_suite(
         .where(F.col("__nd") > 1)
         .select("__occ", "__w", F.lit(True).alias("__dup"))
     )
-    flagged = per_doc.join(dup_wins, ["__w", "__salt"], "left")
+    # cache the FLAGGED table too (round 16): the union legs cannot share
+    # plan subtrees (Catalyst re-derives each union branch), so without
+    # this persist the verdict aggregate AND the 8M-row (w, salt)
+    # join-back ran once PER LEG — measured at the 30× corpus: the
+    # dup_wins chain (two exchanges, 92 + 41 MiB written) and the
+    # sort-merge join-back each appeared twice in the executed plan.
+    # flagged is per_doc plus a boolean — same bounded cache footprint.
+    flagged = _materialize(
+        per_doc.join(dup_wins, ["__w", "__salt"], "left"),
+        checkpoint_dir=checkpoint_dir,
+    )
 
     profile = (
         flagged.groupBy(doc_id)
@@ -482,9 +548,10 @@ def exact_substring_dedup(
     corpus iff every one of its L-token sub-windows repeats, and the union
     of the token positions of all repeated L-windows IS the union of all
     repeated substrings of length ≥ L. Sliding an L-window at stride 1
-    (one md5 per position, JVM codegen) therefore reproduces suffix-array
-    coverage exactly — no stride alignment gap, no approximation beyond
-    the md5 fingerprint the whole span tier already rests on.
+    (one xxhash64 fingerprint per position, JVM codegen) therefore
+    reproduces suffix-array coverage exactly — no stride alignment gap,
+    no approximation beyond the 64-bit fingerprint the whole span tier
+    already rests on (module docstring).
 
     Two semantic upgrades over :func:`remove_duplicate_spans` (which keeps
     zero copies of cross-document boilerplate and ignores repeats inside
@@ -526,7 +593,10 @@ def exact_substring_dedup(
     _check_params(min_len, n_salts, name="min_len")
     L = int(min_len)
     toks = (
-        _spread_for_explode(docs, F.col(doc_id))
+        _spread_for_explode(
+            docs.select(doc_id, text_col), F.col(doc_id),
+            expansion=_SPAN_EXPANSION,
+        )
         .select(doc_id, _norm_tokens(text_col).alias("__t"))
         .where(F.length(F.trim(F.col(text_col))) > 0)
     )
@@ -535,7 +605,7 @@ def exact_substring_dedup(
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(__t) - {L - 1}),"
-                f" i -> md5(concat_ws(' ', slice(__t, i, {L}))))"
+                f" i -> xxhash64(slice(__t, i, {L})))"
             )
         ).alias("__p0", "__w"),
     ).select(doc_id, (F.col("__p0") + 1).alias("__i"), "__w")

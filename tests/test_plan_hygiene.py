@@ -278,12 +278,12 @@ def test_exact_substring_salted_skew_proof_plan(spark):
         "a window function crept back into ExactSubstr — the "
         "per-fingerprint verdicts must stay a salted two-phase aggregate"
     )
-    n_salted = len(re.findall(r"hashpartitioning\(__w#\d+, __salt#\d+", plan))
+    n_salted = len(re.findall(r"hashpartitioning\(__w#\d+L?, __salt#\d+", plan))
     assert n_salted >= 1, (
         "expected the salted (__w, __salt) partials exchange:\n"
         + plan[:1500]
     )
-    n_w_alone = len(re.findall(r"hashpartitioning\(__w#\d+, \d+\)", plan))
+    n_w_alone = len(re.findall(r"hashpartitioning\(__w#\d+L?, \d+\)", plan))
     assert n_w_alone == 1, (
         f"expected exactly one __w-alone exchange (the bounded "
         f"partials→totals reduction), found {n_w_alone}:\n" + plan[:1500]
@@ -325,7 +325,7 @@ def test_span_suite_salted_skew_proof_plan(spark):
         "doc-frequency verdicts must stay a salted two-phase aggregate"
     )
     assert len(
-        re.findall(r"hashpartitioning\(__w#\d+, __salt#\d+", plan)
+        re.findall(r"hashpartitioning\(__w#\d+L?, __salt#\d+", plan)
     ) >= 1
     _assert_adaptive_replication(plan)
 
