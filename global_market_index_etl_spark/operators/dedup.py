@@ -22,7 +22,7 @@ from __future__ import annotations
 import warnings
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql.types import StructField, StructType
 
 from .text import fingerprint_md5, shingles_from_words, words
@@ -121,10 +121,20 @@ def ngram_jaccard_pairs(
       ranks — pairs whose bound falls below the equivalent-overlap
       requirement t·(|A|+|B|)/(1+t) are pruned BEFORE the verify join
       (measured at the sf1 corpus: 4.38 M → 1.07 M verify pairs, -76%).
-      Survivors are verified EXACTLY per pair via ``array_intersect``
-      on per-doc hashed-shingle arrays. Everything is a linear shuffle
-      (df groupBy, join-back, per-doc window, collect_list) — measured
-      42 s → 16 s at the 10× corpus, growth factor 11.2× → 1.6×.
+      Round 16: the whole path reads ONE materialized table of per-doc
+      canonical-order shingle arrays (df asc, hash asc — built with a
+      single d ⋈ df join + per-doc array_sort); prefix rows are a
+      narrow posexplode of each array's prefix slice (the r15 shape
+      re-derived a join + two windows per self-join side), and
+      survivors are verified EXACTLY per pair with PPJoin's
+      verification step on the same arrays:
+      |A∩B| = cnt + |A[i+1:] ∩ B[j+1:]| (every common shingle is
+      either prefix-matched — hence counted, with ranks ≤ (i, j) by
+      maximality — or beyond both last-matched ranks, since one global
+      order cannot place it before the last match in one doc and after
+      it in the other). Measured 42 s → 16 s at the 10× corpus in r13,
+      growth factor 11.2× → 1.6×; the r16 restructure removes two of
+      the three shingle-table derivation chains from the plan.
 
     ``auto`` picks prefix at ≥ 10⁶ shingle rows (measured local[32]
     crossover ≈ 1 M: below it the prefix path's extra stages cost more
@@ -177,8 +187,29 @@ def ngram_jaccard_pairs(
             .select("id_1", "id_2", "n_common", "jaccard")
         )
     sdf = d.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    w_rank = Window.partitionBy(id_col).orderBy("__df", "shingle")
-    w_doc = Window.partitionBy(id_col)
+    # ONE canonical-order pass serves the whole prefix path (round 16;
+    # guide §2.4): collect each doc's shingles sorted by the global
+    # canonical order (document frequency asc, hash asc — rarest first)
+    # into an array and MATERIALIZE it. The r15 shape derived the ranked
+    # prefix rows from d ⋈ sdf + two window functions and the verify
+    # arrays from a separate collect_list over d; the self-join's two
+    # sides then each re-derived the window subtree (no ReuseExchange
+    # across the join mix — measured at sf1: two full d ⋈ sdf → window
+    # chains of ~12 s executor time each). Now the join + per-doc sort
+    # run once; prefix rows are a narrow posexplode of the cached
+    # array's slice, and the verify reads the SAME arrays — whose
+    # canonical order additionally enables the exact suffix-slice
+    # verify below.
+    srt = _materialize(
+        d.join(sdf, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "shingle"))),
+                lambda x: x["shingle"],
+            ).alias("__sh")
+        )
+    )
     # prefix length n - ceil(t*n) + 1; the 1e-9 guards against double
     # noise pushing an exactly-integer t*n up one (a SHORTER prefix would
     # lose boundary pairs — longer only costs candidates)
@@ -188,11 +219,19 @@ def ngram_jaccard_pairs(
         + F.lit(1)
     )
     pre = (
-        d.join(sdf, "shingle")
-        .withColumn("__rn", F.row_number().over(w_rank))
-        .withColumn("__n", F.count(F.lit(1)).over(w_doc))
-        .filter(F.col("__rn") <= prefix_len)
-        .select(id_col, "shingle", "__n", "__rn")
+        srt.select(
+            id_col,
+            F.size("__sh").alias("__n"),
+            F.col("__sh"),
+        )
+        .select(
+            id_col,
+            "__n",
+            F.posexplode(F.slice("__sh", F.lit(1), prefix_len)).alias(
+                "__p0", "shingle"
+            ),
+        )
+        .select(id_col, "shingle", "__n", (F.col("__p0") + 1).alias("__rn"))
     )
     a = pre.alias("a")
     b = pre.alias("b")
@@ -241,20 +280,42 @@ def ngram_jaccard_pairs(
             F.max(F.col("b.__n")).alias("__n2"),
         )
         .filter(overlap_ubound >= required_overlap - F.lit(1e-9))
-        .select("id_1", "id_2")
+        .select("id_1", "id_2", "__cnt", "__mi", "__mj")
     )
-    arrays = d.groupBy(id_col).agg(F.collect_list("shingle").alias("__sh"))
-    a1 = arrays.select(
+    a1 = srt.select(
         F.col(id_col).alias("id_1"),
         F.col("__sh").alias("__sh1"),
         F.size("__sh").alias("n_1"),
     )
-    a2 = arrays.select(
+    a2 = srt.select(
         F.col(id_col).alias("id_2"),
         F.col("__sh").alias("__sh2"),
         F.size("__sh").alias("n_2"),
     )
-    n_common = F.size(F.array_intersect("__sh1", "__sh2")).cast("long")
+    # exact suffix-slice verify (PPJoin's verification step, exact):
+    # |A∩B| = __cnt + |A[mi+1:] ∩ B[mj+1:]|. Every common shingle is
+    # either (i) inside both prefixes — then it was matched by the join
+    # (so counted in __cnt) and has ranks ≤ (mi, mj) by maximality, or
+    # (ii) beyond BOTH last-matched ranks: ranks are positions in the
+    # same global canonical order, so rank_A(t) < mi with rank_B(t) > mj
+    # would order t before the mi-matched token in A and after the
+    # mj-matched token in B — contradicting one total order. Hence the
+    # unmatched commons live entirely in the two suffixes, and the
+    # intersect runs on ~(1-t)/(1+t) fewer elements without touching the
+    # result.
+    n_common = (
+        F.col("__cnt")
+        + F.size(
+            F.array_intersect(
+                F.slice(
+                    "__sh1", F.col("__mi") + 1, F.col("n_1") - F.col("__mi")
+                ),
+                F.slice(
+                    "__sh2", F.col("__mj") + 1, F.col("n_2") - F.col("__mj")
+                ),
+            )
+        )
+    ).cast("long")
     return (
         candidates.join(a1, "id_1")
         .join(a2, "id_2")
